@@ -1,0 +1,34 @@
+"""Host-side audio / HDF5 I/O.
+
+The reference uses soundfile (libsndfile) for wav I/O; this environment has
+scipy only, so we implement the same float contract on top of
+``scipy.io.wavfile``: reads return float64 in [-1, 1) (PCM scaled by
+1/2**(bits-1)), writes store 16-bit PCM from float input (libsndfile-style
+scale-by-32768 and clip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.io import wavfile
+
+_PCM_SCALE = {np.dtype(np.int16): 1.0 / 32768.0, np.dtype(np.int32): 1.0 / 2147483648.0}
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read a wav file -> (float64 samples in [-1, 1), sample rate)."""
+    fs, data = wavfile.read(path)
+    if data.dtype in _PCM_SCALE:
+        data = data.astype(np.float64) * _PCM_SCALE[data.dtype]
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float64) - 128.0) / 128.0
+    else:  # float32/float64 wavs
+        data = data.astype(np.float64)
+    return data, int(fs)
+
+
+def write_wav(path, data: np.ndarray, fs: int) -> None:
+    """Write float samples as 16-bit PCM (libsndfile float->PCM_16 contract)."""
+    x = np.asarray(data, dtype=np.float64)
+    pcm = np.clip(np.floor(x * 32768.0), -32768, 32767).astype(np.int16)
+    wavfile.write(path, fs, pcm)

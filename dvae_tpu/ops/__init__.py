@@ -1,0 +1,25 @@
+from dvae_tpu.ops.stft import (
+    StftConfig,
+    stft,
+    istft,
+    power_spectrogram,
+    log_power_spectrogram,
+    frame_signal,
+    padded_length,
+    n_stft_frames,
+)
+from dvae_tpu.ops.targets import clean_speech_vad, clean_speech_ibm, noise_robust_clean_speech_ibm
+
+__all__ = [
+    "StftConfig",
+    "stft",
+    "istft",
+    "power_spectrogram",
+    "log_power_spectrogram",
+    "frame_signal",
+    "padded_length",
+    "n_stft_frames",
+    "clean_speech_vad",
+    "clean_speech_ibm",
+    "noise_robust_clean_speech_ibm",
+]

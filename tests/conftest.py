@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding paths are exercised without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# JAX_PLATFORMS; pin the config explicitly so tests run on the virtual
+# 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+
+import pytest
+
+REFERENCE_DATA = pathlib.Path("/root/reference/data/subset")
+
+
+@pytest.fixture(scope="session")
+def subset_dir() -> pathlib.Path:
+    if not REFERENCE_DATA.exists():
+        pytest.skip("reference subset data not available")
+    return REFERENCE_DATA
