@@ -1,0 +1,157 @@
+"""Model-family and loss tests: shapes, init statistics, parameter-tree
+structure (for the two-optimizer split), and loss parity against a torch
+oracle evaluating the reference's formulas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvae_tpu.models import (
+    CVAE,
+    init_params,
+    CVAE_v2,
+    CVAE_v3,
+    CVAE_v4,
+    DisentangledVAE,
+    EncoderClassifier,
+    LSTMVad,
+    VAE,
+)
+from dvae_tpu.models import losses
+
+K = jax.random.PRNGKey(0)
+RNGS = {"params": K, "sample": jax.random.PRNGKey(1)}
+X = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (8, 513))) + 0.1
+Y1 = jnp.ones((8, 1))
+Y513 = jnp.ones((8, 513))
+
+
+def n_params(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def test_vae_forward_shapes():
+    m = VAE()
+    params = m.init(RNGS, X)
+    r, mu, logvar = m.apply(params, X, rngs={"sample": K})
+    assert r.shape == (8, 513) and mu.shape == (8, 16) and logvar.shape == (8, 16)
+    assert bool(jnp.all(r > 0)), "decoder output must be a positive variance"
+    # analytic param count: enc 513->128->128->(16 mu + 16 lv), dec 16->128->128->513
+    expect = (513 * 128 + 128) + (128 * 128 + 128) + 2 * (128 * 16 + 16) + (
+        16 * 128 + 128
+    ) + (128 * 128 + 128) + (128 * 513 + 513)
+    assert n_params(params) == expect
+
+
+@pytest.mark.parametrize("y", [Y1, Y513])
+def test_cvae_families(y):
+    for cls in (CVAE, CVAE_v2, CVAE_v3):
+        m = cls(y_dim=y.shape[-1])
+        params = init_params(m, RNGS, X, y)
+        r, mu, logvar = m.apply(params, X, y, rngs={"sample": K})
+        assert r.shape == (8, 513) and mu.shape == (8, 16)
+
+
+def test_cvae_v4_and_disentangled_return_z():
+    for cls in (CVAE_v4, DisentangledVAE):
+        m = cls(y_dim=1)
+        params = init_params(m, RNGS, X, Y1)
+        r, z, mu, logvar = m.apply(params, X, Y1, rngs={"sample": K})
+        assert z.shape == (8, 16)
+        yx = m.apply(params, X, method="classify_from_x")
+        yz = m.apply(params, z, method="classify_from_z")
+        assert yx.shape == (8, 1) and yz.shape == (8, 1)
+        assert bool(jnp.all((yx >= 0) & (yx <= 1)))
+
+
+def test_disentangled_param_tree_split():
+    m = DisentangledVAE()
+    params = init_params(m, RNGS, X, Y1)
+    top = set(params["params"].keys())
+    assert top == {"enc_dec_clf", "auxiliary"}
+    sub = set(params["params"]["enc_dec_clf"].keys())
+    assert sub == {"encoder", "decoder", "classifier"}
+
+
+def test_encoder_classifier():
+    m = EncoderClassifier()
+    params = init_params(m, RNGS, X)
+    z, mu, logvar = m.apply(params, X, rngs={"sample": K})
+    y = m.apply(params, X, method="classify")
+    assert z.shape == (8, 16) and y.shape == (8, 1)
+
+
+def test_lstm_vad():
+    m = LSTMVad(x_dim=64, hidden=32, num_layers=2)
+    xs = jax.random.normal(K, (2, 10, 64))
+    params = m.init({"params": K}, xs)
+    p = m.apply(params, xs)
+    assert p.shape == (2, 10)
+    assert bool(jnp.all((p >= 0) & (p <= 1)))
+
+
+def test_reparametrization_statistics():
+    m = VAE()
+    params = m.init(RNGS, X)
+    zs = []
+    for i in range(200):
+        z, mu, _ = m.apply(
+            params, X, method="encode", rngs={"sample": jax.random.PRNGKey(i)}
+        )
+        zs.append(np.asarray(z))
+    zmean = np.mean(zs, axis=0)
+    np.testing.assert_allclose(zmean, np.asarray(mu), atol=0.25)
+
+
+def test_elbo_matches_torch_oracle():
+    import torch
+
+    rng = np.random.default_rng(0)
+    x = np.abs(rng.standard_normal((16, 513))).astype(np.float32) + 0.1
+    r = np.abs(rng.standard_normal((16, 513))).astype(np.float32) + 0.1
+    mu = rng.standard_normal((16, 16)).astype(np.float32)
+    logvar = rng.standard_normal((16, 16)).astype(np.float32)
+    eps = 1e-8
+
+    tx, tr, tmu, tlv = map(torch.tensor, (x, r, mu, logvar))
+    recon_t = torch.mean(torch.sum(tx / tr - torch.log(tx + eps) + torch.log(tr) - 1, dim=-1))
+    kl_t = -0.5 * torch.mean(torch.sum(tlv - tmu.pow(2) - tlv.exp(), dim=-1))
+
+    total, recon, kl = losses.elbo(jnp.asarray(x), jnp.asarray(r), jnp.asarray(mu), jnp.asarray(logvar), eps)
+    np.testing.assert_allclose(float(recon), float(recon_t), rtol=1e-5)
+    np.testing.assert_allclose(float(kl), float(kl_t), rtol=1e-5)
+    np.testing.assert_allclose(float(total), float(recon_t + kl_t), rtol=1e-5)
+
+
+def test_bce_matches_torch_oracle():
+    import torch
+
+    rng = np.random.default_rng(1)
+    r = rng.uniform(0.01, 0.99, (16, 5)).astype(np.float32)
+    y = (rng.uniform(size=(16, 5)) > 0.5).astype(np.float32)
+    eps = 1e-8
+    tr, ty = torch.tensor(r), torch.tensor(y)
+    ref = -torch.mean(torch.sum(ty * torch.log(tr + eps) + (1 - ty) * torch.log(1 - tr + eps), dim=-1))
+    ours = losses.binary_cross_entropy(jnp.asarray(r), jnp.asarray(y), eps)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_f1_loss():
+    y = jnp.asarray([1, 1, 0, 0, 1], dtype=jnp.float32)
+    yh = jnp.asarray([1, 0, 0, 1, 1], dtype=jnp.float32)
+    acc, prec, rec, f1 = losses.f1_loss(yh, y)
+    assert abs(float(acc) - 0.6) < 1e-6
+    assert abs(float(prec) - 2 / 3) < 1e-6
+    assert abs(float(rec) - 2 / 3) < 1e-6
+
+
+def test_u_loss_runs():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.abs(rng.standard_normal((8, 513))) + 0.1, dtype=jnp.float32)
+    r = jnp.asarray(np.abs(rng.standard_normal((8, 513))) + 0.1, dtype=jnp.float32)
+    mu = jnp.zeros((8, 16))
+    lv = jnp.zeros((8, 16))
+    yh = jnp.full((8, 1), 0.7)
+    U, L, recon, kl = losses.U_loss(x, r, mu, lv, yh)
+    assert np.isfinite(float(U)) and float(U) >= float(L)
