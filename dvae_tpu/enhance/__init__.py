@@ -1,0 +1,4 @@
+from dvae_tpu.enhance.mcem import McemConfig, McemResult, run_mcem
+from dvae_tpu.enhance.nmf import init_nmf, nmf_m_step
+
+__all__ = ["McemConfig", "McemResult", "run_mcem", "init_nmf", "nmf_m_step"]

@@ -1,0 +1,193 @@
+"""Batched Monte-Carlo EM speech enhancement on TPU.
+
+This is the TPU-native redesign of the reference's per-utterance,
+Python-loop MCEM engine (/root/reference/packages/models/mcem.py). The whole
+algorithm — Metropolis-Hastings latent sampling, NMF noise-model M-steps and
+the final Wiener-filter expectation — is ONE jitted program:
+
+* the EM loop is an outer ``lax.scan`` over iterations;
+* each E-step is an inner ``lax.scan`` of MH steps, where one step is a
+  single fused decoder forward over the whole utterance batch (the reference
+  runs two decoder passes per MH step — propose and post-accept refresh,
+  mcem.py:246/:268; we carry the accepted variance with a ``where`` select,
+  which is mathematically identical and halves decoder cost);
+* utterances are padded to a common frame count and every reduction over
+  frames is masked, replacing the reference's process-pool-over-utterances
+  parallelism (evaluate_ntcd_M1.py:248-259) with on-device batching;
+* randomness is threaded `jax.random` keys (replacing the global seeds of
+  mcem.py:1-5); parity with the reference is statistical (matched proposal
+  variance, burn-in and sample budgets), validated at the PESQ/STOI level.
+
+Supports every reference variant through the ``y`` argument:
+MCEM_M1 (mcem.py:182, y=None), MCEM_M2 (mcem.py:332, encoder saw [x;y]) and
+MCEM_M2v2/v3 (mcem.py:504/:676, encoder saw x) — the encoder difference only
+affects ``z_init`` which the caller provides; the decoder input is
+``concat([z, y])`` whenever ``y`` is given.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dvae_tpu.enhance.nmf import compute_vb, init_nmf, nmf_m_step
+
+
+@dataclasses.dataclass(frozen=True)
+class McemConfig:
+    """Budgets mirror the reference defaults (evaluate_ntcd_M1.py:57-65)."""
+
+    niter: int = 100
+    nsamples_e_step: int = 10
+    burnin_e_step: int = 30
+    nsamples_wf: int = 25
+    burnin_wf: int = 75
+    var_rw: float = 0.01
+    nmf_rank: int = 10
+    eps: float = 1e-8
+
+
+class McemResult(NamedTuple):
+    wfs: jnp.ndarray  # (B, N, F) speech Wiener mask  E[g*Vs / Vx]
+    wfn: jnp.ndarray  # (B, N, F) noise  Wiener mask  E[Vb / Vx]
+    cost: jnp.ndarray  # (niter,) masked E[-log lik] trajectory
+    z: jnp.ndarray  # (B, N, L) last latent draw
+    w: jnp.ndarray  # (B, F, K) NMF dictionary
+    h: jnp.ndarray  # (B, N, K) NMF activations
+    g: jnp.ndarray  # (B, N) gains
+
+
+def _make_mh_step(decoder: Callable, x2, y, var_rw: float):
+    """Returns one Metropolis-Hastings step over the utterance batch.
+
+    Carry: (z (B,N,L), vs (B,N,F)); closure state: per-EM-iter (vb, g).
+    Acceptance math matches mcem.py:243-265 (per-frame accept mask).
+    """
+    sqrt_var = jnp.sqrt(jnp.asarray(var_rw, jnp.float32))
+
+    def dec(z):
+        zin = z if y is None else jnp.concatenate([z, y], axis=-1)
+        return decoder(zin)
+
+    def step(carry, key, vb, g):
+        z, vs = carry
+        k1, k2 = jax.random.split(key)
+        z_prime = z + sqrt_var * jax.random.normal(k1, z.shape)
+        vs_prime = dec(z_prime)
+        gg = g[:, :, None]
+        vx = gg * vs + vb
+        vx_prime = gg * vs_prime + vb
+        log_acc = jnp.sum(
+            jnp.log(vx) - jnp.log(vx_prime) + (1.0 / vx - 1.0 / vx_prime) * x2,
+            axis=-1,
+        ) + 0.5 * jnp.sum(z**2 - z_prime**2, axis=-1)
+        u = jax.random.uniform(k2, log_acc.shape, minval=1e-38)
+        acc = jnp.log(u) < log_acc  # (B, N)
+        z = jnp.where(acc[:, :, None], z_prime, z)
+        vs = jnp.where(acc[:, :, None], vs_prime, vs)
+        return (z, vs), None
+
+    return dec, step
+
+
+def run_mcem(
+    decoder: Callable[[jnp.ndarray], jnp.ndarray],
+    x2: jnp.ndarray,
+    z_init: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    cfg: McemConfig = McemConfig(),
+    y: jnp.ndarray | None = None,
+    nmf_init: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+) -> McemResult:
+    """Run the full MCEM algorithm over a padded utterance batch.
+
+    Args:
+        decoder: maps (B, N, L[+Y]) latents to (B, N, F) speech variances
+            (a pre-bound Flax ``apply(..., method='decode')``).
+        x2: (B, N, F) mixture power spectrogram (padded frames arbitrary).
+        z_init: (B, N, L) initial latents — the encoder posterior mean on the
+            mixture (the reference grabs the mu output, mcem.py:201-203).
+        mask: (B, N) 1.0 for valid frames.
+        key: PRNG key.
+        y: optional (B, N, Y) conditioning labels (M2 variants).
+        nmf_init: optional (W, H, g) to override the random NMF init
+            (reproducibility / tests).
+    """
+    b, n, f = x2.shape
+    x2 = x2.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    k_nmf, k_run = jax.random.split(key)
+    if nmf_init is None:
+        w, h, g = init_nmf(k_nmf, b, n, f, cfg.nmf_rank, cfg.eps)
+    else:
+        w, h, g = nmf_init
+
+    dec, mh_step = _make_mh_step(decoder, x2, y, cfg.var_rw)
+    vs0 = dec(z_init)
+
+    denom = jnp.maximum(jnp.sum(mask) * f, 1.0)
+
+    def masked_cost(vx):
+        # E[-log lik] over valid (r, b, n, f) cells (mcem.py:69-71)
+        per = jnp.log(vx) + x2[None] / vx
+        return jnp.sum(jnp.mean(per, axis=0) * mask[:, :, None]) / denom
+
+    def em_iter(carry, key):
+        z, vs, w, h, g = carry
+        vb = compute_vb(w, h)
+
+        def mh(c, k):
+            return mh_step(c, k, vb, g)
+
+        def mh_collect(c, k):
+            c, _ = mh_step(c, k, vb, g)
+            return c, c[1]  # emit accepted Vs sample
+
+        kb, ks = jax.random.split(key)
+        (z, vs), _ = jax.lax.scan(
+            mh, (z, vs), jax.random.split(kb, cfg.burnin_e_step)
+        )
+        (z, vs), vs_samples = jax.lax.scan(
+            mh_collect, (z, vs), jax.random.split(ks, cfg.nsamples_e_step)
+        )  # vs_samples: (R, B, N, F)
+
+        w, h, g = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
+
+        vb = compute_vb(w, h)
+        vx = g[None, :, :, None] * vs_samples + vb[None]
+        cost = masked_cost(vx)
+        return (z, vs, w, h, g), cost
+
+    (z, vs, w, h, g), cost = jax.lax.scan(
+        em_iter, (z_init, vs0, w, h, g), jax.random.split(k_run, cfg.niter)
+    )
+
+    # ----- Wiener-filter expectation over a fresh MH chain (mcem.py:310-329)
+    vb = compute_vb(w, h)
+    n_wf = cfg.burnin_wf + cfg.nsamples_wf
+
+    def wf_step(carry, inp):
+        key, idx = inp
+        (z, vs), wfs_sum, wfn_sum = carry
+        (z, vs), _ = mh_step((z, vs), key, vb, g)
+        take = (idx >= cfg.burnin_wf).astype(jnp.float32)
+        vs_scaled = g[:, :, None] * vs
+        vx = vs_scaled + vb
+        wfs_sum = wfs_sum + take * (vs_scaled / vx)
+        wfn_sum = wfn_sum + take * (vb / vx)
+        return ((z, vs), wfs_sum, wfn_sum), None
+
+    zero = jnp.zeros_like(x2)
+    ((z, vs), wfs_sum, wfn_sum), _ = jax.lax.scan(
+        wf_step,
+        ((z, vs), zero, zero),
+        (jax.random.split(jax.random.fold_in(k_run, 1), n_wf), jnp.arange(n_wf)),
+    )
+    wfs = wfs_sum / cfg.nsamples_wf
+    wfn = wfn_sum / cfg.nsamples_wf
+    m3 = mask[:, :, None]
+    return McemResult(wfs * m3, wfn * m3, cost, z, w, h, g)
