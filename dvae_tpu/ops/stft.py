@@ -259,6 +259,38 @@ def _window_sumsquare(window: str, nfft: int, hop: int, n_frames: int) -> np.nda
     return out.astype(np.float32)
 
 
+def istft_np(S: np.ndarray, cfg: StftConfig = StftConfig(), length: int | None = None) -> np.ndarray:
+    """Host-side (numpy) ISTFT with identical semantics to :func:`istft`.
+
+    Used to finalize per-utterance outputs of batched device programs, where
+    each utterance has its own frame count (the squared-window normalization
+    depends on the exact frame count, so a batch-padded device ISTFT would be
+    wrong near utterance ends).
+    """
+    n_frames, n_bins = S.shape[-2], S.shape[-1]
+    nfft = cfg.nfft
+    if n_bins != nfft // 2 + 1:
+        raise ValueError(f"expected {nfft // 2 + 1} bins, got {n_bins}")
+    cr, ci = _idft_matrices(nfft)
+    frames = S.real.astype(np.float32) @ cr + S.imag.astype(np.float32) @ ci
+    win = get_window(cfg.window, nfft).astype(np.float32)
+    frames = frames * win
+    out = np.zeros((*S.shape[:-2], (n_frames - 1) * cfg.hop + nfft), dtype=np.float32)
+    for i in range(n_frames):
+        out[..., i * cfg.hop : i * cfg.hop + nfft] += frames[..., i, :]
+    wss = _window_sumsquare(cfg.window, nfft, cfg.hop, n_frames)
+    good = wss > np.finfo(np.float32).tiny
+    out[..., good] = out[..., good] / wss[good]
+    if cfg.center:
+        half = nfft // 2
+        out = out[..., half:-half]
+    if length is not None:
+        if out.shape[-1] < length:  # librosa pads zeros up to `length`
+            out = np.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, length - out.shape[-1])])
+        out = out[..., :length]
+    return out
+
+
 def istft(
     S: jnp.ndarray,
     cfg: StftConfig = StftConfig(),
@@ -289,5 +321,7 @@ def istft(
         half = nfft // 2
         x = x[..., half:-half]
     if length is not None:
+        if x.shape[-1] < length:  # librosa pads zeros up to `length`
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, length - x.shape[-1])])
         x = x[..., :length]
     return x

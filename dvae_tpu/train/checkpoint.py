@@ -1,0 +1,96 @@
+"""Checkpointing with the reference's naming/metadata semantics.
+
+The reference saves a state_dict per epoch with the validation loss baked
+into the filename (training_M1.py:195-196, 'M1_epoch_{:03d}_vloss_{:.2f}.pt')
+and supports substring-filtered partial loads for transfer learning
+(training_M2_info_vad_pretrain.py:103-113) and submodule extraction
+(evaluate_ntcd_M2_info_vad.py:322-324).
+
+Here a checkpoint is a single msgpack file (flax.serialization) of the
+params pytree — optionally with optimizer state — plus a JSON sidecar with
+epoch/metrics. Partial loads filter by key-path substring on the flattened
+tree, which subsumes both reference patterns.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import jax
+import numpy as np
+from flax import serialization, traverse_util
+
+
+def checkpoint_name(prefix: str, epoch: int, vloss: float) -> str:
+    return f"{prefix}_epoch_{epoch:03d}_vloss_{vloss:.2f}"
+
+
+def save_checkpoint(model_dir, name: str, params, opt_state=None, metadata: dict | None = None):
+    """Write <model_dir>/<name>.msgpack (+ .json metadata)."""
+    model_dir = pathlib.Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    payload = {"params": jax.device_get(params)}
+    if opt_state is not None:
+        payload["opt_state"] = jax.device_get(opt_state)
+    path = model_dir / f"{name}.msgpack"
+    path.write_bytes(serialization.to_bytes(payload))
+    if metadata is not None:
+        (model_dir / f"{name}.json").write_text(json.dumps(metadata, indent=1))
+    return path
+
+
+def load_checkpoint(path, params_template, opt_state_template=None):
+    """Restore params (and optionally optimizer state) from a checkpoint."""
+    path = pathlib.Path(path)
+    target = {"params": params_template}
+    if opt_state_template is not None:
+        target["opt_state"] = opt_state_template
+    payload = serialization.from_bytes(target, path.read_bytes())
+    if opt_state_template is not None:
+        return payload["params"], payload["opt_state"]
+    return payload["params"]
+
+
+def partial_load(path, params_template, key_substring: str):
+    """Load only parameters whose '/'-joined path contains ``key_substring``;
+
+    everything else keeps the template's values (the reference's filtered
+    ``state_dict`` update, training_M2_info_vad_pretrain.py:103-113)."""
+    loaded = load_checkpoint(path, params_template)
+    flat_new = traverse_util.flatten_dict(loaded)
+    flat_old = traverse_util.flatten_dict(params_template)
+    merged = {
+        k: (flat_new[k] if key_substring in "/".join(map(str, k)) else v)
+        for k, v in flat_old.items()
+    }
+    return traverse_util.unflatten_dict(merged)
+
+
+def extract_submodule(params, *path_keys):
+    """Pull a nested submodule out of a param tree (e.g. 'params', 'enc_dec_clf')
+
+    — the reference's post-load submodule extraction
+    (evaluate_ntcd_M2_info_vad.py:322-324)."""
+    sub = params
+    for k in path_keys:
+        sub = sub[k]
+    return sub
+
+
+def best_checkpoint(model_dir, prefix: str | None = None) -> pathlib.Path:
+    """The checkpoint with the lowest vloss encoded in its filename."""
+    model_dir = pathlib.Path(model_dir)
+    cands = []
+    for p in model_dir.glob("*.msgpack"):
+        stem = p.stem
+        if prefix and not stem.startswith(prefix):
+            continue
+        try:
+            vloss = float(stem.rsplit("_vloss_", 1)[1])
+        except (IndexError, ValueError):
+            continue
+        cands.append((vloss, p))
+    if not cands:
+        raise FileNotFoundError(f"no checkpoints under {model_dir}")
+    return min(cands, key=lambda t: t[0])[1]

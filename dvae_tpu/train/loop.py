@@ -1,0 +1,245 @@
+"""Epoch-driven training loops with reference-parity logging and checkpoints.
+
+Mirrors the loop shape of training_M1.py:122-196 / training_M2_info_vad.py:
+149-281: per-batch metrics to ``output_batch.log`` every ``log_interval``
+steps, per-epoch train+validation metric lines to stdout and
+``output_epoch.log``, and one checkpoint per epoch named
+``<prefix>_epoch_{e:03d}_vloss_{v:.2f}``.
+
+Data-parallel scale-out: pass a ``mesh`` — batches are sharded over the
+``data`` axis and params replicated; XLA inserts the gradient reductions
+(this replaces the reference's single-device loops and the DataParallel of
+train_audio_net.py:150).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from dvae_tpu.parallel.mesh import replicate, shard_batch
+from dvae_tpu.train import checkpoint as ckpt
+from dvae_tpu.train.steps import (
+    AdversarialState,
+    TrainState,
+    adam,
+    init_adversarial_state,
+    init_train_state,
+    make_adversarial_eval_step,
+    make_adversarial_step,
+    make_eval_step,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    batch_size: int = 128
+    learning_rate: float = 1e-4
+    start_epoch: int = 1
+    end_epoch: int = 500
+    log_interval: int = 250
+    seed: int = 0
+    eps: float = 1e-8
+    std_norm: bool = False
+    drop_last: bool = False
+
+
+class _Logger:
+    def __init__(self, model_dir):
+        import pathlib
+
+        self.dir = pathlib.Path(model_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        (self.dir / "output_batch.log").write_text("")
+        (self.dir / "output_epoch.log").write_text("")
+
+    def batch(self, msg):
+        with open(self.dir / "output_batch.log", "a") as f:
+            print(msg, file=f)
+
+    def epoch(self, msg):
+        print(msg)
+        with open(self.dir / "output_epoch.log", "a") as f:
+            print(msg, file=f)
+
+
+def _fmt(metrics: dict) -> str:
+    return "    ".join(f"{k}: {float(v):.3f}" for k, v in metrics.items())
+
+
+def _pad_batch(x, batch_size, mesh):
+    """Pad the trailing partial batch so its leading dim stays shardable."""
+    if mesh is None or x.shape[0] % mesh.devices.size == 0:
+        return x, x.shape[0]
+    n = x.shape[0]
+    target = -(-n // mesh.devices.size) * mesh.devices.size
+    pad = np.zeros((target - n, *x.shape[1:]), x.dtype)
+    return np.concatenate([x, pad]), n
+
+
+def fit_vae(
+    model,
+    train_ds,
+    valid_ds,
+    model_dir,
+    prefix: str,
+    conditional: bool,
+    cfg: LoopConfig = LoopConfig(),
+    mesh=None,
+    init_params_fn=None,
+):
+    """Train M1 (conditional=False) or M2 (conditional=True). Returns
+    (best_params, history)."""
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    kp, ks = jax.random.split(key)
+
+    xb, yb = next(train_ds.batches(8))
+    args = (xb, yb) if conditional else (xb,)
+    params = (init_params_fn or model.init)({"params": kp, "sample": ks}, *args)
+    norm = None
+    if cfg.std_norm:
+        norm = train_ds.mean_std
+    tx = adam(cfg.learning_rate)
+    state = init_train_state(model, params, tx)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    step = make_train_step(model, tx, conditional, cfg.eps, norm)
+    evaluate = make_eval_step(model, conditional, cfg.eps, norm)
+
+    log = _Logger(model_dir)
+    history = []
+    best = (np.inf, None)
+    n_train = max(1, -(-len(train_ds) // cfg.batch_size))
+    n_valid = max(1, -(-len(valid_ds) // cfg.batch_size))
+
+    for epoch in range(cfg.start_epoch, cfg.end_epoch):
+        t0 = time.perf_counter()
+        totals = {}
+        for i, (x, y) in enumerate(train_ds.batches(cfg.batch_size, rng, cfg.drop_last)):
+            key, sk = jax.random.split(key)
+            if mesh is not None:
+                x, y = shard_batch((x, y), mesh)
+            state, metrics = step(state, x, y, sk) if conditional else step(state, x, sk)
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            if i % cfg.log_interval == 0:
+                log.batch(f"Train Epoch: {epoch:2d} [{i}/{n_train}]    {_fmt(metrics)}")
+        train_avg = {k: v / n_train for k, v in totals.items()}
+
+        totals = {}
+        for x, y in valid_ds.batches(cfg.batch_size):
+            key, sk = jax.random.split(key)
+            if mesh is not None:
+                x, y = shard_batch((x, y), mesh)
+            m = evaluate(state.params, x, y, sk) if conditional else evaluate(state.params, x, sk)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        valid_avg = {k: v / n_valid for k, v in totals.items()}
+
+        dt = time.perf_counter() - t0
+        log.epoch(f"Epoch: {epoch} ({dt:.1f}s)")
+        log.epoch(f"[Train]\t\t {_fmt(train_avg)}")
+        log.epoch(f"[Validation]\t {_fmt(valid_avg)}")
+
+        vloss = valid_avg["elbo"]
+        name = ckpt.checkpoint_name(prefix, epoch, vloss)
+        ckpt.save_checkpoint(model_dir, name, state.params,
+                             metadata={"epoch": epoch, **valid_avg})
+        history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
+        if vloss < best[0]:
+            best = (vloss, jax.device_get(state.params))
+
+    return best[1] if best[1] is not None else jax.device_get(state.params), history
+
+
+def fit_adversarial(
+    model,
+    train_ds,
+    valid_ds,
+    model_dir,
+    prefix: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    cfg: LoopConfig = LoopConfig(),
+    mesh=None,
+    init_params_override=None,
+    legacy_aux_coupling: bool = False,
+    use_y_hat_soft: bool = False,
+):
+    """Train the disentangled M2-info model (two-optimizer adversarial game).
+
+    Checkpoint vloss is the encoder loss, matching
+    training_M2_info_vad.py:280-281. Returns (best_params, history)."""
+    from dvae_tpu.models import init_params as init_all_params
+
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    kp, ks = jax.random.split(key)
+
+    xb, yb = next(train_ds.batches(8))
+    params = init_params_override or init_all_params(
+        model, {"params": kp, "sample": ks}, xb, yb
+    )
+    tx_enc, tx_aux = adam(cfg.learning_rate), adam(cfg.learning_rate)
+    state = init_adversarial_state(params, tx_enc, tx_aux)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    step = make_adversarial_step(
+        model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
+        legacy_aux_coupling=legacy_aux_coupling, use_y_hat_soft=use_y_hat_soft,
+    )
+    evaluate = make_adversarial_eval_step(model, alpha, beta, gamma, cfg.eps,
+                                          use_y_hat_soft=use_y_hat_soft)
+
+    log = _Logger(model_dir)
+    history = []
+    best = (np.inf, None)
+    n_train = max(1, -(-len(train_ds) // cfg.batch_size))
+    n_valid = max(1, -(-len(valid_ds) // cfg.batch_size))
+
+    for epoch in range(cfg.start_epoch, cfg.end_epoch):
+        t0 = time.perf_counter()
+        totals = {}
+        for i, (x, y) in enumerate(train_ds.batches(cfg.batch_size, rng, cfg.drop_last)):
+            key, sk = jax.random.split(key)
+            if mesh is not None:
+                x, y = shard_batch((x, y), mesh)
+            state, metrics = step(state, x, y, sk)
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            if i % cfg.log_interval == 0:
+                log.batch(f"Train Epoch: {epoch:2d} [{i}/{n_train}]    {_fmt(metrics)}")
+        train_avg = {k: v / n_train for k, v in totals.items()}
+
+        totals = {}
+        for x, y in valid_ds.batches(cfg.batch_size):
+            key, sk = jax.random.split(key)
+            if mesh is not None:
+                x, y = shard_batch((x, y), mesh)
+            m = evaluate(state.params, x, y, sk)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        valid_avg = {k: v / n_valid for k, v in totals.items()}
+
+        dt = time.perf_counter() - t0
+        log.epoch(f"Epoch: {epoch} ({dt:.1f}s)")
+        log.epoch(f"[Train]\t\t {_fmt(train_avg)}")
+        log.epoch(f"[Validation]\t {_fmt(valid_avg)}")
+
+        vloss = valid_avg["enc"]
+        name = ckpt.checkpoint_name(prefix, epoch, vloss)
+        ckpt.save_checkpoint(model_dir, name, state.params,
+                             metadata={"epoch": epoch, **valid_avg})
+        history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
+        if vloss < best[0]:
+            best = (vloss, jax.device_get(state.params))
+
+    return best[1] if best[1] is not None else jax.device_get(state.params), history

@@ -1,0 +1,239 @@
+"""Jitted training steps for every model family.
+
+* M1 / M2: Adam on the Itakura-Saito negative ELBO, matching the reference
+  loops (training_M1.py:122-139, training_M2.py:~140).
+* M2-info (disentangled): the two-player adversarial step of
+  training_M2_info_vad.py:153-198 — the encoder/decoder/classifier group is
+  updated on ``ELBO + alpha*BCE(y_hat_x, y) - beta*BCE(y_hat_z, y)`` while the
+  auxiliary z->y classifier is updated on the *same minibatch's* detached
+  latents. The update ORDER (enc group first, then aux) is preserved.
+
+  Reference quirk (documented, opt-in): the reference never zeroes the
+  auxiliary's gradients between ``enc_loss.backward()`` and
+  ``aux_loss.backward()`` (training_M2_info_vad.py:192-198 only zeroes the
+  enc optimizer's params), so the auxiliary's effective gradient is
+  ``(gamma - beta) * dBCE/dtheta_aux`` — with the published beta=10, gamma=1
+  the auxiliary is actually pushed to *increase* its BCE. Pass
+  ``legacy_aux_coupling=True`` to replicate those exact dynamics; the default
+  trains the auxiliary with the intended ``+gamma * dBCE``.
+
+All steps donate their state buffers and are shape-polymorphic over the batch
+axis only through retracing; under a mesh, callers shard the batch over the
+``data`` axis and replicate params — XLA inserts the gradient psums.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dvae_tpu.models import losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class AdversarialState(NamedTuple):
+    params: Any  # full tree: {'params': {'enc_dec_clf': ..., 'auxiliary': ...}}
+    opt_state_enc: Any
+    opt_state_aux: Any
+    step: jnp.ndarray
+
+
+def adam(lr: float = 1e-4) -> optax.GradientTransformation:
+    """The reference's optimizer everywhere (training_M1.py:115)."""
+    return optax.adam(lr, b1=0.9, b2=0.999)
+
+
+# ---------------------------------------------------------------------------
+# M1 / M2 ELBO training
+# ---------------------------------------------------------------------------
+
+
+def _normalizer(norm, eps):
+    """Input normalization used when std_norm is on (training_M1.py:101-133):
+    the model sees (x - mean)/(std + eps) but the ELBO compares against raw x."""
+    if norm is None:
+        return lambda x: x
+    mean, std = norm
+    mean = jnp.asarray(mean).reshape(-1)
+    std = jnp.asarray(std).reshape(-1)
+    return lambda x: (x - mean) / (std + eps)
+
+
+def make_train_step(model, tx: optax.GradientTransformation, conditional: bool,
+                    eps: float = 1e-8, norm=None) -> Callable:
+    """Returns jitted ``step(state, x, [y,] key) -> (state, metrics)``."""
+    normalize = _normalizer(norm, eps)
+
+    def loss_fn(params, x, y, key):
+        x_in = normalize(x)
+        if conditional:
+            r, mu, logvar = model.apply(params, x_in, y, rngs={"sample": key})
+        else:
+            r, mu, logvar = model.apply(params, x_in, rngs={"sample": key})
+        total, recon, kl = losses.elbo(x, r, mu, logvar, eps)
+        return total, (recon, kl)
+
+    @jax.jit
+    def step(state: TrainState, x, y, key):
+        (total, (recon, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, y, key
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"elbo": total, "recon": recon, "kl": kl}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if conditional:
+        return step
+    return jax.jit(lambda state, x, key: step(state, x, None, key))
+
+
+def make_eval_step(model, conditional: bool, eps: float = 1e-8, norm=None) -> Callable:
+    normalize = _normalizer(norm, eps)
+
+    def loss(params, x, y, key):
+        x_in = normalize(x)
+        if conditional:
+            r, mu, logvar = model.apply(params, x_in, y, rngs={"sample": key})
+        else:
+            r, mu, logvar = model.apply(params, x_in, rngs={"sample": key})
+        total, recon, kl = losses.elbo(x, r, mu, logvar, eps)
+        return {"elbo": total, "recon": recon, "kl": kl}
+
+    if conditional:
+        return jax.jit(loss)
+    return jax.jit(lambda params, x, key: loss(params, x, None, key))
+
+
+def init_train_state(model, params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# M2-info adversarial training
+# ---------------------------------------------------------------------------
+
+
+def _split_params(params):
+    p = params["params"]
+    return p["enc_dec_clf"], p["auxiliary"]
+
+
+def _merge_params(enc, aux):
+    return {"params": {"enc_dec_clf": enc, "auxiliary": aux}}
+
+
+def make_adversarial_step(
+    model,
+    tx_enc: optax.GradientTransformation,
+    tx_aux: optax.GradientTransformation,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    eps: float = 1e-8,
+    legacy_aux_coupling: bool = False,
+    use_y_hat_soft: bool = False,
+) -> Callable:
+    """Returns jitted ``step(state, x, y, key) -> (state, metrics)``.
+
+    ``use_y_hat_soft=True`` feeds the classifier's soft prediction to the
+    decoder instead of the true label (the _pretrain variant,
+    training_M2_info_vad_pretrain.py:163).
+    """
+    aux_scale = (gamma - beta) if legacy_aux_coupling else gamma
+
+    def forward(params, x, y, key):
+        y_hat_x = model.apply(params, x, method="classify_from_x")
+        y_cond = y_hat_x if use_y_hat_soft else y
+        r, z, mu, logvar = model.apply(params, x, y_cond, rngs={"sample": key})
+        return y_hat_x, r, z, mu, logvar
+
+    def enc_loss_fn(enc_params, aux_params, x, y, key):
+        params = _merge_params(enc_params, aux_params)
+        y_hat_x, r, z, mu, logvar = forward(params, x, y, key)
+        elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
+        classif = losses.binary_cross_entropy(y_hat_x, y, eps)
+        y_hat_z = model.apply(params, z, method="classify_from_z")
+        aux_enc = losses.binary_cross_entropy(y_hat_z, y, eps)
+        enc_loss = elbo_val + alpha * classif - beta * aux_enc
+        metrics = {
+            "elbo": elbo_val,
+            "recon": recon,
+            "kl": kl,
+            "enc": enc_loss,
+            "classif": alpha * classif,
+            "aux_enc": aux_enc,
+        }
+        return enc_loss, (z, metrics)
+
+    def aux_loss_fn(aux_params, enc_params, z, y):
+        params = _merge_params(enc_params, aux_params)
+        y_hat_z = model.apply(params, jax.lax.stop_gradient(z), method="classify_from_z")
+        return aux_scale * losses.binary_cross_entropy(y_hat_z, y, eps)
+
+    @jax.jit
+    def step(state: AdversarialState, x, y, key):
+        enc_params, aux_params = _split_params(state.params)
+
+        (enc_loss, (z, metrics)), enc_grads = jax.value_and_grad(
+            enc_loss_fn, has_aux=True
+        )(enc_params, aux_params, x, y, key)
+        upd, opt_enc = tx_enc.update(enc_grads, state.opt_state_enc, enc_params)
+        enc_params = optax.apply_updates(enc_params, upd)
+
+        # the auxiliary trains on the pre-update latents, per the reference
+        # ordering (backward on old z, step after enc step)
+        aux_loss, aux_grads = jax.value_and_grad(aux_loss_fn)(
+            aux_params, enc_params, z, y
+        )
+        upd, opt_aux = tx_aux.update(aux_grads, state.opt_state_aux, aux_params)
+        aux_params = optax.apply_updates(aux_params, upd)
+
+        metrics["aux"] = aux_loss
+        new_state = AdversarialState(
+            _merge_params(enc_params, aux_params), opt_enc, opt_aux, state.step + 1
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
+                               use_y_hat_soft: bool = False) -> Callable:
+    @jax.jit
+    def evaluate(params, x, y, key):
+        y_hat_x = model.apply(params, x, method="classify_from_x")
+        y_cond = y_hat_x if use_y_hat_soft else y
+        r, z, mu, logvar = model.apply(params, x, y_cond, rngs={"sample": key})
+        elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
+        classif = losses.binary_cross_entropy(y_hat_x, y, eps)
+        y_hat_z = model.apply(params, z, method="classify_from_z")
+        aux_enc = losses.binary_cross_entropy(y_hat_z, y, eps)
+        enc_loss = elbo_val + alpha * classif - beta * aux_enc
+        return {
+            "elbo": elbo_val,
+            "recon": recon,
+            "kl": kl,
+            "enc": enc_loss,
+            "classif": alpha * classif,
+            "aux": gamma * aux_enc,
+        }
+
+    return evaluate
+
+
+def init_adversarial_state(
+    params, tx_enc: optax.GradientTransformation, tx_aux: optax.GradientTransformation
+) -> AdversarialState:
+    enc_params, aux_params = _split_params(params)
+    return AdversarialState(
+        params, tx_enc.init(enc_params), tx_aux.init(aux_params), jnp.zeros((), jnp.int32)
+    )

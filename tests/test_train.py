@@ -1,0 +1,138 @@
+"""Training tests: M1 end-to-end on the shipped subset h5, the adversarial
+two-optimizer step, data-parallel equivalence on the 8-device CPU mesh, and
+checkpoint round-trip / partial-load semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.data.datasets import FrameDataset
+from dvae_tpu.models import VAE, DisentangledVAE, init_params
+from dvae_tpu.parallel import make_mesh, replicate, shard_batch
+from dvae_tpu.train import checkpoint as ckpt
+from dvae_tpu.train.loop import LoopConfig, fit_vae
+from dvae_tpu.train.steps import (
+    adam,
+    init_adversarial_state,
+    init_train_state,
+    make_adversarial_step,
+    make_train_step,
+)
+
+SUBSET_H5 = "/root/reference/data/subset/processed/ntcd_timit/Clean_ibm_labels_upsampled.h5"
+
+
+def test_fit_vae_on_subset(tmp_path, subset_dir):
+    train = FrameDataset(SUBSET_H5, "train")
+    valid = FrameDataset(SUBSET_H5, "validation")
+    cfg = LoopConfig(batch_size=64, start_epoch=1, end_epoch=4, log_interval=1)
+    model = VAE(x_dim=513, z_dim=16, h_dim=(128, 128))
+    params, history = fit_vae(model, train, valid, tmp_path, "M1", False, cfg)
+    first, last = history[0]["valid"]["elbo"], history[-1]["valid"]["elbo"]
+    assert last < first, f"validation ELBO did not improve: {first} -> {last}"
+    # checkpoints written with reference naming
+    names = sorted(p.name for p in tmp_path.glob("M1_epoch_*_vloss_*.msgpack"))
+    assert len(names) == 3
+    best = ckpt.best_checkpoint(tmp_path, "M1")
+    restored = ckpt.load_checkpoint(best, params)
+    r, mu, lv = model.apply(restored, jnp.asarray(train._x[:8]), rngs={"sample": jax.random.PRNGKey(0)})
+    assert r.shape == (8, 513)
+    assert (tmp_path / "output_epoch.log").read_text().count("Validation") == 3
+
+
+def test_adversarial_step_trains_both_players():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.abs(rng.standard_normal((64, 513))).astype(np.float32) + 0.1)
+    y = jnp.asarray((rng.uniform(size=(64, 1)) > 0.5).astype(np.float32))
+    model = DisentangledVAE()
+    params = init_params(model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, y)
+    tx_e, tx_a = adam(1e-3), adam(1e-3)
+    state = init_adversarial_state(params, tx_e, tx_a)
+    step = make_adversarial_step(model, tx_e, tx_a, alpha=0.0, beta=10.0, gamma=1.0)
+    m0 = None
+    for i in range(15):
+        state, m = step(state, x, y, jax.random.PRNGKey(i))
+        if m0 is None:
+            m0 = {k: float(v) for k, v in m.items()}
+    # both parameter groups moved
+    d_enc = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     params["params"]["enc_dec_clf"], state.params["params"]["enc_dec_clf"]),
+    )
+    d_aux = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     params["params"]["auxiliary"], state.params["params"]["auxiliary"]),
+    )
+    assert d_enc > 0 and d_aux > 0
+    assert float(m["elbo"]) < m0["elbo"]
+
+
+def test_legacy_aux_coupling_flips_aux_direction():
+    """legacy coupling scales the aux grad by (gamma-beta): with beta=10,
+    gamma=1 the two modes must push the auxiliary in opposite directions."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(np.abs(rng.standard_normal((32, 513))).astype(np.float32) + 0.1)
+    y = jnp.asarray((rng.uniform(size=(32, 1)) > 0.5).astype(np.float32))
+    model = DisentangledVAE()
+    params = init_params(model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, y)
+    tx_e, tx_a = adam(1e-3), adam(1e-3)
+
+    outs = {}
+    for legacy in (False, True):
+        state = init_adversarial_state(params, tx_e, tx_a)
+        step = make_adversarial_step(model, tx_e, tx_a, 0.0, 10.0, 1.0,
+                                     legacy_aux_coupling=legacy)
+        state, _ = step(state, x, y, jax.random.PRNGKey(2))
+        outs[legacy] = state.params["params"]["auxiliary"]
+    p0 = np.asarray(params["params"]["auxiliary"]["output_layer"]["kernel"])
+    d_clean = np.sign(np.asarray(outs[False]["output_layer"]["kernel"]) - p0)
+    d_legacy = np.sign(np.asarray(outs[True]["output_layer"]["kernel"]) - p0)
+    frac_opposite = np.mean(d_clean == -d_legacy)
+    assert frac_opposite > 0.9
+
+
+def test_data_parallel_step_matches_single_device():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    rng = np.random.default_rng(2)
+    x = np.abs(rng.standard_normal((32, 513))).astype(np.float32) + 0.1
+    model = VAE()
+    params = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, jnp.asarray(x))
+    tx = adam(1e-4)
+    step = make_train_step(model, tx, conditional=False)
+
+    s1 = init_train_state(model, params, tx)
+    s1, m1 = step(s1, jnp.asarray(x), jax.random.PRNGKey(3))
+
+    s2 = init_train_state(model, params, tx)
+    s2 = replicate(s2, mesh)
+    xs = shard_batch(jnp.asarray(x), mesh)
+    s2, m2 = step(s2, xs, jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(m1["elbo"]), float(m2["elbo"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_checkpoint_partial_load(tmp_path):
+    model = DisentangledVAE()
+    x = jnp.ones((4, 513))
+    y = jnp.ones((4, 1))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    p1 = init_params(model, rngs, x, y)
+    p2 = init_params(model, {"params": jax.random.PRNGKey(9), "sample": jax.random.PRNGKey(8)}, x, y)
+    ckpt.save_checkpoint(tmp_path, "v5_epoch_001_vloss_1.00", p1, metadata={"epoch": 1})
+
+    merged = ckpt.partial_load(tmp_path / "v5_epoch_001_vloss_1.00.msgpack", p2,
+                               "enc_dec_clf/classifier")
+    # classifier == p1's, everything else == p2's
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["enc_dec_clf"]["classifier"]["output_layer"]["kernel"]),
+        np.asarray(p1["params"]["enc_dec_clf"]["classifier"]["output_layer"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["auxiliary"]["output_layer"]["kernel"]),
+        np.asarray(p2["params"]["auxiliary"]["output_layer"]["kernel"]))
+    sub = ckpt.extract_submodule(merged, "params", "enc_dec_clf")
+    assert set(sub.keys()) == {"encoder", "decoder", "classifier"}
