@@ -33,7 +33,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dvae_tpu.enhance.nmf import compute_vb, init_nmf, nmf_m_step
+from dvae_tpu.enhance.nmf import VX_FLOOR, compute_vb, init_nmf, nmf_m_step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,8 +78,8 @@ def _make_mh_step(decoder: Callable, x2, y, var_rw: float):
         z_prime = z + sqrt_var * jax.random.normal(k1, z.shape)
         vs_prime = dec(z_prime)
         gg = g[:, :, None]
-        vx = gg * vs + vb
-        vx_prime = gg * vs_prime + vb
+        vx = jnp.maximum(gg * vs + vb, VX_FLOOR)
+        vx_prime = jnp.maximum(gg * vs_prime + vb, VX_FLOOR)
         log_acc = jnp.sum(
             jnp.log(vx) - jnp.log(vx_prime) + (1.0 / vx - 1.0 / vx_prime) * x2,
             axis=-1,
@@ -158,7 +158,7 @@ def run_mcem(
         w, h, g = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
 
         vb = compute_vb(w, h)
-        vx = g[None, :, :, None] * vs_samples + vb[None]
+        vx = jnp.maximum(g[None, :, :, None] * vs_samples + vb[None], VX_FLOOR)
         cost = masked_cost(vx)
         return (z, vs, w, h, g), cost
 
@@ -176,7 +176,7 @@ def run_mcem(
         (z, vs), _ = mh_step((z, vs), key, vb, g)
         take = (idx >= cfg.burnin_wf).astype(jnp.float32)
         vs_scaled = g[:, :, None] * vs
-        vx = vs_scaled + vb
+        vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
         wfs_sum = wfs_sum + take * (vs_scaled / vx)
         wfn_sum = wfn_sum + take * (vb / vx)
         return ((z, vs), wfs_sum, wfn_sum), None

@@ -18,6 +18,11 @@ import jax.numpy as jnp
 
 _DEFAULT = jax.lax.Precision.DEFAULT
 
+# Absolute floor on the mixture-variance model Vx = g*Vs + Vb. Healthy values
+# are orders of magnitude above this; it only guards all-zero (digitally
+# silent) frames, where multiplicative updates drive g and H to exactly 0.
+VX_FLOOR = 1e-10
+
 
 def init_nmf(key, batch: int, n_frames: int, n_freq: int, rank: int, eps: float):
     """Random-uniform W/H (floored at eps) and unit gains (mcem.py:42-44)."""
@@ -48,7 +53,9 @@ def nmf_m_step(x2, vs, w, h, g, mask, eps: float = 1e-8):
     vs_scaled = g[None, :, :, None] * vs  # (R, B, N, F)
 
     def vx(vb):
-        return vs_scaled + vb[None]
+        # floor keeps all-silent frames (x2 == 0 -> g, H -> 0) from collapsing
+        # Vx to 0 and poisoning 1/Vx with inf
+        return jnp.maximum(vs_scaled + vb[None], VX_FLOOR)
 
     vb = compute_vb(w, h)
     vxc = vx(vb)

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Cross-engine parity harness: run OUR MCEM and the REFERENCE's torch MCEM
+with identical trained weights on the same utterance and compare EM cost
+trajectories, Wiener-mask statistics and output metrics.
+
+This is the statistical-parity evidence for the enhancement engine (bitwise
+parity is impossible: different RNGs drive the Metropolis-Hastings chain).
+Requires the read-only reference checkout at /root/reference.
+
+Usage: python scripts/parity_vs_reference.py [--niter 100] [--epochs 300]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.data.datasets import FrameDataset
+from dvae_tpu.data.io import read_wav
+from dvae_tpu.enhance.mcem import McemConfig, run_mcem
+from dvae_tpu.eval.si_sdr import si_sdr_leroux
+from dvae_tpu.eval.stoi import stoi
+from dvae_tpu.models import VAE
+from dvae_tpu.ops.stft import istft_np, stft
+from dvae_tpu.train.steps import adam, init_train_state, make_train_step
+
+SUBSET = "/root/reference/data/subset"
+
+
+def train_small_m1(epochs: int):
+    ds = FrameDataset(f"{SUBSET}/processed/ntcd_timit/Clean_ibm_labels_upsampled.h5", "train")
+    model = VAE()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(ds._x[:8]),
+    )
+    tx = adam(1e-3)
+    state = init_train_state(model, params, tx)
+    step = make_train_step(model, tx, conditional=False)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(epochs):
+        for x, _ in ds.batches(128, rng):
+            key, sk = jax.random.split(key)
+            state, metrics = step(state, x, sk)
+    print(f"trained M1 {epochs} epochs, final batch ELBO {float(metrics['elbo']):.2f}")
+    return model, state.params
+
+
+def export_to_torch_state_dict(params):
+    """Map our Flax tree onto the reference's state_dict naming so the
+    reference model can run with identical weights."""
+    import torch
+
+    p = params["params"]
+    sd = {}
+
+    def put(name, leaf):
+        sd[name + ".weight"] = torch.tensor(np.asarray(leaf["kernel"]).T.copy())
+        sd[name + ".bias"] = torch.tensor(np.asarray(leaf["bias"]).copy())
+
+    for i in (0, 1):
+        put(f"encoder.hidden.{i}", p["encoder"]["hidden"][f"layers_{i}"])
+        put(f"decoder.hidden.{i}", p["decoder"]["hidden"][f"layers_{i}"])
+    put("encoder.sample.mu", p["encoder"]["sample"]["mu"])
+    put("encoder.sample.log_var", p["encoder"]["sample"]["log_var"])
+    put("decoder.reconstruction", p["decoder"]["reconstruction"])
+    return sd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--niter", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--out", default=None, help="optional JSON output path")
+    args = ap.parse_args()
+
+    model, params = train_small_m1(args.epochs)
+
+    x_noisy, _ = read_wav(
+        f"{SUBSET}/raw/ntcd_timit/u/drspeech/data/TCDTIMIT/Noisy_TCDTIMIT/"
+        "Babble/-5/volunteers/01M/straightcam/sa1.wav"
+    )
+    s_clean, _ = read_wav(f"{SUBSET}/raw/ntcd_timit/Clean/volunteers/01M/straightcam/sa1.wav")
+
+    X = np.asarray(stft(jnp.asarray(x_noisy, jnp.float32)))  # (N, F)
+    x2 = jnp.abs(jnp.asarray(X)) ** 2
+    n = X.shape[0]
+
+    # ---- our engine -------------------------------------------------------
+    _, z0, _ = model.apply(params, x2, method="encode", sample=False)
+    dec = lambda zz: model.apply(params, zz, method="decode")
+    t0 = time.perf_counter()
+    res = run_mcem(dec, x2[None], z0[None], jnp.ones((1, n)), jax.random.PRNGKey(5),
+                   McemConfig(niter=args.niter))
+    jax.block_until_ready(res.wfs)
+    ours_time = time.perf_counter() - t0
+    s_hat = istft_np(np.asarray(res.wfs[0]) * X, length=len(x_noisy)).astype(np.float64)
+    ours = {
+        "cost_first": float(res.cost[0]),
+        "cost_last": float(res.cost[-1]),
+        "wf_mean": float(res.wfs.mean()),
+        "wf_median": float(jnp.median(res.wfs)),
+        "si_sdr": si_sdr_leroux(s_hat, s_clean),
+        "estoi": stoi(s_clean, s_hat, 16000),
+        "seconds": ours_time,
+    }
+
+    # ---- reference engine (torch, CPU) ------------------------------------
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from packages.models.mcem import MCEM_M1
+    from packages.models.models import VariationalAutoencoder
+
+    ref_model = VariationalAutoencoder([513, 16, [128, 128]])
+    ref_model.load_state_dict(export_to_torch_state_dict(params))
+    ref_model.eval()
+    for q in ref_model.parameters():
+        q.requires_grad = False
+
+    S_ref = np.asarray(stft(jnp.asarray(s_clean, jnp.float32))).T
+    mcem = MCEM_M1(niter=args.niter)
+    mcem.init_parameters(X=X.T, S=S_ref, vae=ref_model, nmf_rank=10, eps=1e-8, device="cpu")
+    t0 = time.perf_counter()
+    cost = mcem.run()
+    ref_time = time.perf_counter() - t0
+    wf_mag = np.abs(mcem.S_hat) / np.maximum(np.abs(X.T), 1e-12)
+    s_hat_ref = istft_np(mcem.S_hat.T, length=len(x_noisy)).astype(np.float64)
+    ref = {
+        "cost_first": float(cost[0]),
+        "cost_last": float(cost[-1]),
+        "wf_mean": float(wf_mag.mean()),
+        "wf_median": float(np.median(wf_mag)),
+        "si_sdr": si_sdr_leroux(s_hat_ref, s_clean),
+        "estoi": stoi(s_clean, s_hat_ref, 16000),
+        "seconds": ref_time,
+    }
+
+    print(f"{'':<12}{'ours':>12}{'reference':>12}")
+    for k in ours:
+        print(f"{k:<12}{ours[k]:>12.4f}{ref[k]:>12.4f}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"ours": ours, "reference": ref}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
