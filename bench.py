@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: batched MCEM speech enhancement throughput on one TPU chip.
+
+Headline metric: enhanced utterances/sec/chip at the reference's production
+MCEM budget (niter=100, E-step 10+30, WF 25+75, NMF rank 10 — the settings of
+evaluate_ntcd_M1.py:57-65) on the shipped NTCD-TIMIT subset utterances
+(~5.1 s of 16 kHz audio each).
+
+Baseline: the reference's torch-CPU MCEM on this container measures
+45.2 s/utterance for the identical budget and utterance (one process; the
+reference shards utterances over n_GPUs*2 processes — per-device throughput
+is what we compare). Measured with scripts/parity_vs_reference.py, which runs
+the reference engine from /root/reference with identical weights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.data.io import read_wav
+from dvae_tpu.enhance.mcem import McemConfig
+from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
+from dvae_tpu.models import VAE
+
+REFERENCE_CPU_SEC_PER_UTT = 45.2  # torch reference engine, same budget (see above)
+SUBSET = "/root/reference/data/subset/processed/ntcd_timit"
+BATCH = 16
+REPEATS = 3
+
+
+def main():
+    model = VAE()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)),
+    )
+    wavs = []
+    for spk_utt in ("Babble/-5/test/34M/sa1", "Car/-5/test/34M/sa2", "LR/-5/test/34M/si494"):
+        try:
+            x, _ = read_wav(f"{SUBSET}/Noisy/{spk_utt}.wav")
+            wavs.append(x.astype(np.float32))
+        except FileNotFoundError:
+            pass
+    if not wavs:  # fall back to synthetic 5 s utterances
+        rng = np.random.default_rng(0)
+        wavs = [rng.standard_normal(81920).astype(np.float32) * 0.1]
+    batch = [wavs[i % len(wavs)] for i in range(BATCH)]
+    audio_sec = sum(len(w) for w in batch) / 16000.0
+
+    enh = Enhancer(model, params, EnhancerConfig(mcem=McemConfig(niter=100)))
+    enh.enhance_batch(batch, key=jax.random.PRNGKey(0))  # compile + warm up
+
+    times = []
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        out = enh.enhance_batch(batch, key=jax.random.PRNGKey(r + 1))
+        times.append(time.perf_counter() - t0)
+    assert all(np.isfinite(s).all() for s, _ in out)
+
+    best = min(times)
+    utt_per_sec = BATCH / best
+    baseline_utt_per_sec = 1.0 / REFERENCE_CPU_SEC_PER_UTT
+    print(
+        json.dumps(
+            {
+                "metric": "mcem_enhancement_throughput",
+                "value": round(utt_per_sec, 3),
+                "unit": "utterances/sec/chip (niter=100, ~5.1s utts; RTF=%.4f)"
+                % (best / audio_sec),
+                "vs_baseline": round(utt_per_sec / baseline_utt_per_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dvae_tpu.enhance.mcem import McemConfig, run_mcem
-from dvae_tpu.ops.stft import StftConfig, istft_np, n_stft_frames, stft
+from dvae_tpu.ops.stft import StftConfig, istft_np, n_stft_frames, stft_realimag
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,8 +61,11 @@ class Enhancer:
         @functools.partial(jax.jit, static_argnames=("n_frames",))
         def core(params, x_batch, mask, y, key, n_frames: int):
             # x_batch: (B, T_padded) float32; mask: (B, N); y: (B, N, Y) | None
-            X = stft(x_batch, cfg.stft)[:, :n_frames]  # (B, N, F) complex
-            x2 = jnp.abs(X) ** 2
+            # NOTE: everything stays real — some TPU runtimes (incl. the axon
+            # tunnel) have no complex64; the matmul DFT is real-native anyway.
+            re, im = stft_realimag(x_batch, cfg.stft)
+            re, im = re[:, :n_frames], im[:, :n_frames]  # (B, N, F)
+            x2 = re * re + im * im
             if cfg.y_mode == "enc_dec":
                 enc_in = jnp.concatenate([x2, y], axis=-1)
             else:
@@ -71,9 +74,7 @@ class Enhancer:
             dec = lambda zin: model.apply(params, zin, method="decode")
             y_dec = None if cfg.y_mode == "none" else y
             res = run_mcem(dec, x2, z0, mask, key, cfg.mcem, y=y_dec)
-            S_hat = res.wfs.astype(X.dtype) * X
-            N_hat = res.wfn.astype(X.dtype) * X
-            return S_hat, N_hat, res.cost
+            return res.wfs * re, res.wfs * im, res.wfn * re, res.wfn * im, res.cost
 
         return core
 
@@ -128,11 +129,11 @@ class Enhancer:
                 y[i, :n] = yi[:n]
             y = jnp.asarray(y)
 
-        S_hat, N_hat, cost = self._core(
+        s_re, s_im, n_re, n_im, cost = self._core(
             self.params, jnp.asarray(x), jnp.asarray(mask), y, key, n_frames=n_pad
         )
-        S_hat = np.asarray(S_hat)
-        N_hat = np.asarray(N_hat)
+        S_hat = np.asarray(s_re) + 1j * np.asarray(s_im)
+        N_hat = np.asarray(n_re) + 1j * np.asarray(n_im)
 
         out = []
         for i, w in enumerate(wavs):

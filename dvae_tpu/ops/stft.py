@@ -185,8 +185,13 @@ def frame_signal(x: jnp.ndarray, nfft: int, hop: int) -> jnp.ndarray:
     return x[..., idx]
 
 
-def stft(x: jnp.ndarray, cfg: StftConfig = StftConfig()) -> jnp.ndarray:
-    """Complex STFT of a (..., T) float signal -> (..., n_frames, n_bins).
+def stft_realimag(x: jnp.ndarray, cfg: StftConfig = StftConfig()):
+    """STFT of a (..., T) float signal -> (re, im), each (..., n_frames, n_bins).
+
+    The primary TPU entry point: some TPU runtimes (and the axon tunnel used
+    here) have no complex64 support, and the matmul-DFT formulation is
+    natively real anyway. ``stft`` wraps this into complex64 for host-side
+    convenience.
 
     NOTE: the reference returns (freq, frames); we use the TPU-friendly
     (frames, freq) layout (frames = batch rows on the MXU, freq = lanes).
@@ -198,6 +203,12 @@ def stft(x: jnp.ndarray, cfg: StftConfig = StftConfig()) -> jnp.ndarray:
     cos, msin = _dft_matrices(cfg.nfft, cfg.window)
     re = jnp.matmul(frames, cos, precision=_HIGHEST)
     im = jnp.matmul(frames, msin, precision=_HIGHEST)
+    return re, im
+
+
+def stft(x: jnp.ndarray, cfg: StftConfig = StftConfig()) -> jnp.ndarray:
+    """Complex STFT (host/CPU convenience wrapper over :func:`stft_realimag`)."""
+    re, im = stft_realimag(x, cfg)
     return jax.lax.complex(re, im)
 
 
@@ -205,13 +216,7 @@ def power_spectrogram(x: jnp.ndarray, cfg: StftConfig = StftConfig()) -> jnp.nda
     """|STFT|^2 of a (..., T) signal -> (..., n_frames, n_bins), fully fused
 
     (two MXU matmuls + square-add epilogue; no complex intermediate)."""
-    n_samples = x.shape[-1]
-    x = _apply_end_pad(x.astype(jnp.float32), n_samples, cfg)
-    x = _apply_center_pad(x, cfg)
-    frames = frame_signal(x, cfg.nfft, cfg.hop)
-    cos, msin = _dft_matrices(cfg.nfft, cfg.window)
-    re = jnp.matmul(frames, cos, precision=_HIGHEST)
-    im = jnp.matmul(frames, msin, precision=_HIGHEST)
+    re, im = stft_realimag(x, cfg)
     return re * re + im * im
 
 
