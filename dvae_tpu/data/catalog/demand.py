@@ -1,0 +1,63 @@
+"""DEMAND noise-database catalog.
+
+Parity with /root/reference/packages/dataset/demand_database.py (whose stale
+``python.utils`` import made it unimportable — fixed here). Train/validation
+environment maps per demand_database.py:37-54.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from pathlib import Path
+
+import numpy as np
+from scipy.signal import resample_poly
+
+FOLDER_NAMES = {
+    "train": {
+        "domestic": "DWASHING",
+        "nature": "NRIVER",
+        "office": "OOFFICE",
+        "transportation": "TMETRO",
+    },
+    "validation": {
+        "nature": "NFIELD",
+        "office": "OHALLWAY",
+        "public": "PSTATION",
+        "transportation": "TBUS",
+    },
+}
+
+
+def noise_list(input_noise_dir, dataset_type="train"):
+    """{noise_type -> relative wav path} for the split's environments."""
+    if dataset_type not in FOLDER_NAMES:
+        raise NotImplementedError(f"DEMAND {dataset_type} split not defined")
+    folders = FOLDER_NAMES[dataset_type]
+    paths = glob(os.path.join(input_noise_dir, "**/*.wav"), recursive=True)
+    paths = [os.path.relpath(p, input_noise_dir) for p in paths]
+    out = {}
+    for p in paths:
+        for key, folder in folders.items():
+            if folder in p:
+                out.setdefault(key, []).append(p)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def preprocess_noise(noise_audio: np.ndarray, fs_noise: int, fs: int) -> np.ndarray:
+    """First channel + resample to fs."""
+    if noise_audio.ndim > 1:
+        noise_audio = noise_audio[:, 0]
+    if fs != fs_noise:
+        noise_audio = resample_poly(noise_audio, fs, fs_noise)
+    return noise_audio
+
+
+def noise_segment(noise_audios: dict, noise_type: str, speech: np.ndarray,
+                  rng: np.random.Generator | None = None) -> np.ndarray:
+    """Random speech-length crop of the chosen noise."""
+    noise_audio = noise_audios[noise_type]
+    rng = rng or np.random.default_rng()
+    start = int(rng.integers(len(noise_audio) - len(speech)))
+    return noise_audio[start : start + len(speech)]
