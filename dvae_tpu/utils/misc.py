@@ -1,0 +1,20 @@
+"""Small helpers (parity with /root/reference/packages/utils.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def count_parameters(params) -> int:
+    """Total trainable parameter count of a Flax param tree (utils.py:1-3)."""
+    import jax
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def get_key(d: dict, val):
+    """First key whose value equals ``val`` (utils.py:5-7)."""
+    for key, value in d.items():
+        if value == val:
+            return key
+    return "key doesn't exist"

@@ -1,0 +1,132 @@
+"""Figure generation for analysis scripts (reconstruct_*, run_metrics).
+
+Capability parity with /root/reference/packages/visualization.py (waveplots,
+dB spectrograms with a VAD-row broadcast trick, wave+spectrogram+mask grids),
+re-implemented on plain matplotlib (librosa.display is unavailable here).
+Uses the Agg backend so everything works headless; callers ``savefig``.
+"""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+
+def _spec_db(spec_or_power, power: bool, eps: float = 1e-12) -> np.ndarray:
+    a = np.asarray(spec_or_power)
+    if np.iscomplexobj(a):
+        a = np.abs(a) ** 2
+        power = True
+    return 10.0 * np.log10(a + eps) if power else 20.0 * np.log10(np.abs(a) + eps)
+
+
+def _imshow_spec(ax, db, fs, hop_sec, vmin=-60, vmax=10, cmap="magma"):
+    """db: (n_frames, n_bins) -> time-x, freq-y image."""
+    n_frames = db.shape[0]
+    im = ax.imshow(
+        db.T,
+        origin="lower",
+        aspect="auto",
+        extent=[0, n_frames * hop_sec, 0, fs / 2000.0],
+        vmin=vmin,
+        vmax=vmax,
+        cmap=cmap,
+    )
+    ax.set_xlabel("Time (s)")
+    ax.set_ylabel("Frequency (kHz)")
+    return im
+
+
+def display_waveplot(x, fs=16000, ax=None):
+    """Time-domain waveform plot (visualization.py:8-42)."""
+    ax = ax or plt.gca()
+    t = np.arange(len(x)) / fs
+    ax.plot(t, np.asarray(x), linewidth=0.5)
+    ax.set_xlabel("Time (s)")
+    ax.set_ylabel("Amplitude")
+    ax.set_xlim(0, t[-1] if len(t) else 1)
+    return ax
+
+
+def display_spectrogram(complex_spec, fs=16000, wlen_sec=64e-3, hop_percent=0.25,
+                        vmin=-60, vmax=10, ax=None):
+    """Power-dB spectrogram of a complex (n_frames, n_bins) STFT
+    (visualization.py:44-105)."""
+    ax = ax or plt.gca()
+    hop_sec = wlen_sec * hop_percent
+    im = _imshow_spec(ax, _spec_db(complex_spec, power=True), fs, hop_sec, vmin, vmax)
+    plt.colorbar(im, ax=ax)
+    return ax
+
+
+def display_power_spectro(psd, fs=16000, wlen_sec=64e-3, hop_percent=0.25,
+                          vmin=-60, vmax=10, ax=None):
+    """dB image of a (n_frames, n_bins) power spectrogram
+    (visualization.py:107-155)."""
+    ax = ax or plt.gca()
+    hop_sec = wlen_sec * hop_percent
+    im = _imshow_spec(ax, _spec_db(psd, power=True), fs, hop_sec, vmin, vmax)
+    plt.colorbar(im, ax=ax)
+    return ax
+
+
+def vad_as_mask(vad, n_bins: int = 513) -> np.ndarray:
+    """Broadcast a (n_frames,) VAD row to a (n_frames, n_bins) mask — the
+    reference's display trick (visualization.py:73-75)."""
+    vad = np.asarray(vad).reshape(-1)
+    return np.repeat(vad[:, None], n_bins, axis=1)
+
+
+def display_wav_spectro_mask(x, spec, mask, fs=16000, wlen_sec=64e-3,
+                             hop_percent=0.25, fig=None):
+    """Column of waveform / spectrogram / mask (visualization.py:157-199)."""
+    fig = fig or plt.figure(figsize=(12, 10))
+    axes = fig.subplots(3, 1)
+    display_waveplot(x, fs, ax=axes[0])
+    hop_sec = wlen_sec * hop_percent
+    _imshow_spec(axes[1], _spec_db(spec, power=True), fs, hop_sec)
+    if mask.ndim == 1 or mask.shape[-1] == 1:
+        mask = vad_as_mask(mask, np.asarray(spec).shape[-1])
+    axes[2].imshow(np.asarray(mask).T, origin="lower", aspect="auto",
+                   extent=[0, mask.shape[0] * hop_sec, 0, fs / 2000.0], cmap="gray")
+    axes[2].set_xlabel("Time (s)")
+    axes[2].set_ylabel("Frequency (kHz)")
+    return fig
+
+
+def display_multiple_signals(signal_list, fs=16000, wlen_sec=64e-3,
+                             hop_percent=0.25, fig=None):
+    """Grid: one column per signal, rows = (wave, spectrogram, mask)
+    (visualization.py:201-269). Each item: (x, spec, mask-or-None)."""
+    n = len(signal_list)
+    fig = fig or plt.figure(figsize=(8 * n, 12))
+    axes = fig.subplots(3, n, squeeze=False)
+    hop_sec = wlen_sec * hop_percent
+    for j, (x, spec, mask) in enumerate(signal_list):
+        if x is not None:
+            display_waveplot(x, fs, ax=axes[0][j])
+        if spec is not None:
+            _imshow_spec(axes[1][j], _spec_db(spec, power=True), fs, hop_sec)
+        if mask is not None:
+            m = np.asarray(mask)
+            if m.ndim == 1 or m.shape[-1] == 1:
+                m = vad_as_mask(m, np.asarray(spec).shape[-1])
+            axes[2][j].imshow(m.T, origin="lower", aspect="auto",
+                              extent=[0, m.shape[0] * hop_sec, 0, fs / 2000.0],
+                              cmap="gray")
+    return fig
+
+
+def display_multiple_spectro(spec_list, fs=16000, wlen_sec=64e-3,
+                             hop_percent=0.25, vmin=-60, vmax=10, fig=None):
+    """Row of spectrograms (visualization.py:271-326)."""
+    n = len(spec_list)
+    fig = fig or plt.figure(figsize=(8 * n, 5))
+    axes = fig.subplots(1, n, squeeze=False)[0]
+    hop_sec = wlen_sec * hop_percent
+    for j, spec in enumerate(spec_list):
+        _imshow_spec(axes[j], _spec_db(spec, power=True), fs, hop_sec, vmin, vmax)
+    return fig

@@ -1,0 +1,98 @@
+"""Tests for auxiliary components: video IDCT parity vs scipy, frame
+upsampling, visualization smoke, SVI objectives, utils, STOI sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.eval.stoi import stoi
+from dvae_tpu.models import CVAE_v3
+from dvae_tpu.models.variational import (
+    DeterministicWarmup,
+    ImportanceWeightedSampler,
+    svi_loss,
+)
+from dvae_tpu.ops.video import idct2, preprocess_utterance, upsample_frames
+from dvae_tpu.utils import count_parameters, get_key
+
+
+def test_idct2_matches_scipy():
+    from scipy.fftpack import idct
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, 8, 8))
+    ours = np.asarray(idct2(jnp.asarray(x)))
+    for i in range(5):
+        ref = idct(idct(x[i]).T).T  # reference video.py:8 convention
+        np.testing.assert_allclose(ours[i], ref, rtol=1e-5, atol=1e-8)
+
+
+def test_preprocess_utterance_range_and_shape():
+    rng = np.random.default_rng(1)
+    mats = rng.standard_normal((7, 67 * 67))
+    out = preprocess_utterance(mats, 67, 67)
+    assert out.shape == (7, 67, 67)
+    assert out.min() >= 0.0 and out.max() <= 255.0 + 1e-3
+
+
+def test_upsample_frames_30_to_62_5():
+    frames = np.arange(30)[:, None]
+    up = upsample_frames(frames, 30.0, 62.5)
+    assert len(up) == round(30 * 62.5 / 30)
+    assert up[0, 0] == 0 and up[-1, 0] == 29
+    # monotone non-decreasing duplication
+    assert np.all(np.diff(up[:, 0]) >= 0)
+
+
+def test_viz_smoke(tmp_path):
+    from dvae_tpu import viz
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(16000).astype(np.float32)
+    spec = rng.standard_normal((60, 513)) + 1j * rng.standard_normal((60, 513))
+    vad = (rng.uniform(size=60) > 0.5).astype(np.float32)
+    fig = viz.display_wav_spectro_mask(x, spec, vad)
+    fig.savefig(tmp_path / "a.png")
+    fig2 = viz.display_multiple_signals([(x, spec, vad), (x, spec, None)])
+    fig2.savefig(tmp_path / "b.png")
+    assert (tmp_path / "a.png").stat().st_size > 0
+
+
+def test_svi_objectives():
+    model = CVAE_v3(x_dim=64, y_dim=1, z_dim=8, h_dim=(16,))
+    x = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (12, 64))) + 0.1
+    y = jnp.ones((12, 1))
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
+        x, y, method="init_all",
+    )
+    lab, m1 = svi_loss(model, params, x, y, jax.random.PRNGKey(3))
+    unl, m2 = svi_loss(model, params, x, None, jax.random.PRNGKey(4))
+    assert np.isfinite(float(lab)) and np.isfinite(float(unl))
+
+    w = DeterministicWarmup(n=4)
+    vals = [next(w) for _ in range(6)]
+    assert vals[-1] == 1.0 and vals[0] == 0.25
+
+    s = ImportanceWeightedSampler(mc=2, iw=3)
+    x2 = jnp.ones((4, 5))
+    assert s.resample(x2).shape == (24, 5)
+    agg = s(jnp.zeros((24,)))
+    assert agg.shape == (4,)
+
+
+def test_utils():
+    assert get_key({"a": 1, "b": 2}, 2) == "b"
+    assert count_parameters({"w": np.zeros((3, 4)), "b": np.zeros(4)}) == 16
+
+
+def test_stoi_sanity():
+    rng = np.random.default_rng(5)
+    t = np.arange(32000) / 16000
+    clean = np.sin(2 * np.pi * 300 * t) * (1 + np.sin(2 * np.pi * 3 * t))
+    noise = rng.standard_normal(len(t))
+    assert stoi(clean, clean, 16000) > 0.99
+    d_snr0 = stoi(clean, clean + noise * clean.std(), 16000)
+    d_snr10 = stoi(clean, clean + 0.31 * noise * clean.std(), 16000)
+    assert d_snr10 > d_snr0
+    assert stoi(clean, clean, 16000, extended=False) > 0.99
