@@ -82,6 +82,9 @@ def preprocess_utterance(matlab_frames, width: int, height: int) -> np.ndarray:
     A = np.asarray(idct2(jnp.asarray(frames)))
     scale = (A.max(axis=(-2, -1)) - A.min(axis=(-2, -1))).max()
     normalized = (A - A.min()) / scale * 255.0
+    # the reference's video-codec round-trip clamps to the 8-bit pixel range;
+    # its normalization can exceed 255 when the brightest frame has a high min
+    normalized = np.clip(normalized, 0.0, 255.0)
     return np.rot90(normalized, 3, axes=(-2, -1)).astype(np.float32)
 
 
