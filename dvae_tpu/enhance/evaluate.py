@@ -1,0 +1,133 @@
+"""Batched enhancement sweeps over the NTCD-TIMIT noisy test set.
+
+Replaces the reference's per-GPU process pools (evaluate_ntcd_M1.py:222-259)
+with device-batched evaluation: utterances are grouped into batches, each
+batch runs through the jitted Enhancer core, and outputs are written in the
+reference's layout (``<model_dir>/<relative noisy path>_s_est.wav`` /
+``_n_est.wav``), with the reference's idempotent resume-by-skip
+(evaluate_ntcd_M1.py:84-89).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import h5py
+import numpy as np
+
+from dvae_tpu.data.catalog import ntcd_timit
+from dvae_tpu.data.io import read_wav, write_wav
+
+
+def load_oracle_labels(label_h5_path) -> np.ndarray:
+    """(n_frames, y_dim) oracle labels from a builder h5."""
+    with h5py.File(label_h5_path, "r") as f:
+        y = f["Y"][:]
+    return np.ascontiguousarray(y.T, dtype=np.float32)
+
+
+def load_classifier_labels(pt_or_npy_path) -> np.ndarray:
+    """Pre-computed video-classifier outputs: torch ``_y_hat_hard.pt`` tensors
+    (evaluate_ntcd_M2.py:180-189) or .npy arrays."""
+    p = str(pt_or_npy_path)
+    if p.endswith(".pt"):
+        import torch
+
+        y = torch.load(p, map_location="cpu")
+        y = y.numpy() if hasattr(y, "numpy") else np.asarray(y)
+    else:
+        y = np.load(p)
+    y = np.asarray(y, dtype=np.float32)
+    if y.ndim == 1:
+        y = y[:, None]
+    elif y.shape[0] < y.shape[1]:
+        y = y.T
+    return y
+
+
+def video_frame_counts(processed_dir, clean_rel_paths, labels: str):
+    """Per-utterance video frame counts (the reference trims the spectrogram
+    to the video length, evaluate_ntcd_M1.py:140-142); None when no video."""
+    counts = []
+    for rel in clean_rel_paths:
+        h5_rel = rel.replace("Clean", "matlab_raw").replace("_" + labels, "")
+        path = os.path.join(processed_dir, h5_rel)
+        if os.path.exists(path):
+            with h5py.File(path, "r") as f:
+                counts.append(int(f["X"].shape[-1]))
+        else:
+            counts.append(None)
+    return counts
+
+
+def evaluate_sweep(
+    enhancer,
+    processed_dir,
+    output_dir,
+    dataset_type: str = "test",
+    dataset_size: str = "complete",
+    labels: str = "vad_labels",
+    upsampled: bool = True,
+    snr_filter: str | None = "10",
+    batch_size: int = 16,
+    y_loader=None,
+    suffix: str = "",
+    skip_existing: bool = True,
+    key=None,
+    log=print,
+):
+    """Run the full enhancement sweep.
+
+    Args:
+        enhancer: a bound ``dvae_tpu.enhance.pipeline.Enhancer``.
+        y_loader: optional callable ``(noisy_rel, clean_rel) -> (n_frames, y_dim)``
+            labels for conditional models.
+        snr_filter: keep only this SNR (reference filters '10',
+            evaluate_ntcd_M1.py:246); None = all.
+        suffix: inserted in output names (e.g. '_y_hat_hard' ->
+            ``*_s_est_y_hat_hard.wav``, evaluate_ntcd_M2.py:243-244).
+    Returns the number of utterances enhanced.
+    """
+    import jax
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    pairs = ntcd_timit.proc_noisy_clean_pair_dict(
+        str(processed_dir) + "/", dataset_type, dataset_size, labels, upsampled
+    )
+    items = list(pairs.items())
+    if snr_filter is not None:
+        items = [it for it in items if it[0].split("/")[-4] == str(snr_filter)]
+
+    todo = []
+    for noisy_rel, clean_rel in items:
+        out_base = pathlib.Path(output_dir) / pathlib.Path(noisy_rel).with_suffix("")
+        s_path = out_base.parent / (out_base.name + f"_s_est{suffix}.wav")
+        if skip_existing and s_path.exists():
+            continue
+        todo.append((noisy_rel, clean_rel, out_base))
+
+    n_done = 0
+    for start in range(0, len(todo), batch_size):
+        chunk = todo[start : start + batch_size]
+        wavs, ys, max_frames = [], [], []
+        for noisy_rel, clean_rel, _ in chunk:
+            x, fs = read_wav(os.path.join(processed_dir, noisy_rel))
+            wavs.append(x.astype(np.float32))
+            if y_loader is not None:
+                ys.append(y_loader(noisy_rel, clean_rel))
+        counts = video_frame_counts(
+            processed_dir, [c for _, c, _ in chunk], labels
+        )
+        mf = [c if c is not None else 10**9 for c in counts]
+        key, sub = jax.random.split(key)
+        out = enhancer.enhance_batch(
+            wavs, ys=ys if y_loader else None, key=sub, max_frames=mf
+        )
+        for (noisy_rel, clean_rel, out_base), (s_hat, n_hat) in zip(chunk, out):
+            out_base.parent.mkdir(parents=True, exist_ok=True)
+            write_wav(out_base.parent / (out_base.name + f"_s_est{suffix}.wav"), s_hat, 16000)
+            write_wav(out_base.parent / (out_base.name + f"_n_est{suffix}.wav"), n_hat, 16000)
+            n_done += 1
+        log(f"enhanced {n_done}/{len(todo)}")
+    return n_done

@@ -1,0 +1,76 @@
+"""Sequence-model training: the LSTM voice-activity classifier.
+
+The reference's train_audio_net.py is broken in-repo (missing Audio_Net and
+collate imports, train_audio_net.py:18-20); this module supplies the working
+equivalent: whole-utterance batches of noisy log-power spectrograms, padded
+to a common length, per-frame BCE masked by true length
+(train_audio_net.py:231-234 semantics), per-epoch F1 statistics, and an
+Adam/optax loop. Batches shard over a ``data`` mesh axis (the TPU-native
+replacement for the reference's 4-GPU nn.DataParallel,
+train_audio_net.py:150).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dvae_tpu.models.losses import f1_loss
+from dvae_tpu.ops.stft import StftConfig, log_power_spectrogram
+from dvae_tpu.train.steps import TrainState
+
+
+def make_lstm_vad_step(model, tx: optax.GradientTransformation, eps: float = 1e-8) -> Callable:
+    """jitted ``step(state, x (B,T,F), y (B,T), mask (B,T)) -> (state, metrics)``."""
+
+    def loss_fn(params, x, y, mask):
+        p = model.apply(params, x)  # (B, T)
+        bce = -(y * jnp.log(p + eps) + (1 - y) * jnp.log(1 - p + eps))
+        loss = jnp.sum(bce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return loss, p
+
+    @jax.jit
+    def step(state: TrainState, x, y, mask):
+        (loss, p), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, y, mask)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        hard = (p > 0.5).astype(jnp.float32) * mask
+        acc, prec, rec, f1 = f1_loss(hard.ravel(), (y * mask).ravel())
+        return TrainState(params, opt_state, state.step + 1), {
+            "bce": loss, "accuracy": acc, "precision": prec, "recall": rec, "f1": f1}
+
+    return step
+
+
+def batch_utterances(ds, indices, stft_cfg: StftConfig, pad_to_multiple: int = 64):
+    """Assemble (x (B,T,F) log-power, y (B,T), mask (B,T)) from an
+    UtteranceDataset; the spectrogram is computed on-device."""
+    wavs, labels = [], []
+    for i in indices:
+        w, y = ds[i]
+        wavs.append(w)
+        labels.append(np.asarray(y).reshape(-1))
+    from dvae_tpu.ops.stft import n_stft_frames
+
+    frames = [min(n_stft_frames(len(w), stft_cfg), len(l))
+              for w, l in zip(wavs, labels)]
+    n_max = -(-max(frames) // pad_to_multiple) * pad_to_multiple
+    t_pad = (n_max - 1) * stft_cfg.hop + stft_cfg.nfft
+    if stft_cfg.center:
+        t_pad = max(t_pad - 2 * (stft_cfg.nfft // 2), 1)
+
+    xb = np.zeros((len(indices), t_pad), np.float32)
+    yb = np.zeros((len(indices), n_max), np.float32)
+    mb = np.zeros((len(indices), n_max), np.float32)
+    for j, (w, l, n) in enumerate(zip(wavs, labels, frames)):
+        xb[j, : len(w)] = w[:t_pad]
+        yb[j, :n] = l[:n]
+        mb[j, :n] = 1.0
+
+    spec = log_power_spectrogram(jnp.asarray(xb), stft_cfg)[:, :n_max]
+    return spec, jnp.asarray(yb), jnp.asarray(mb)

@@ -1,0 +1,79 @@
+"""Shared CLI plumbing for the entry-point scripts.
+
+The reference configures each script through an edited ``SETTINGS`` constant
+block (e.g. training_M1.py:18-67); here every script is an argparse CLI with
+the same defaults, and the reference's name-mangling scheme is preserved so
+artifact paths stay comparable (SURVEY §5 config system)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def add_common(ap: argparse.ArgumentParser, training: bool = False):
+    ap.add_argument("--dataset-size", default="subset", choices=["subset", "complete"])
+    ap.add_argument("--labels", default="vad_labels",
+                    choices=["vad_labels", "ibm_labels"])
+    ap.add_argument("--data-root", default="data")
+    ap.add_argument("--models-root", default="models")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) before first use")
+    if training:
+        ap.add_argument("--batch-size", type=int, default=128)
+        ap.add_argument("--learning-rate", type=float, default=1e-4)
+        ap.add_argument("--start-epoch", type=int, default=1)
+        ap.add_argument("--end-epoch", type=int, default=500)
+        ap.add_argument("--log-interval", type=int, default=250)
+        ap.add_argument("--seed", type=int, default=0)
+        ap.add_argument("--std-norm", action="store_true")
+        ap.add_argument("--z-dim", type=int, default=16)
+        ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
+        ap.add_argument("--data-parallel", action="store_true",
+                        help="shard batches over all visible devices")
+    return ap
+
+
+def maybe_force_platform(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def y_dim_for(labels: str) -> int:
+    return 1 if labels == "vad_labels" else 513
+
+
+def frame_h5_path(args) -> str:
+    return os.path.join(args.data_root, args.dataset_size, "processed",
+                        "ntcd_timit", f"Clean_{args.labels}_upsampled.h5")
+
+
+def processed_dir(args) -> str:
+    return os.path.join(args.data_root, args.dataset_size, "processed")
+
+
+def raw_dir(args) -> str:
+    return os.path.join(args.data_root, args.dataset_size, "raw")
+
+
+def mangle(prefix: str, args, extra: str = "") -> str:
+    """Reference naming scheme, e.g.
+    ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500 (training_M1.py:60)."""
+    norm = "norm" if getattr(args, "std_norm", False) else "nonorm"
+    hdim = "_".join(f"{h:03d}" for h in args.h_dim)
+    name = f"{prefix}_{extra + '_' if extra else ''}{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}_end_epoch_{args.end_epoch:03d}"
+    return name
+
+
+def make_mesh_if(args):
+    if getattr(args, "data_parallel", False):
+        from dvae_tpu.parallel import make_mesh
+
+        return make_mesh()
+    return None

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Enhance the noisy NTCD-TIMIT test set with M1 + MCEM.
+
+Mirrors /root/reference/scripts/evaluate_ntcd_M1.py, with the GPU process
+pool replaced by device-batched MCEM (one jitted program per shape bucket).
+Outputs land in <models-root>/<model>/<noisy rel path>_{s,n}_est.wav with
+resume-by-skip."""
+
+import argparse
+import os
+
+from _lib import add_common, maybe_force_platform, processed_dir
+
+
+def main():
+    ap = add_common(argparse.ArgumentParser(description=__doc__))
+    ap.add_argument("--checkpoint", default=None,
+                    help=".msgpack checkpoint; defaults to best in --model-dir")
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--z-dim", type=int, default=16)
+    ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
+    ap.add_argument("--niter", type=int, default=100)
+    ap.add_argument("--nmf-rank", type=int, default=10)
+    ap.add_argument("--snr", default="10", help="SNR filter ('all' = every SNR)")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--output-dir", default=None)
+    args = ap.parse_args()
+    maybe_force_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dvae_tpu.enhance.evaluate import evaluate_sweep
+    from dvae_tpu.enhance.mcem import McemConfig
+    from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
+    from dvae_tpu.models import VAE
+    from dvae_tpu.train import checkpoint as ckpt
+
+    model = VAE(x_dim=513, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    params_t = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)),
+    )
+    path = args.checkpoint or ckpt.best_checkpoint(args.model_dir)
+    params = ckpt.load_checkpoint(path, params_t)
+    print(f"loaded {path}")
+
+    enh = Enhancer(model, params,
+                   EnhancerConfig(mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)))
+    out_dir = args.output_dir or os.path.join(
+        args.data_root, args.dataset_size, "models",
+        os.path.splitext(os.path.basename(path))[0],
+    )
+    n = evaluate_sweep(
+        enh, processed_dir(args), out_dir,
+        dataset_size=args.dataset_size, labels=args.labels,
+        snr_filter=None if args.snr == "all" else args.snr,
+        batch_size=args.batch_size,
+    )
+    print(f"done: {n} utterances -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

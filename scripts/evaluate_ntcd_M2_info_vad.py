@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Enhance the noisy NTCD-TIMIT test set with the disentangled M2-info model.
+
+Mirrors /root/reference/scripts/evaluate_ntcd_M2_info_vad.py: loads a v5
+checkpoint, uses its enc_dec_clf CVAE (encoder on x only, decoder on [z;y] —
+the MCEM_M2v3 configuration, mcem.py:676), with y from the oracle labels or
+classifier outputs."""
+
+import argparse
+import os
+
+from _lib import add_common, maybe_force_platform, processed_dir
+
+
+def main():
+    ap = add_common(argparse.ArgumentParser(description=__doc__))
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--z-dim", type=int, default=16)
+    ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
+    ap.add_argument("--niter", type=int, default=100)
+    ap.add_argument("--nmf-rank", type=int, default=10)
+    ap.add_argument("--snr", default="10")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--y-source", default="oracle",
+                    choices=["oracle", "classifier", "ones", "zeros"])
+    ap.add_argument("--classifier-dir", default=None)
+    ap.add_argument("--output-dir", default=None)
+    args = ap.parse_args()
+    maybe_force_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvae_tpu.enhance.evaluate import (evaluate_sweep,
+                                           load_classifier_labels,
+                                           load_oracle_labels)
+    from dvae_tpu.enhance.mcem import McemConfig
+    from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
+    from dvae_tpu.models import DisentangledVAE, init_params
+    from dvae_tpu.train import checkpoint as ckpt
+
+    model = DisentangledVAE(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    params_t = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)), jnp.ones((4, 1)))
+    path = args.checkpoint or ckpt.best_checkpoint(args.model_dir)
+    params = ckpt.load_checkpoint(path, params_t)
+    print(f"loaded {path}")
+
+    proc = processed_dir(args)
+
+    def y_loader(noisy_rel, clean_rel):
+        if args.y_source == "oracle":
+            return load_oracle_labels(os.path.join(proc, clean_rel))
+        if args.y_source == "classifier":
+            base = os.path.splitext(os.path.basename(noisy_rel))[0]
+            spk = noisy_rel.split("/")[-2]
+            return load_classifier_labels(
+                os.path.join(args.classifier_dir, spk, base + "_y_hat_hard.pt"))
+        n = load_oracle_labels(os.path.join(proc, clean_rel)).shape[0]
+        return np.full((n, 1), 1.0 if args.y_source == "ones" else 0.0, dtype=np.float32)
+
+    suffix = {"oracle": "_oracle_y", "classifier": "_y_hat_hard",
+              "ones": "_oracle_1", "zeros": "_oracle_0"}[args.y_source]
+
+    # the Enhancer only touches encode/decode; DisentangledVAE exposes the
+    # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)
+    enh = Enhancer(model, params, EnhancerConfig(
+        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="dec_only"))
+    out_dir = args.output_dir or os.path.join(
+        args.data_root, args.dataset_size, "models",
+        os.path.splitext(os.path.basename(path))[0])
+    n = evaluate_sweep(
+        enh, proc, out_dir, dataset_size=args.dataset_size, labels=args.labels,
+        snr_filter=None if args.snr == "all" else args.snr,
+        batch_size=args.batch_size, y_loader=y_loader, suffix=suffix)
+    print(f"done: {n} utterances -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""M2 label-swap disentanglement probe on NTCD noisy pairs.
+
+Mirrors /root/reference/scripts/reconstruct_ntcd_M2.py (y from the oracle
+label h5s or precomputed classifier .pt outputs)."""
+
+import argparse
+import os
+
+from _lib import add_common, maybe_force_platform, processed_dir, y_dim_for
+
+
+def main():
+    ap = add_common(argparse.ArgumentParser(description=__doc__))
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--z-dim", type=int, default=16)
+    ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
+    ap.add_argument("--snr", default=None)
+    ap.add_argument("--y-source", default="oracle", choices=["oracle", "classifier"])
+    ap.add_argument("--classifier-dir", default=None)
+    ap.add_argument("--output-dir", default="figures/reconstruct_ntcd_M2")
+    ap.add_argument("--max-utts", type=int, default=10)
+    args = ap.parse_args()
+    maybe_force_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dvae_tpu.data.catalog import ntcd_timit
+    from dvae_tpu.data.io import read_wav
+    from dvae_tpu.enhance.evaluate import load_classifier_labels, load_oracle_labels
+    from dvae_tpu.eval import reconstruct as rec
+    from dvae_tpu.models import CVAE
+    from dvae_tpu.train import checkpoint as ckpt
+
+    y_dim = y_dim_for(args.labels)
+    model = CVAE(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    params_t = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)), jnp.ones((4, y_dim)))
+    path = args.checkpoint or ckpt.best_checkpoint(args.model_dir)
+    params = ckpt.load_checkpoint(path, params_t)
+
+    proc = processed_dir(args)
+    pairs = ntcd_timit.proc_noisy_clean_pair_dict(
+        proc + "/", "test", args.dataset_size, args.labels, upsampled=True)
+    items = list(pairs.items())
+    if args.snr:
+        items = [it for it in items if it[0].split("/")[-4] == args.snr]
+    items = items[: args.max_utts]
+
+    for noisy_rel, clean_rel in items:
+        snr = noisy_rel.split("/")[-4]
+        noise = noisy_rel.split("/")[-5]
+        name = f"{noise}_{snr}_{os.path.splitext(os.path.basename(noisy_rel))[0]}"
+        wav, _ = read_wav(os.path.join(proc, noisy_rel))
+        S, x2 = rec.power_spec(wav)
+        if args.y_source == "oracle":
+            y = load_oracle_labels(os.path.join(proc, clean_rel))
+        else:
+            base = os.path.splitext(os.path.basename(noisy_rel))[0]
+            spk = noisy_rel.split("/")[-2]
+            y = load_classifier_labels(
+                os.path.join(args.classifier_dir, spk, base + "_y_hat_hard.pt"))
+        n = min(len(y), x2.shape[0])
+        for tag, y_var in rec.label_variants(y[:n]).items():
+            r = rec.reconstruct(model, params, x2[:n], y_var)
+            out = os.path.join(args.output_dir, f"{name}_x_recon_{tag}.png")
+            rec.save_reconstruction_figure(out, wav, S[:n], r)
+        print(f"reconstructed {name}")
+
+
+if __name__ == "__main__":
+    main()

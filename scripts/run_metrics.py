@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Compute SI-SDR / ESTOI / PESQ (gated) over enhanced outputs and print the
+95%-CI tables grouped by SNR / noise type / stationarity / speaker.
+
+Mirrors /root/reference/scripts/run_metrics.py: 0.05 s edge trim, condition
+parsing from the processed-noisy path, per-condition tables via
+compute_stats, optional per-utterance figures; PESQ and POLQA columns are
+skipped when their (licensed) packages are absent (see dvae_tpu.eval.pesq).
+Also writes ``stats.json`` in the model output dir."""
+
+import argparse
+import os
+
+from _lib import add_common, maybe_force_platform, processed_dir
+
+STATIONARY = {"Car", "White"}
+
+
+def main():
+    ap = add_common(argparse.ArgumentParser(description=__doc__))
+    ap.add_argument("--model-output-dir", required=True,
+                    help="dir holding the enhanced <...>_s_est.wav tree")
+    ap.add_argument("--suffix", default="",
+                    help="estimate suffix, e.g. _y_hat_hard or _oracle_y")
+    ap.add_argument("--snr", default=None)
+    ap.add_argument("--confidence", type=float, default=0.95)
+    ap.add_argument("--with-figures", action="store_true")
+    args = ap.parse_args()
+    maybe_force_platform(args)
+
+    import numpy as np
+
+    from dvae_tpu.data.catalog import ntcd_timit
+    from dvae_tpu.data.io import read_wav
+    from dvae_tpu.eval.pesq import pesq as pesq_fn, pesq_available
+    from dvae_tpu.eval.si_sdr import si_sdr_leroux
+    from dvae_tpu.eval.stats import compute_stats
+    from dvae_tpu.eval.stoi import stoi
+
+    proc = processed_dir(args)
+    pairs = ntcd_timit.proc_noisy_clean_pair_dict(
+        proc + "/", "test", args.dataset_size, args.labels, upsampled=True)
+    items = list(pairs.items())
+    if args.snr:
+        items = [it for it in items if it[0].split("/")[-4] == args.snr]
+
+    use_pesq = pesq_available()
+    keys = ["si_sdr", "estoi"] + (["pesq"] if use_pesq else [])
+    rows, snrs, noises, speakers, stationarities = [], [], [], [], []
+    missing = 0
+
+    for noisy_rel, clean_rel in items:
+        est_path = os.path.join(
+            args.model_output_dir,
+            os.path.splitext(noisy_rel)[0] + f"_s_est{args.suffix}.wav")
+        if not os.path.exists(est_path):
+            missing += 1
+            continue
+        parts = noisy_rel.split("/")
+        noise_type, snr_db, speaker = parts[-5], int(parts[-4]), parts[-2]
+
+        clean_wav_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
+        clean_wav_rel = os.path.splitext(clean_wav_rel)[0] + ".wav"
+        s_t, fs = read_wav(os.path.join(proc, clean_wav_rel))
+        s_hat_t, _ = read_wav(est_path)
+
+        off = int(0.05 * fs)  # edge-burst trim (run_metrics.py:118-121)
+        L = min(len(s_t), len(s_hat_t))
+        s_t, s_hat_t = s_t[off : L - off], s_hat_t[off : L - off]
+
+        row = [si_sdr_leroux(s_hat_t, s_t), stoi(s_t, s_hat_t, fs, extended=True)]
+        if use_pesq:
+            row.append(pesq_fn(fs, s_t, s_hat_t, "wb"))
+        rows.append(row)
+        snrs.append(snr_db)
+        noises.append(noise_type)
+        speakers.append(speaker)
+        stationarities.append(
+            "Stationary noise" if noise_type in STATIONARY else "Nonstationary noise")
+
+    if not rows:
+        raise SystemExit(f"no enhanced files found under {args.model_output_dir} "
+                         f"({missing} expected paths missing)")
+    if missing:
+        print(f"note: {missing} utterances missing enhanced output, skipped")
+    if not use_pesq:
+        print("note: PESQ skipped (pesq package not installed)")
+
+    compute_stats(keys, rows, args.model_output_dir, args.confidence,
+                  all_snr_db=np.asarray(snrs), all_noise_types=noises,
+                  all_speakers=speakers, all_noise_stationarities=stationarities)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Train the audio LSTM voice-activity classifier on noisy whole sequences.
+
+Working replacement for /root/reference/scripts/train_audio_net.py (whose
+imports are broken in-repo): 2-layer LSTM (hidden 1024) over noisy log-power
+spectrogram frames, length-masked per-frame BCE, per-epoch F1, checkpoints
+per epoch. The 4-GPU nn.DataParallel becomes a ``data`` mesh shard."""
+
+import argparse
+import os
+
+from _lib import add_common, maybe_force_platform, processed_dir
+
+
+def main():
+    ap = add_common(argparse.ArgumentParser(description=__doc__), training=True)
+    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--num-layers", type=int, default=2)
+    ap.add_argument("--seq-batch-size", type=int, default=16)
+    args = ap.parse_args()
+    maybe_force_platform(args)
+
+    import jax
+    import numpy as np
+
+    from dvae_tpu.data.catalog import ntcd_timit
+    from dvae_tpu.data.datasets import UtteranceDataset
+    from dvae_tpu.models import LSTMVad
+    from dvae_tpu.ops.stft import StftConfig
+    from dvae_tpu.train import checkpoint as ckpt
+    from dvae_tpu.train.sequence import batch_utterances, make_lstm_vad_step
+    from dvae_tpu.train.steps import adam, init_train_state
+
+    proc = processed_dir(args)
+    stft_cfg = StftConfig(center=True)  # loader parity (data_handling.py:126-139)
+
+    def utterances(split):
+        pairs = ntcd_timit.proc_noisy_clean_pair_dict(
+            proc + "/", split, args.dataset_size, args.labels, upsampled=True)
+        out = []
+        for noisy_rel, clean_rel in pairs.items():
+            wav = os.path.join(proc, noisy_rel)
+            lab = os.path.join(proc, clean_rel)
+            if os.path.exists(wav) and os.path.exists(lab):
+                out.append((wav, lab))
+        return UtteranceDataset(out)
+
+    train_ds, valid_ds = utterances("train"), utterances("validation")
+    if len(train_ds) == 0:
+        raise SystemExit("no training utterances found; run the create_* builders")
+    print(f"{len(train_ds)} train / {len(valid_ds)} validation utterances")
+
+    model = LSTMVad(x_dim=513, hidden=args.hidden, num_layers=args.num_layers)
+    xb, yb, mb = batch_utterances(train_ds, range(min(2, len(train_ds))), stft_cfg)
+    params = model.init({"params": jax.random.PRNGKey(args.seed)}, xb)
+    tx = adam(args.learning_rate)
+    state = init_train_state(model, params, tx)
+    step = make_lstm_vad_step(model, tx)
+
+    model_dir = os.path.join(args.models_root,
+                             f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}")
+    rng = np.random.default_rng(args.seed)
+    for epoch in range(args.start_epoch, args.end_epoch):
+        order = rng.permutation(len(train_ds))
+        totals, n_batches = {}, 0
+        for s in range(0, len(order), args.seq_batch_size):
+            xb, yb, mb = batch_utterances(train_ds, order[s : s + args.seq_batch_size], stft_cfg)
+            state, m = step(state, xb, yb, mb)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n_batches += 1
+        avg = {k: v / n_batches for k, v in totals.items()}
+        print(f"epoch {epoch}: " + "  ".join(f"{k}={v:.4f}" for k, v in avg.items()))
+        name = ckpt.checkpoint_name("VAD", epoch, avg["bce"])
+        ckpt.save_checkpoint(model_dir, name, state.params,
+                             metadata={"epoch": epoch, **avg})
+
+
+if __name__ == "__main__":
+    main()

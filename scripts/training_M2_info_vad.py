@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Train the disentangled M2-info model (adversarial two-optimizer game).
+
+Mirrors /root/reference/scripts/training_M2_info_vad.py: the encoder/decoder/
+classifier group minimizes ELBO + alpha*BCE(y_hat_x, y) - beta*BCE(y_hat_z, y)
+while the auxiliary z->y classifier trains on detached latents. See
+dvae_tpu.train.steps.make_adversarial_step for the --legacy-aux-coupling
+note (the reference's un-zeroed aux gradients)."""
+
+import argparse
+import os
+
+from _lib import add_common, frame_h5_path, make_mesh_if, maybe_force_platform
+
+
+def main():
+    ap = add_common(argparse.ArgumentParser(description=__doc__), training=True)
+    ap.add_argument("--alpha", type=float, default=0.0)
+    ap.add_argument("--beta", type=float, default=10.0)
+    ap.add_argument("--gamma", type=float, default=1.0)
+    ap.add_argument("--legacy-aux-coupling", action="store_true")
+    args = ap.parse_args()
+    maybe_force_platform(args)
+
+    from dvae_tpu.data.datasets import FrameDataset
+    from dvae_tpu.models import DisentangledVAE
+    from dvae_tpu.train.loop import LoopConfig, fit_adversarial
+
+    h5 = frame_h5_path(args)
+    train_ds = FrameDataset(h5, "train")
+    valid_ds = FrameDataset(h5, "validation")
+
+    model = DisentangledVAE(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    norm = "norm" if args.std_norm else "nonorm"
+    hdim = "_".join(f"{h:03d}" for h in args.h_dim)
+    model_name = (
+        f"ntcd_M2_info_VAD_Lenc_aux_v1_alpha_{args.alpha}_beta_{args.beta}"
+        f"_gamma_{args.gamma}_y_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
+        f"_end_epoch_{args.end_epoch:03d}"
+    )
+    cfg = LoopConfig(
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        start_epoch=args.start_epoch, end_epoch=args.end_epoch,
+        log_interval=args.log_interval, seed=args.seed, std_norm=args.std_norm,
+    )
+    model_dir = os.path.join(args.models_root, model_name)
+    print(f"training {model_name}")
+    fit_adversarial(model, train_ds, valid_ds, model_dir, "M2",
+                    alpha=args.alpha, beta=args.beta, gamma=args.gamma,
+                    cfg=cfg, mesh=make_mesh_if(args),
+                    legacy_aux_coupling=args.legacy_aux_coupling)
+
+
+if __name__ == "__main__":
+    main()

