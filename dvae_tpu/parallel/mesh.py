@@ -24,6 +24,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        # Default platform can't supply the requested mesh size (e.g. one
+        # real TPU chip tunnelled in while the caller wants an 8-way dry run
+        # under --xla_force_host_platform_device_count). Fall back to the
+        # virtual CPU devices, which that flag multiplies.
+        devices = jax.devices("cpu")
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
