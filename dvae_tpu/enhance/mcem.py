@@ -63,8 +63,17 @@ class McemResult(NamedTuple):
 def _make_mh_step(decoder: Callable, x2, y, var_rw: float):
     """Returns one Metropolis-Hastings step over the utterance batch.
 
-    Carry: (z (B,N,L), vs (B,N,F)); closure state: per-EM-iter (vb, g).
-    Acceptance math matches mcem.py:243-265 (per-frame accept mask).
+    Carry: (z (B,N,L), vs (B,N,F), e (B,N)) where ``e`` is the per-frame
+    negative log unnormalized posterior of the *current* state,
+
+        E(z) = sum_f [log Vx + |X|^2/Vx] + 0.5*||z||^2,  Vx = g*Vs(z) + Vb.
+
+    The reference recomputes both states' energies every step (two decoder
+    passes plus two log/reciprocal sweeps, mcem.py:243-265). Carrying E of
+    the accepted state and computing only the proposal's energy is
+    mathematically identical (log-accept ratio = E - E') and halves both the
+    decoder and the transcendental cost per step. ``e`` must be refreshed by
+    ``energy`` whenever vb or g change (once per EM iteration).
     """
     sqrt_var = jnp.sqrt(jnp.asarray(var_rw, jnp.float32))
 
@@ -72,25 +81,27 @@ def _make_mh_step(decoder: Callable, x2, y, var_rw: float):
         zin = z if y is None else jnp.concatenate([z, y], axis=-1)
         return decoder(zin)
 
+    def energy(z, vs, vb, g):
+        vx = jnp.maximum(g[:, :, None] * vs + vb, VX_FLOOR)
+        return jnp.sum(jnp.log(vx) + x2 / vx, axis=-1) + 0.5 * jnp.sum(
+            z**2, axis=-1
+        )
+
     def step(carry, key, vb, g):
-        z, vs = carry
+        z, vs, e = carry
         k1, k2 = jax.random.split(key)
         z_prime = z + sqrt_var * jax.random.normal(k1, z.shape)
         vs_prime = dec(z_prime)
-        gg = g[:, :, None]
-        vx = jnp.maximum(gg * vs + vb, VX_FLOOR)
-        vx_prime = jnp.maximum(gg * vs_prime + vb, VX_FLOOR)
-        log_acc = jnp.sum(
-            jnp.log(vx) - jnp.log(vx_prime) + (1.0 / vx - 1.0 / vx_prime) * x2,
-            axis=-1,
-        ) + 0.5 * jnp.sum(z**2 - z_prime**2, axis=-1)
+        e_prime = energy(z_prime, vs_prime, vb, g)
+        log_acc = e - e_prime
         u = jax.random.uniform(k2, log_acc.shape, minval=1e-38)
         acc = jnp.log(u) < log_acc  # (B, N)
         z = jnp.where(acc[:, :, None], z_prime, z)
         vs = jnp.where(acc[:, :, None], vs_prime, vs)
-        return (z, vs), None
+        e = jnp.where(acc, e_prime, e)
+        return (z, vs, e), None
 
-    return dec, step
+    return dec, energy, step
 
 
 def run_mcem(
@@ -126,7 +137,7 @@ def run_mcem(
     else:
         w, h, g = nmf_init
 
-    dec, mh_step = _make_mh_step(decoder, x2, y, cfg.var_rw)
+    dec, energy, mh_step = _make_mh_step(decoder, x2, y, cfg.var_rw)
     vs0 = dec(z_init)
 
     denom = jnp.maximum(jnp.sum(mask) * f, 1.0)
@@ -139,6 +150,7 @@ def run_mcem(
     def em_iter(carry, key):
         z, vs, w, h, g = carry
         vb = compute_vb(w, h)
+        e = energy(z, vs, vb, g)  # refresh: vb/g changed since last iter
 
         def mh(c, k):
             return mh_step(c, k, vb, g)
@@ -148,11 +160,11 @@ def run_mcem(
             return c, c[1]  # emit accepted Vs sample
 
         kb, ks = jax.random.split(key)
-        (z, vs), _ = jax.lax.scan(
-            mh, (z, vs), jax.random.split(kb, cfg.burnin_e_step)
+        (z, vs, e), _ = jax.lax.scan(
+            mh, (z, vs, e), jax.random.split(kb, cfg.burnin_e_step)
         )
-        (z, vs), vs_samples = jax.lax.scan(
-            mh_collect, (z, vs), jax.random.split(ks, cfg.nsamples_e_step)
+        (z, vs, e), vs_samples = jax.lax.scan(
+            mh_collect, (z, vs, e), jax.random.split(ks, cfg.nsamples_e_step)
         )  # vs_samples: (R, B, N, F)
 
         w, h, g = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
@@ -168,23 +180,24 @@ def run_mcem(
 
     # ----- Wiener-filter expectation over a fresh MH chain (mcem.py:310-329)
     vb = compute_vb(w, h)
+    e = energy(z, vs, vb, g)
     n_wf = cfg.burnin_wf + cfg.nsamples_wf
 
     def wf_step(carry, inp):
         key, idx = inp
-        (z, vs), wfs_sum, wfn_sum = carry
-        (z, vs), _ = mh_step((z, vs), key, vb, g)
+        (z, vs, e), wfs_sum, wfn_sum = carry
+        (z, vs, e), _ = mh_step((z, vs, e), key, vb, g)
         take = (idx >= cfg.burnin_wf).astype(jnp.float32)
         vs_scaled = g[:, :, None] * vs
         vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
         wfs_sum = wfs_sum + take * (vs_scaled / vx)
         wfn_sum = wfn_sum + take * (vb / vx)
-        return ((z, vs), wfs_sum, wfn_sum), None
+        return ((z, vs, e), wfs_sum, wfn_sum), None
 
     zero = jnp.zeros_like(x2)
-    ((z, vs), wfs_sum, wfn_sum), _ = jax.lax.scan(
+    ((z, vs, e), wfs_sum, wfn_sum), _ = jax.lax.scan(
         wf_step,
-        ((z, vs), zero, zero),
+        ((z, vs, e), zero, zero),
         (jax.random.split(jax.random.fold_in(k_run, 1), n_wf), jnp.arange(n_wf)),
     )
     wfs = wfs_sum / cfg.nsamples_wf

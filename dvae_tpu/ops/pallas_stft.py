@@ -1,0 +1,154 @@
+"""Fused Pallas TPU kernel for the STFT (log-)power-spectrogram frontend.
+
+The training pipelines consume log power spectrograms of every utterance
+(reference data_handling.py:126-139, create_train_set.py:141-152). On TPU the
+whole frontend is one MXU matmul against a window-folded DFT basis plus an
+elementwise epilogue; this kernel keeps the frame tile, the basis and the
+(re | im) intermediate in VMEM so the epilogue (square-add, optional log)
+never round-trips through HBM:
+
+    HBM -> VMEM:  frames tile (TILE_N, nfft); basis (nfft, 2*ceil(n_bins))
+                  — cos and -sin bases concatenated, each zero-padded to a
+                  lane-aligned 640 columns so the split in the epilogue is
+                  a cheap aligned slice
+    MXU:          a = frames @ basis            (f32, HIGHEST precision)
+    VPU:          p = a[:, :640]^2 + a[:, 640:]^2;  [p = log(p + eps)]
+    VMEM -> HBM:  p tile (TILE_N, 640)  (callers slice back to 513 bins)
+
+Framing itself (overlapping hop-strided views) stays in XLA — with
+``nfft % hop == 0`` it is a reshape plus static slices, i.e. free layout ops
+that XLA fuses into the kernel's input DMA.
+
+Measured on a v5e chip (64x5.1s utterances, f32): 35.8 ms end-to-end for the
+kernel vs 30.6 ms for the XLA lowering. XLA wins here because it fuses the
+overlapping hop-strided framing *into the matmul operand read*, while the
+kernel needs the frame matrix materialized in HBM first — so, following the
+rule of not hand-scheduling what the compiler already schedules, the public
+entry points default to the XLA path everywhere and the kernel stays
+available via ``use_pallas=True`` (and as the measured datapoint that says
+why). The genuinely Pallas-shaped op in this framework is the MCEM
+Metropolis-Hastings chain (see dvae_tpu/enhance/pallas_mcem.py), where a
+scan forces HBM round-trips XLA cannot eliminate.
+
+Both paths are HIGHEST-precision f32: the default bf16 MXU mode loses ~3
+decimal digits, which log() amplifies to O(1) errors in near-silent bins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dvae_tpu.ops.stft import (
+    StftConfig,
+    _apply_center_pad,
+    _apply_end_pad,
+    _dft_matrices,
+    frame_signal,
+    log_power_spectrogram as _log_power_xla,
+    power_spectrogram as _power_xla,
+)
+
+_TILE_N = 512  # frame rows per grid step (512x1024 f32 tile = 2 MB in VMEM)
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_basis(nfft: int, window: str):
+    """cos|(-sin) analysis bases side by side, each zero-padded to a
+    lane-aligned column count. Returns (basis (nfft, 2*nbp), nbp)."""
+    cos, msin = _dft_matrices(nfft, window)
+    n_bins = cos.shape[1]
+    nbp = _round_up(n_bins, _LANES)
+    basis = np.zeros((nfft, 2 * nbp), np.float32)
+    basis[:, :n_bins] = cos
+    basis[:, nbp : nbp + n_bins] = msin
+    return basis, nbp
+
+
+def _stft_power_kernel(log_eps: float | None, nbp: int, frames_ref, basis_ref, out_ref):
+    a = jax.lax.dot(
+        frames_ref[:],
+        basis_ref[:],
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    p = a[:, :nbp] ** 2 + a[:, nbp:] ** 2
+    if log_eps is not None:
+        p = jnp.log(p + log_eps)
+    out_ref[:] = p
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "log_eps", "interpret"))
+def _stft_power_pallas(x, cfg: StftConfig, log_eps: float | None, interpret: bool):
+    n_samples = x.shape[-1]
+    x = _apply_end_pad(x.astype(jnp.float32), n_samples, cfg)
+    x = _apply_center_pad(x, cfg)
+    frames = frame_signal(x, cfg.nfft, cfg.hop)  # (..., N, nfft)
+    lead = frames.shape[:-2]
+    n = frames.shape[-2]
+    rows = int(np.prod(lead, dtype=np.int64)) * n if lead else n
+    frames = frames.reshape(rows, cfg.nfft)
+
+    rows_pad = _round_up(max(rows, 8), _TILE_N)
+    if rows_pad != rows:
+        frames = jnp.pad(frames, ((0, rows_pad - rows), (0, 0)))
+
+    basis, nbp = _fused_basis(cfg.nfft, cfg.window)
+    out = pl.pallas_call(
+        functools.partial(_stft_power_kernel, log_eps, nbp),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, nbp), jnp.float32),
+        grid=(rows_pad // _TILE_N,),
+        in_specs=[
+            pl.BlockSpec(
+                (_TILE_N, cfg.nfft), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cfg.nfft, 2 * nbp), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TILE_N, nbp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(frames, jnp.asarray(basis))
+    return out[:rows, : cfg.n_bins].reshape(*lead, n, cfg.n_bins)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def power_spectrogram(x, cfg: StftConfig = StftConfig(), use_pallas: bool = False):
+    """|STFT|^2. Default: XLA path (measured faster, see module docstring);
+
+    ``use_pallas=True`` runs the fused kernel (TPU only)."""
+    if use_pallas and _on_tpu():
+        return _stft_power_pallas(x, cfg, None, False)
+    return _power_xla(x, cfg)
+
+
+def log_power_spectrogram(
+    x, cfg: StftConfig = StftConfig(), eps: float = 1e-12, use_pallas: bool = False
+):
+    """log(|STFT|^2). Default: XLA path; ``use_pallas=True`` runs the kernel."""
+    if use_pallas and _on_tpu():
+        return _stft_power_pallas(x, cfg, eps, False)
+    return _log_power_xla(x, cfg, eps)
+
+
+def _interpret_reference(x, cfg: StftConfig, log_eps: float | None):
+    """Interpreter-mode kernel execution for CPU correctness tests."""
+    return _stft_power_pallas(x, cfg, log_eps, True)

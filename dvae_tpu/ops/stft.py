@@ -296,6 +296,51 @@ def istft_np(S: np.ndarray, cfg: StftConfig = StftConfig(), length: int | None =
     return out
 
 
+def istft_realimag_masked(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: StftConfig = StftConfig(),
+) -> jnp.ndarray:
+    """Batched on-device ISTFT over a padded utterance batch.
+
+    The squared-window OLA normalization depends on each utterance's exact
+    frame count, which is why a naive batch-padded ISTFT is wrong near
+    utterance ends. Here the normalizer is computed *from the frame mask*:
+    ``wss_b[t] = sum_i mask[b,i] w^2[t - i*hop]`` — i.e. the same overlap-add
+    as the signal, applied to the mask-gated squared window. For every valid
+    sample this equals librosa's per-utterance ifft_window_sum exactly, and
+    masked (padded) frames contribute zero, so each utterance in the batch is
+    reconstructed identically to a per-utterance :func:`istft` call
+    (reference semantics: stft.py:63-99).
+
+    Args:
+        re, im: (B, N, n_bins) real/imag spectrogram parts (padded frames
+            must be zero — the enhancement masks guarantee this).
+        mask: (B, N) 1.0 for valid frames.
+    Returns:
+        (B, T) float32 waveforms, zero beyond each utterance's extent.
+    """
+    *_, n_frames, n_bins = re.shape
+    nfft = cfg.nfft
+    if n_bins != nfft // 2 + 1:
+        raise ValueError(f"expected {nfft // 2 + 1} bins, got {n_bins}")
+    cr, ci = _idft_matrices(nfft)
+    frames = jnp.matmul(re, cr, precision=_HIGHEST) + jnp.matmul(
+        im, ci, precision=_HIGHEST
+    )
+    win = jnp.asarray(get_window(cfg.window, nfft), dtype=jnp.float32)
+    m = mask.astype(jnp.float32)[..., None]
+    x = _overlap_add(frames * win * m, cfg.hop)
+    w2 = jnp.asarray((get_window(cfg.window, nfft) ** 2).astype(np.float32))
+    wss = _overlap_add(jnp.broadcast_to(w2, frames.shape) * m, cfg.hop)
+    x = jnp.where(wss > np.finfo(np.float32).tiny, x / jnp.maximum(wss, 1e-37), x)
+    if cfg.center:
+        half = nfft // 2
+        x = x[..., half:-half]
+    return x
+
+
 def istft(
     S: jnp.ndarray,
     cfg: StftConfig = StftConfig(),

@@ -20,7 +20,8 @@ import numpy as np
 import optax
 
 from dvae_tpu.models.losses import f1_loss
-from dvae_tpu.ops.stft import StftConfig, log_power_spectrogram
+from dvae_tpu.ops import log_power_spectrogram
+from dvae_tpu.ops.stft import StftConfig
 from dvae_tpu.train.steps import TrainState
 
 

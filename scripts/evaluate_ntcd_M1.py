@@ -47,8 +47,11 @@ def main():
 
     enh = Enhancer(model, params,
                    EnhancerConfig(mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)))
+    # default under --models-root (never under --data-root, which may point
+    # at a read-only corpus); layout mirrors the reference's
+    # data/<size>/models/<ckpt>/... convention one level up.
     out_dir = args.output_dir or os.path.join(
-        args.data_root, args.dataset_size, "models",
+        args.models_root, "enhanced",
         os.path.splitext(os.path.basename(path))[0],
     )
     n = evaluate_sweep(

@@ -69,8 +69,10 @@ def main():
     # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="dec_only"))
+    # default under --models-root (never under --data-root, which may point
+    # at a read-only corpus)
     out_dir = args.output_dir or os.path.join(
-        args.data_root, args.dataset_size, "models",
+        args.models_root, "enhanced",
         os.path.splitext(os.path.basename(path))[0])
     n = evaluate_sweep(
         enh, proc, out_dir, dataset_size=args.dataset_size, labels=args.labels,

@@ -112,3 +112,45 @@ def test_n_stft_frames_matches_actual(signal):
     assert stft(jnp.asarray(signal), CFG).shape[-2] == n_stft_frames(len(signal), CFG)
     cfg = StftConfig(center=True)
     assert stft(jnp.asarray(signal), cfg).shape[-2] == n_stft_frames(len(signal), cfg)
+
+
+def test_istft_masked_batch_matches_per_utterance(signal):
+    """The mask-normalized batched device ISTFT must reconstruct each ragged
+    utterance exactly as a per-utterance host ISTFT of its trimmed frames."""
+    from dvae_tpu.ops.stft import istft_np, istft_realimag_masked, stft_realimag
+
+    rng = np.random.default_rng(7)
+    lengths = [len(signal), len(signal) - 3 * CFG.hop - 17, len(signal) // 2]
+    wavs = [rng.standard_normal(t).astype(np.float32) * 0.3 for t in lengths]
+    frames = [n_stft_frames(t, CFG) for t in lengths]
+    n_pad = max(frames) + 5  # deliberately over-padded
+    t_pad = (n_pad - 1) * CFG.hop + CFG.nfft
+
+    x = np.zeros((len(wavs), t_pad), np.float32)
+    mask = np.zeros((len(wavs), n_pad), np.float32)
+    for i, w in enumerate(wavs):
+        x[i, : len(w)] = w
+        mask[i, : frames[i]] = 1.0
+
+    re, im = stft_realimag(jnp.asarray(x), CFG)
+    re = np.asarray(re)[:, :n_pad] * mask[:, :, None]
+    im = np.asarray(im)[:, :n_pad] * mask[:, :, None]
+    out = np.asarray(
+        istft_realimag_masked(jnp.asarray(re), jnp.asarray(im), jnp.asarray(mask), CFG)
+    )
+    from dvae_tpu.ops.stft import _window_sumsquare
+
+    for i, w in enumerate(wavs):
+        S_i = re[i, : frames[i]] + 1j * im[i, : frames[i]]
+        ref = istft_np(S_i, CFG, length=len(w))
+        # where the OLA window-sumsquare is well conditioned, match tightly;
+        # near window zeros the 1/wss normalization amplifies float32 noise
+        # identically to librosa, so only bound the absolute error there.
+        wss = _window_sumsquare(CFG.window, CFG.nfft, CFG.hop, frames[i])[: len(w)]
+        good = wss > 1e-6
+        np.testing.assert_allclose(
+            out[i, : len(w)][good], ref[good], rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(out[i, : len(w)], ref, atol=1e-3)
+        # beyond the utterance: exactly zero (masked frames contribute nothing)
+        assert np.abs(out[i, len(w) + CFG.nfft :]).max() == 0.0
