@@ -107,23 +107,26 @@ def evaluate_sweep(
             continue
         todo.append((noisy_rel, clean_rel, out_base))
 
+    chunks = [todo[s : s + batch_size] for s in range(0, len(todo), batch_size)]
+
+    def batches():
+        # generator: wav reading + label loading for batch k+1 happens while
+        # the device still runs batch k (enhance_stream pipelines the rest)
+        for chunk in chunks:
+            wavs, ys = [], []
+            for noisy_rel, clean_rel, _ in chunk:
+                x, fs = read_wav(os.path.join(processed_dir, noisy_rel))
+                wavs.append(x.astype(np.float32))
+                if y_loader is not None:
+                    ys.append(y_loader(noisy_rel, clean_rel))
+            counts = video_frame_counts(
+                processed_dir, [c for _, c, _ in chunk], labels
+            )
+            mf = [c if c is not None else 10**9 for c in counts]
+            yield wavs, (ys if y_loader else None), mf
+
     n_done = 0
-    for start in range(0, len(todo), batch_size):
-        chunk = todo[start : start + batch_size]
-        wavs, ys, max_frames = [], [], []
-        for noisy_rel, clean_rel, _ in chunk:
-            x, fs = read_wav(os.path.join(processed_dir, noisy_rel))
-            wavs.append(x.astype(np.float32))
-            if y_loader is not None:
-                ys.append(y_loader(noisy_rel, clean_rel))
-        counts = video_frame_counts(
-            processed_dir, [c for _, c, _ in chunk], labels
-        )
-        mf = [c if c is not None else 10**9 for c in counts]
-        key, sub = jax.random.split(key)
-        out = enhancer.enhance_batch(
-            wavs, ys=ys if y_loader else None, key=sub, max_frames=mf
-        )
+    for chunk, out in zip(chunks, enhancer.enhance_stream(batches(), key=key)):
         for (noisy_rel, clean_rel, out_base), (s_hat, n_hat) in zip(chunk, out):
             out_base.parent.mkdir(parents=True, exist_ok=True)
             write_wav(out_base.parent / (out_base.name + f"_s_est{suffix}.wav"), s_hat, 16000)

@@ -75,3 +75,42 @@ def test_enhance_with_vad_conditioning(subset_dir, m1):
     ys = [np.asarray(clean_speech_vad(jnp.asarray(x), cfgs)).T.reshape(-1, 1) for x in (x1, x2)]
     out = enh.enhance_batch([x1, x2], ys=ys, key=jax.random.PRNGKey(2))
     assert len(out) == 2 and out[0][0].shape == x1.shape
+
+
+def test_noise_from_partition_matches_device_noise(subset_dir, m1):
+    """Host-side n_est = x - s_est must match the device-synthesized
+    n_est = istft(WFn*X) (the Wiener masks are complementary)."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    key = jax.random.PRNGKey(5)
+    enh_p = Enhancer(model, params, EnhancerConfig(
+        mcem=QUICK_MCEM, noise_from_partition=True, wire_dtype="float32"))
+    enh_d = Enhancer(model, params, EnhancerConfig(
+        mcem=QUICK_MCEM, noise_from_partition=False, wire_dtype="float32"))
+    out_p = enh_p.enhance_batch([x1, x2], key=key)
+    out_d = enh_d.enhance_batch([x1, x2], key=key)
+    for (s_p, n_p), (s_d, n_d), x in zip(out_p, out_d, (x1, x2)):
+        np.testing.assert_allclose(s_p, s_d, rtol=1e-4, atol=1e-5)
+        # the first/last window of librosa-style ISTFT has ill-conditioned
+        # wss normalization; compare the interior
+        sl = slice(1024, len(x) - 1024)
+        np.testing.assert_allclose(n_p[sl], n_d[sl], atol=2e-3)
+
+
+def test_wire_int16_mechanics(subset_dir, m1):
+    """int16 wire: deterministic given the key, and the Wiener partition
+    (s + n == x) holds to within PCM16 quantization of the output.
+
+    (Pointwise comparison against the float32 wire is NOT meaningful: input
+    quantization perturbs the chaotic MH accept/reject trajectory, so the
+    two wires agree statistically, not sample-for-sample.)"""
+    model, params = m1
+    x1, _ = _wavs(subset_dir)
+    key = jax.random.PRNGKey(6)
+    enh = Enhancer(model, params, EnhancerConfig(mcem=QUICK_MCEM, wire_dtype="int16"))
+    s_a, n_a = enh.enhance_batch([x1], key=key)[0]
+    s_b, n_b = enh.enhance_batch([x1], key=key)[0]
+    np.testing.assert_array_equal(s_a, s_b)  # same key -> identical output
+    resid = np.abs((s_a + n_a) - x1)[: len(x1) - 1024]
+    # input PCM16 round-trip + output quantization, both ~peak/32767
+    assert np.median(resid) < np.abs(x1).max() * 3 / 32767
