@@ -41,15 +41,22 @@ def save_checkpoint(model_dir, name: str, params, opt_state=None, metadata: dict
 
 
 def load_checkpoint(path, params_template, opt_state_template=None):
-    """Restore params (and optionally optimizer state) from a checkpoint."""
+    """Restore params (and optionally optimizer state) from a checkpoint.
+
+    Tolerates both payload layouts: params-only and params+opt_state (a
+    params-only load of a params+opt_state file simply ignores the
+    optimizer state)."""
     path = pathlib.Path(path)
-    target = {"params": params_template}
+    raw = serialization.msgpack_restore(path.read_bytes())
+    params = serialization.from_state_dict(params_template, raw["params"])
     if opt_state_template is not None:
-        target["opt_state"] = opt_state_template
-    payload = serialization.from_bytes(target, path.read_bytes())
-    if opt_state_template is not None:
-        return payload["params"], payload["opt_state"]
-    return payload["params"]
+        if "opt_state" not in raw:
+            raise ValueError(
+                f"{path} has no optimizer state (params-only checkpoint)"
+            )
+        opt_state = serialization.from_state_dict(opt_state_template, raw["opt_state"])
+        return params, opt_state
+    return params
 
 
 def partial_load(path, params_template, key_substring: str):

@@ -49,13 +49,14 @@ class LoopConfig:
 
 
 class _Logger:
-    def __init__(self, model_dir):
+    def __init__(self, model_dir, append: bool = False):
         import pathlib
 
         self.dir = pathlib.Path(model_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
-        (self.dir / "output_batch.log").write_text("")
-        (self.dir / "output_epoch.log").write_text("")
+        if not append:
+            (self.dir / "output_batch.log").write_text("")
+            (self.dir / "output_epoch.log").write_text("")
 
     def batch(self, msg):
         with open(self.dir / "output_batch.log", "a") as f:
@@ -65,6 +66,29 @@ class _Logger:
         print(msg)
         with open(self.dir / "output_epoch.log", "a") as f:
             print(msg, file=f)
+
+
+def _resume_checkpoint(model_dir, prefix: str, start_epoch: int):
+    """Path of the epoch-(start_epoch-1) checkpoint, or None.
+
+    The reference's start_epoch knob restarts from scratch (SURVEY §5:
+    "no optimizer-state resume"); here start_epoch > 1 restores both params
+    and optimizer state from the previous epoch's checkpoint."""
+    import pathlib
+
+    if start_epoch <= 1:
+        return None
+    hits = sorted(
+        pathlib.Path(model_dir).glob(f"{prefix}_epoch_{start_epoch - 1:03d}_vloss_*.msgpack")
+    )
+    if not hits:
+        raise FileNotFoundError(
+            f"start_epoch={start_epoch} but no epoch-{start_epoch - 1} checkpoint "
+            f"under {model_dir} — silently restarting from scratch would discard "
+            f"the requested resume. If the run dir name changed because "
+            f"--end-epoch changed, pass --run-name with the original name."
+        )
+    return hits[-1]
 
 
 def _fmt(metrics: dict) -> str:
@@ -109,10 +133,18 @@ def fit_vae(
     if mesh is not None:
         state = replicate(state, mesh)
 
+    resume = _resume_checkpoint(model_dir, prefix, cfg.start_epoch)
+    if resume is not None:
+        params, opt_state = ckpt.load_checkpoint(resume, state.params, state.opt_state)
+        state = state._replace(params=params, opt_state=opt_state)
+        if mesh is not None:
+            state = replicate(state, mesh)
+        print(f"resumed from {resume}")
+
     step = make_train_step(model, tx, conditional, cfg.eps, norm)
     evaluate = make_eval_step(model, conditional, cfg.eps, norm)
 
-    log = _Logger(model_dir)
+    log = _Logger(model_dir, append=resume is not None)
     history = []
     best = (np.inf, None)
     n_train = max(1, -(-len(train_ds) // cfg.batch_size))
@@ -150,6 +182,7 @@ def fit_vae(
         vloss = valid_avg["elbo"]
         name = ckpt.checkpoint_name(prefix, epoch, vloss)
         ckpt.save_checkpoint(model_dir, name, state.params,
+                             opt_state=state.opt_state,
                              metadata={"epoch": epoch, **valid_avg})
         history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
         if vloss < best[0]:
@@ -192,6 +225,16 @@ def fit_adversarial(
     if mesh is not None:
         state = replicate(state, mesh)
 
+    resume = _resume_checkpoint(model_dir, prefix, cfg.start_epoch)
+    if resume is not None:
+        params, (ose, osa) = ckpt.load_checkpoint(
+            resume, state.params, (state.opt_state_enc, state.opt_state_aux)
+        )
+        state = state._replace(params=params, opt_state_enc=ose, opt_state_aux=osa)
+        if mesh is not None:
+            state = replicate(state, mesh)
+        print(f"resumed from {resume}")
+
     step = make_adversarial_step(
         model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
         legacy_aux_coupling=legacy_aux_coupling, use_y_hat_soft=use_y_hat_soft,
@@ -199,7 +242,7 @@ def fit_adversarial(
     evaluate = make_adversarial_eval_step(model, alpha, beta, gamma, cfg.eps,
                                           use_y_hat_soft=use_y_hat_soft)
 
-    log = _Logger(model_dir)
+    log = _Logger(model_dir, append=resume is not None)
     history = []
     best = (np.inf, None)
     n_train = max(1, -(-len(train_ds) // cfg.batch_size))
@@ -237,6 +280,7 @@ def fit_adversarial(
         vloss = valid_avg["enc"]
         name = ckpt.checkpoint_name(prefix, epoch, vloss)
         ckpt.save_checkpoint(model_dir, name, state.params,
+                             opt_state=(state.opt_state_enc, state.opt_state_aux),
                              metadata={"epoch": epoch, **valid_avg})
         history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
         if vloss < best[0]:

@@ -31,6 +31,9 @@ def add_common(ap: argparse.ArgumentParser, training: bool = False):
         ap.add_argument("--log-interval", type=int, default=250)
         ap.add_argument("--seed", type=int, default=0)
         ap.add_argument("--std-norm", action="store_true")
+        ap.add_argument("--run-name", default=None,
+                        help="override the auto-mangled run dir name (use when "
+                             "resuming with --start-epoch and a new --end-epoch)")
         ap.add_argument("--z-dim", type=int, default=16)
         ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
         ap.add_argument("--data-parallel", action="store_true",
@@ -64,7 +67,12 @@ def raw_dir(args) -> str:
 
 def mangle(prefix: str, args, extra: str = "") -> str:
     """Reference naming scheme, e.g.
-    ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500 (training_M1.py:60)."""
+    ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500 (training_M1.py:60).
+
+    ``--run-name`` overrides it — needed when resuming with a different
+    --end-epoch, since the auto name bakes end_epoch in."""
+    if getattr(args, "run_name", None):
+        return args.run_name
     norm = "norm" if getattr(args, "std_norm", False) else "nonorm"
     hdim = "_".join(f"{h:03d}" for h in args.h_dim)
     name = f"{prefix}_{extra + '_' if extra else ''}{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}_end_epoch_{args.end_epoch:03d}"

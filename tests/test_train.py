@@ -136,3 +136,44 @@ def test_checkpoint_partial_load(tmp_path):
         np.asarray(p2["params"]["auxiliary"]["output_layer"]["kernel"]))
     sub = ckpt.extract_submodule(merged, "params", "enc_dec_clf")
     assert set(sub.keys()) == {"encoder", "decoder", "classifier"}
+
+
+def test_fit_vae_resume_restores_optimizer_state(tmp_path, subset_dir):
+    """start_epoch > 1 must continue from the previous epoch's checkpoint
+    (params AND Adam state) and produce the same result as an uninterrupted
+    run with the same seed/schedule."""
+    train = FrameDataset(SUBSET_H5, "train")
+    valid = FrameDataset(SUBSET_H5, "validation")
+    model = VAE(x_dim=513, z_dim=16, h_dim=(32, 32))
+
+    full_dir = tmp_path / "full"
+    cfg_full = LoopConfig(batch_size=64, start_epoch=1, end_epoch=4, log_interval=10)
+    fit_vae(model, train, valid, full_dir, "M1", False, cfg_full)
+
+    # interrupted run: epochs 1-2, then resume for epoch 3
+    part_dir = tmp_path / "part"
+    cfg_a = LoopConfig(batch_size=64, start_epoch=1, end_epoch=3, log_interval=10)
+    fit_vae(model, train, valid, part_dir, "M1", False, cfg_a)
+    cfg_b = LoopConfig(batch_size=64, start_epoch=3, end_epoch=4, log_interval=10)
+    fit_vae(model, train, valid, part_dir, "M1", False, cfg_b)
+
+    # NOTE: the data-shuffle rng restarts per call, so trajectories are not
+    # bitwise identical; but a resumed epoch-3 with restored Adam state must
+    # land close to the uninterrupted epoch-3 — and checkpoints must carry
+    # opt_state (load with template succeeds).
+    import json
+
+    v_full = json.loads((sorted(full_dir.glob("M1_epoch_003_*.json"))[0]).read_text())
+    v_part = json.loads((sorted(part_dir.glob("M1_epoch_003_*.json"))[0]).read_text())
+    assert abs(v_full["elbo"] - v_part["elbo"]) < 0.05 * abs(v_full["elbo"])
+
+    from dvae_tpu.train.steps import adam, init_train_state
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(train._x[:8]),
+    )
+    state = init_train_state(model, params, adam(1e-4))
+    best = ckpt.best_checkpoint(part_dir, "M1")
+    p, o = ckpt.load_checkpoint(best, state.params, state.opt_state)
+    assert jax.tree.structure(o) == jax.tree.structure(state.opt_state)
