@@ -75,17 +75,39 @@ class EnhancerConfig:
 
 
 class Enhancer:
-    """Binds a trained model's params to the jitted enhancement program."""
+    """Binds a trained model's params to the jitted enhancement program.
 
-    def __init__(self, model, params, cfg: EnhancerConfig = EnhancerConfig()):
+    Pass a ``jax.sharding.Mesh`` to shard the utterance batch over its
+    ``data`` axis — the multi-chip replacement for the reference's
+    utterance-sharding process pool (evaluate_ntcd_M1.py:248-259): one SPMD
+    program, params replicated, batch split over ICI-connected chips, no
+    host fan-out. Batch sizes must be divisible by the mesh size (the
+    sweep's bucketing pads utterance counts, not the mesh divisor — keep
+    batch_size a multiple of the mesh size).
+    """
+
+    def __init__(self, model, params, cfg: EnhancerConfig = EnhancerConfig(), mesh=None):
         self.model = model
-        self.params = params
         self.cfg = cfg
+        self.mesh = mesh
         if cfg.y_mode not in ("none", "enc_dec", "dec_only"):
             raise ValueError(f"bad y_mode {cfg.y_mode!r}")
         if cfg.wire_dtype not in ("int16", "float32"):
             raise ValueError(f"bad wire_dtype {cfg.wire_dtype!r}")
+        if mesh is not None:
+            from dvae_tpu.parallel import replicate
+
+            params = replicate(params, mesh)
+        self.params = params
         self._core = self._build_core()
+
+    def _shard(self, arr):
+        """Device-put a batch-leading array sharded over the mesh (or as-is)."""
+        if self.mesh is None or arr is None:
+            return jnp.asarray(arr) if arr is not None else None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
 
     # -- device program ------------------------------------------------------
     def _build_core(self) -> Callable:
@@ -145,6 +167,17 @@ class Enhancer:
 
         Returns an opaque handle for :meth:`_collect`."""
         cfg = self.cfg
+        n_real = len(wavs)
+        if self.mesh is not None and n_real % self.mesh.devices.size:
+            # pad the batch to a mesh-divisible size with 1-frame silent
+            # utterances (dropped again in _collect)
+            pad_n = -(-n_real // self.mesh.devices.size) * self.mesh.devices.size - n_real
+            wavs = list(wavs) + [np.zeros(cfg.stft.nfft, np.float32)] * pad_n
+            if ys is not None:
+                y_dim = np.asarray(ys[0]).shape[-1]
+                ys = list(ys) + [np.zeros((1, y_dim), np.float32)] * pad_n
+            if max_frames is not None:
+                max_frames = list(max_frames) + [1] * pad_n
         b = len(wavs)
         frames = [n_stft_frames(len(w), cfg.stft) for w in wavs]
         if max_frames is not None:
@@ -182,14 +215,19 @@ class Enhancer:
             y = jnp.asarray(y)
 
         out_dev = self._core(
-            self.params, jnp.asarray(xw), jnp.asarray(x_scale), jnp.asarray(mask),
-            y, key if key is not None else jax.random.PRNGKey(0), n_frames=n_pad,
+            self.params, self._shard(xw), self._shard(x_scale), self._shard(mask),
+            self._shard(y) if y is not None else None,
+            key if key is not None else jax.random.PRNGKey(0), n_frames=n_pad,
         )
         if cfg.noise_from_partition:
             # coverage: samples synthesizable from each utterance's frames
-            cover = [(fi - 1) * cfg.stft.hop + cfg.stft.nfft for fi in frames]
-            return out_dev, ([len(w) for w in wavs], [np.asarray(w, np.float32) for w in wavs], cover)
-        return out_dev, [len(w) for w in wavs]
+            cover = [(fi - 1) * cfg.stft.hop + cfg.stft.nfft for fi in frames[:n_real]]
+            return out_dev, (
+                [len(w) for w in wavs[:n_real]],
+                [np.asarray(w, np.float32) for w in wavs[:n_real]],
+                cover,
+            )
+        return out_dev, [len(w) for w in wavs[:n_real]]
 
     def _collect(self, handle) -> list[tuple[np.ndarray, np.ndarray]]:
         """Pull a dispatched batch back to the host and finalize lengths."""

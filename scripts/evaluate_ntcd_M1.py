@@ -9,7 +9,7 @@ resume-by-skip."""
 import argparse
 import os
 
-from _lib import add_common, maybe_force_platform, processed_dir
+from _lib import add_common, make_mesh_if, maybe_force_platform, processed_dir
 
 
 def main():
@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--nmf-rank", type=int, default=10)
     ap.add_argument("--snr", default="10", help="SNR filter ('all' = every SNR)")
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each utterance batch over all visible devices")
     ap.add_argument("--output-dir", default=None)
     args = ap.parse_args()
     maybe_force_platform(args)
@@ -46,7 +48,8 @@ def main():
     print(f"loaded {path}")
 
     enh = Enhancer(model, params,
-                   EnhancerConfig(mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)))
+                   EnhancerConfig(mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)),
+                   mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
     # at a read-only corpus); layout mirrors the reference's
     # data/<size>/models/<ckpt>/... convention one level up.

@@ -8,7 +8,7 @@ produced by the sibling audio-visual-vad repo)."""
 import argparse
 import os
 
-from _lib import add_common, maybe_force_platform, processed_dir, y_dim_for
+from _lib import add_common, make_mesh_if, maybe_force_platform, processed_dir, y_dim_for
 
 
 def main():
@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--nmf-rank", type=int, default=10)
     ap.add_argument("--snr", default="10")
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each utterance batch over all visible devices")
     ap.add_argument("--y-source", default="oracle", choices=["oracle", "classifier", "ones", "zeros"],
                     help="oracle h5 labels, classifier .pt outputs, or constant-label ablations (reference *_oracle_0/1 goldens)")
     ap.add_argument("--classifier-dir", default=None,
@@ -69,7 +71,8 @@ def main():
               "ones": "_oracle_1", "zeros": "_oracle_0"}[args.y_source]
 
     enh = Enhancer(model, params, EnhancerConfig(
-        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="enc_dec"))
+        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="enc_dec"),
+        mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
     # at a read-only corpus)
     out_dir = args.output_dir or os.path.join(

@@ -9,7 +9,7 @@ classifier outputs."""
 import argparse
 import os
 
-from _lib import add_common, maybe_force_platform, processed_dir
+from _lib import add_common, make_mesh_if, maybe_force_platform, processed_dir
 
 
 def main():
@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--nmf-rank", type=int, default=10)
     ap.add_argument("--snr", default="10")
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each utterance batch over all visible devices")
     ap.add_argument("--y-source", default="oracle",
                     choices=["oracle", "classifier", "ones", "zeros"])
     ap.add_argument("--classifier-dir", default=None)
@@ -68,7 +70,8 @@ def main():
     # the Enhancer only touches encode/decode; DisentangledVAE exposes the
     # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)
     enh = Enhancer(model, params, EnhancerConfig(
-        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="dec_only"))
+        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="dec_only"),
+        mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
     # at a read-only corpus)
     out_dir = args.output_dir or os.path.join(
