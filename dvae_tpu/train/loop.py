@@ -31,6 +31,7 @@ from dvae_tpu.train.steps import (
     make_adversarial_eval_step,
     make_adversarial_step,
     make_eval_step,
+    make_multi_train_step,
     make_train_step,
 )
 
@@ -46,6 +47,10 @@ class LoopConfig:
     eps: float = 1e-8
     std_norm: bool = False
     drop_last: bool = False
+    # K optimizer steps per device dispatch (lax.scan over stacked batches,
+    # steps.make_multi_train_step): identical math, K-1 fewer host round
+    # trips per K batches. 1 = reference-style one dispatch per batch.
+    steps_per_dispatch: int = 1
 
 
 class _Logger:
@@ -95,14 +100,23 @@ def _fmt(metrics: dict) -> str:
     return "    ".join(f"{k}: {float(v):.3f}" for k, v in metrics.items())
 
 
-def _pad_batch(x, batch_size, mesh):
-    """Pad the trailing partial batch so its leading dim stays shardable."""
-    if mesh is None or x.shape[0] % mesh.devices.size == 0:
-        return x, x.shape[0]
-    n = x.shape[0]
-    target = -(-n // mesh.devices.size) * mesh.devices.size
-    pad = np.zeros((target - n, *x.shape[1:]), x.dtype)
-    return np.concatenate([x, pad]), n
+def _pad_shardable(batch, mesh):
+    """Wrap-pad a trailing partial batch so its leading dim divides the mesh.
+
+    Wrapping (repeating rows from the batch start) keeps every row a real
+    sample — zero-padding would feed x=0 into the Itakura-Saito ELBO, whose
+    log(x/r) term is -inf at zero. The duplicated rows slightly overweight
+    that one trailing batch's gradient; the alternative (drop_last) changes
+    the epoch's sample count vs the reference."""
+    if mesh is None:
+        return batch
+    size = mesh.devices.size
+    n = batch[0].shape[0]
+    if n % size == 0:
+        return batch
+    target = -(-n // size) * size
+    idx = np.arange(target) % n
+    return tuple(b[idx] if b is not None else None for b in batch)
 
 
 def fit_vae(
@@ -142,6 +156,9 @@ def fit_vae(
         print(f"resumed from {resume}")
 
     step = make_train_step(model, tx, conditional, cfg.eps, norm)
+    multi_step = None
+    if cfg.steps_per_dispatch > 1:
+        multi_step = make_multi_train_step(model, tx, conditional, cfg.eps, norm)
     evaluate = make_eval_step(model, conditional, cfg.eps, norm)
 
     log = _Logger(model_dir, append=resume is not None)
@@ -153,21 +170,66 @@ def fit_vae(
     for epoch in range(cfg.start_epoch, cfg.end_epoch):
         t0 = time.perf_counter()
         totals = {}
-        for i, (x, y) in enumerate(train_ds.batches(cfg.batch_size, rng, cfg.drop_last)):
-            key, sk = jax.random.split(key)
-            if mesh is not None:
-                x, y = shard_batch((x, y), mesh)
-            state, metrics = step(state, x, y, sk) if conditional else step(state, x, sk)
+        i = 0
+        buf = []
+
+        def flush(state, key):
+            """Run the buffered batches: one scanned dispatch when the buffer
+            holds several same-shape batches, the plain step otherwise.
+            Metrics from a scanned dispatch are per-step means, so they enter
+            the epoch totals weighted by the number of steps."""
+            nonlocal i
+            if not buf:
+                return state
+            if multi_step is not None and len(buf) > 1:
+                xs = np.stack([b[0] for b in buf])
+                ys = np.stack([b[1] for b in buf])
+                state, metrics = (
+                    multi_step(state, xs, ys, key) if conditional
+                    else multi_step(state, xs, key)
+                )
+                weight = len(buf)
+            else:
+                x, y = buf[0]
+                if mesh is not None:
+                    x, y = _pad_shardable((x, y), mesh)
+                    x, y = shard_batch((x, y), mesh)
+                state, metrics = step(state, x, y, key) if conditional else step(state, x, key)
+                weight = 1
             for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            if i % cfg.log_interval == 0:
+                totals[k] = totals.get(k, 0.0) + float(v) * weight
+            if i % cfg.log_interval < weight:
                 log.batch(f"Train Epoch: {epoch:2d} [{i}/{n_train}]    {_fmt(metrics)}")
+            i += weight
+            buf.clear()
+            return state
+
+        # multi-step dispatch requires same-shape batches and (for now) no
+        # mesh (the scan carries unsharded stacks); fall back otherwise
+        group = cfg.steps_per_dispatch if (multi_step is not None and mesh is None) else 1
+        first_shape = None
+        for x, y in train_ds.batches(cfg.batch_size, rng, cfg.drop_last):
+            key, sk = jax.random.split(key)
+            if first_shape is None:
+                first_shape = x.shape
+            if x.shape != first_shape:  # ragged trailing batch: run alone
+                state = flush(state, sk)
+                buf.append((x, y))
+                key, sk = jax.random.split(key)
+                state = flush(state, sk)
+                continue
+            buf.append((x, y))
+            if len(buf) >= group:
+                state = flush(state, sk)
+        key, sk = jax.random.split(key)
+        state = flush(state, sk)
         train_avg = {k: v / n_train for k, v in totals.items()}
 
         totals = {}
         for x, y in valid_ds.batches(cfg.batch_size):
             key, sk = jax.random.split(key)
             if mesh is not None:
+                x, y = _pad_shardable((x, y), mesh)
                 x, y = shard_batch((x, y), mesh)
             m = evaluate(state.params, x, y, sk) if conditional else evaluate(state.params, x, sk)
             for k, v in m.items():
@@ -254,6 +316,7 @@ def fit_adversarial(
         for i, (x, y) in enumerate(train_ds.batches(cfg.batch_size, rng, cfg.drop_last)):
             key, sk = jax.random.split(key)
             if mesh is not None:
+                x, y = _pad_shardable((x, y), mesh)
                 x, y = shard_batch((x, y), mesh)
             state, metrics = step(state, x, y, sk)
             for k, v in metrics.items():
@@ -266,6 +329,7 @@ def fit_adversarial(
         for x, y in valid_ds.batches(cfg.batch_size):
             key, sk = jax.random.split(key)
             if mesh is not None:
+                x, y = _pad_shardable((x, y), mesh)
                 x, y = shard_batch((x, y), mesh)
             m = evaluate(state.params, x, y, sk)
             for k, v in m.items():

@@ -31,6 +31,9 @@ def add_common(ap: argparse.ArgumentParser, training: bool = False):
         ap.add_argument("--log-interval", type=int, default=250)
         ap.add_argument("--seed", type=int, default=0)
         ap.add_argument("--std-norm", action="store_true")
+        ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="optimizer steps per device dispatch (lax.scan); "
+                             "amortizes host round-trips, identical math")
         ap.add_argument("--run-name", default=None,
                         help="override the auto-mangled run dir name (use when "
                              "resuming with --start-epoch and a new --end-epoch)")

@@ -31,6 +31,7 @@ def main():
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         start_epoch=args.start_epoch, end_epoch=args.end_epoch,
         log_interval=args.log_interval, seed=args.seed, std_norm=args.std_norm,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     import os
 

@@ -42,6 +42,7 @@ def main():
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         start_epoch=args.start_epoch, end_epoch=args.end_epoch,
         log_interval=args.log_interval, seed=args.seed, std_norm=args.std_norm,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     model_dir = os.path.join(args.models_root, model_name)
     print(f"training {model_name}")

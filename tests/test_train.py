@@ -177,3 +177,48 @@ def test_fit_vae_resume_restores_optimizer_state(tmp_path, subset_dir):
     best = ckpt.best_checkpoint(part_dir, "M1")
     p, o = ckpt.load_checkpoint(best, state.params, state.opt_state)
     assert jax.tree.structure(o) == jax.tree.structure(state.opt_state)
+
+
+def test_multi_step_dispatch_matches_sequential():
+    """make_multi_train_step(K batches in one lax.scan dispatch) must produce
+    bitwise the same params as K sequential make_train_step calls with the
+    same per-step keys."""
+    from dvae_tpu.train.steps import (
+        adam, init_train_state, make_multi_train_step, make_train_step,
+    )
+
+    model = VAE(x_dim=64, z_dim=8, h_dim=(16,))
+    rng = np.random.default_rng(0)
+    xs = np.abs(rng.standard_normal((4, 16, 64))).astype(np.float32) + 0.1
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(xs[0]),
+    )
+    tx = adam(1e-3)
+    s_seq = init_train_state(model, params, tx)
+    s_multi = init_train_state(model, params, tx)
+
+    key = jax.random.PRNGKey(7)
+    keys = jax.random.split(key, 4)
+    step = make_train_step(model, tx, conditional=False)
+    for k in range(4):
+        s_seq, m_seq = step(s_seq, jnp.asarray(xs[k]), keys[k])
+
+    multi = make_multi_train_step(model, tx, conditional=False)
+    s_multi, m_multi = multi(s_multi, jnp.asarray(xs), key)
+
+    assert int(s_multi.step) == int(s_seq.step) == 4
+    for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_fit_vae_steps_per_dispatch(tmp_path, subset_dir):
+    """The loop with steps_per_dispatch>1 trains and checkpoints normally."""
+    train = FrameDataset(SUBSET_H5, "train")
+    valid = FrameDataset(SUBSET_H5, "validation")
+    cfg = LoopConfig(batch_size=64, start_epoch=1, end_epoch=3,
+                     log_interval=1, steps_per_dispatch=4)
+    model = VAE(x_dim=513, z_dim=16, h_dim=(32, 32))
+    params, history = fit_vae(model, train, valid, tmp_path, "M1", False, cfg)
+    assert len(history) == 2
+    assert (tmp_path / "output_epoch.log").read_text().count("Validation") == 2
