@@ -41,7 +41,7 @@ def main():
     pairs = ntcd_timit.proc_noisy_clean_pair_dict(
         proc + "/", "test", args.dataset_size, args.labels, upsampled=True)
     items = list(pairs.items())
-    if args.snr:
+    if args.snr and args.snr != "all":
         items = [it for it in items if it[0].split("/")[-4] == args.snr]
 
     use_pesq = pesq_available()
@@ -79,8 +79,16 @@ def main():
             "Stationary noise" if noise_type in STATIONARY else "Nonstationary noise")
 
     if not rows:
-        raise SystemExit(f"no enhanced files found under {args.model_output_dir} "
-                         f"({missing} expected paths missing)")
+        hint = (
+            f"looked for <dir>/ntcd_timit/Noisy/<type>/<snr>/test/..._s_est{args.suffix}.wav "
+            f"for {len(items)} catalog entries ({missing} missing)"
+        )
+        if not items:
+            hint = (f"the catalog produced no entries for snr={args.snr!r}, "
+                    f"labels={args.labels!r} — check --snr/--labels")
+        raise SystemExit(
+            f"no enhanced files found under {args.model_output_dir}: {hint}"
+        )
     if missing:
         print(f"note: {missing} utterances missing enhanced output, skipped")
     if not use_pesq:

@@ -1,0 +1,67 @@
+"""Metric-stack validation against the reference's golden enhanced wavs.
+
+The reference ships enhanced outputs of ~17 trained checkpoints under
+data/subset/models (SURVEY §4.2). We can't regenerate them (no .pt
+checkpoints ship), but scoring them with OUR SI-SDR/ESTOI implementations
+pins the metrics layer against known-good enhancement artifacts:
+
+* absolute values regression-pinned (vs first measurement on this machine);
+* the oracle-latent no-MCEM ablation must score >= the full MCEM output
+  (it reconstructs from the clean-speech latent);
+* the IBM-conditioned M2 must beat M1 on the hardest utterance.
+"""
+
+import numpy as np
+import pytest
+
+from dvae_tpu.data.io import read_wav
+from dvae_tpu.eval.si_sdr import si_sdr_leroux
+from dvae_tpu.eval.stoi import stoi
+
+G = "/root/reference/data/subset/models"
+M1 = "ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500/M1_epoch_118_vloss_416.54"
+M2 = "ntcd_M2_IBM_nonorm_hdim_128_128_zdim_016_end_epoch_500/M2_epoch_037_vloss_410.62"
+
+# (model, utt, suffix) -> (si_sdr, estoi) measured with this metric stack
+PINNED = {
+    (M1, "sa1", "_s_est"): (-8.65, 0.253),
+    (M1, "sa1", "_clean_z_nomcem_s_est"): (-2.99, 0.503),
+    (M1, "sa2", "_s_est"): (9.64, 0.646),
+    (M2, "sa1", "_s_est"): (-6.41, 0.460),
+    (M2, "si494", "_s_est"): (7.47, 0.560),
+}
+
+
+def _score(model, utt, suffix, subset_dir):
+    clean, fs = read_wav(
+        subset_dir / f"processed/ntcd_timit/Clean/test/34M/{utt}.wav"
+    )
+    s, _ = read_wav(f"{G}/{model}/ntcd_timit/Clean/test/34M/{utt}{suffix}.wav")
+    n = min(len(s), len(clean))
+    return (
+        float(si_sdr_leroux(s[:n], clean[:n])),
+        float(stoi(clean[:n], s[:n], fs, extended=True)),
+    )
+
+
+@pytest.mark.parametrize("key", sorted(PINNED, key=str))
+def test_golden_scores_pinned(key, subset_dir):
+    model, utt, suffix = key
+    sd, st = _score(model, utt, suffix, subset_dir)
+    sd_ref, st_ref = PINNED[key]
+    assert abs(sd - sd_ref) < 0.05, (sd, sd_ref)
+    assert abs(st - st_ref) < 0.005, (st, st_ref)
+
+
+def test_oracle_latent_beats_mcem_output(subset_dir):
+    for model in (M1, M2):
+        for utt in ("sa1", "si494"):
+            _, st_full = _score(model, utt, "_s_est", subset_dir)
+            _, st_oracle = _score(model, utt, "_clean_z_nomcem_s_est", subset_dir)
+            assert st_oracle >= st_full - 1e-6, (model, utt)
+
+
+def test_ibm_conditioning_beats_m1_on_hard_utterance(subset_dir):
+    _, st_m1 = _score(M1, "sa1", "_s_est", subset_dir)
+    _, st_m2 = _score(M2, "sa1", "_s_est", subset_dir)
+    assert st_m2 > st_m1
