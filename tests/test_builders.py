@@ -68,3 +68,25 @@ def test_copy_ntcd_noisy_test(tmp_path, subset_dir):
     n = builders.copy_ntcd_noisy_test(RAW, tmp_path, "test", "subset")
     assert n == 6  # Babble,LR x -5 x {sa1,sa2,si494}
     assert (tmp_path / "ntcd_timit/Noisy/LR/-5/test/34M/si494.wav").exists()
+
+
+def test_audio_visual_dataset(subset_dir):
+    """AudioVisualDataset: audio/video/labels trimmed to the common frame
+    count (reference data_handling.py:225-334 semantics)."""
+    from dvae_tpu.data.av_dataset import AudioVisualDataset
+
+    proc = subset_dir / "processed/ntcd_timit"
+    wav = proc / "Noisy/Babble/-5/test/34M/sa1.wav"
+    video = proc / "matlab_raw/test/34M/sa1_upsampled.h5"
+    label = proc / "Clean/test/34M/sa1_vad_labels_upsampled.h5"
+    import pytest as _pytest
+
+    if not (wav.exists() and video.exists() and label.exists()):
+        _pytest.skip("subset fixture files missing")
+    ds = AudioVisualDataset([(wav, video, label)])
+    x, v, y = ds[0]
+    assert v.shape[1:] == (67, 67)
+    assert v.shape[0] == y.shape[0]  # common frame count
+    n = v.shape[0]
+    assert len(x) == (n - 1) * 256 + 1024  # audio trimmed to produce n frames
+    assert np.abs(x).max() <= 1.0 + 1e-6  # peak-normalized
