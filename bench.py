@@ -29,7 +29,7 @@ from dvae_tpu.models import VAE
 
 REFERENCE_CPU_SEC_PER_UTT = 45.2  # torch reference engine, same budget (see above)
 SUBSET = "/root/reference/data/subset/processed/ntcd_timit"
-BATCH = 16
+BATCH = 32  # measured sweet spot: 52.7 utt/s bare-engine vs 48.8 at B=16
 REPEATS = 3
 
 

@@ -72,6 +72,11 @@ class EnhancerConfig:
     # match the reference's N_hat (which is synthesized from those frames
     # only). Tested against the device-computed n_est.
     noise_from_partition: bool = True
+    # Largest per-dispatch utterance count. XLA's fusion of the MCEM scan
+    # degrades past ~32 utterances of ~320 frames on v5e (measured: B=32
+    # 52.7 utt/s, B=64 35.5 utt/s for the bare engine) — oversized requests
+    # are split into sub-dispatches that pipeline like separate batches.
+    max_device_batch: int = 32
 
 
 class Enhancer:
@@ -280,7 +285,25 @@ class Enhancer:
         Returns:
             list of (s_hat, n_hat) float32 waveforms, each len(wavs[i]).
         """
-        return self._collect(self._dispatch(wavs, ys, key, max_frames))
+        mdb = self.cfg.max_device_batch
+        if len(wavs) <= mdb:
+            return self._collect(self._dispatch(wavs, ys, key, max_frames))
+        # oversized request: split into sub-dispatches, enqueue all before
+        # collecting (they pipeline like separate stream batches)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sl = lambda seq, a, b: None if seq is None else seq[a:b]
+        handles = []
+        for j, a in enumerate(range(0, len(wavs), mdb)):
+            b = a + mdb
+            handles.append(self._dispatch(
+                wavs[a:b], sl(ys, a, b), jax.random.fold_in(key, j),
+                sl(max_frames, a, b),
+            ))
+        out = []
+        for h in handles:
+            out.extend(self._collect(h))
+        return out
 
     def enhance_stream(self, batches, key: jax.Array | None = None):
         """Pipelined enhancement over an iterable of batches.

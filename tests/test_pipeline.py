@@ -153,3 +153,19 @@ def test_enhance_batch_sharded_over_mesh(subset_dir, m1):
     for (sa, _), (sb, _) in zip(out_a, out_b):
         scale = np.abs(sa).max() + 1e-9
         np.testing.assert_allclose(sa / scale, sb / scale, atol=1e-4)
+
+
+def test_max_device_batch_split(subset_dir, m1):
+    """Requests above max_device_batch split into sub-dispatches whose
+    results concatenate in order and keep the Wiener partition."""
+    import dataclasses
+
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    wavs = [x1, x2, x1[:40000]]
+    cfg = EnhancerConfig(mcem=QUICK_MCEM, max_device_batch=2)
+    out = Enhancer(model, params, cfg).enhance_batch(wavs, key=jax.random.PRNGKey(3))
+    assert [len(s) for s, _ in out] == [len(w) for w in wavs]
+    for (s, n), x in zip(out, wavs):
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
