@@ -17,26 +17,38 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+# float32 cannot represent 1 - 1e-8 (ulp at 1.0 is ~6e-8): a clip upper
+# bound that rounds back to 1.0 would leave log(1-r) = -inf, and XLA's
+# reassociation of the reference's additive form (1 - r + eps) hits the
+# same -inf, which 0-weighted loss terms then turn into 0*inf = nan.
+_SAT = 1.2e-7
+
+
 def binary_cross_entropy(r, x, eps: float = 1e-8):
-    """-mean_B sum_F [x log(r+eps) + (1-x) log(1-r+eps)] (utils.py:55)."""
-    return -jnp.mean(
-        jnp.sum(x * jnp.log(r + eps) + (1 - x) * jnp.log(1 - r + eps), axis=-1)
-    )
+    """-mean_B sum_F [x log(r) + (1-x) log(1-r)] with r clipped into
+    [eps, 1 - max(eps, ulp)] (reference utils.py:55 adds eps inside the log
+    instead — numerically equal away from saturation, and safe at it)."""
+    r = jnp.clip(r, eps, 1.0 - max(eps, _SAT))
+    return -jnp.mean(jnp.sum(x * jnp.log(r) + (1 - x) * jnp.log(1 - r), axis=-1))
 
 
 def binary_cross_entropy_v2(r, eps: float = 1e-8):
     """Cross-entropy against a uniform 0.5 target (utils.py:59)."""
-    return -jnp.mean(jnp.sum(0.5 * jnp.log(r + eps) + 0.5 * jnp.log(1 - r + eps), axis=-1))
+    r = jnp.clip(r, eps, 1.0 - max(eps, _SAT))
+    return -jnp.mean(jnp.sum(0.5 * jnp.log(r) + 0.5 * jnp.log(1 - r), axis=-1))
 
 
 def binary_cross_entropy_v3(r, eps: float = 1e-8):
     """Negative entropy of the prediction itself (utils.py:62)."""
-    return -jnp.mean(jnp.sum(r * jnp.log(r + eps) + (1 - r) * jnp.log(1 - r + eps), axis=-1))
+    rc = jnp.clip(r, eps, 1.0 - max(eps, _SAT))
+    return -jnp.mean(jnp.sum(r * jnp.log(rc) + (1 - r) * jnp.log(1 - rc), axis=-1))
 
 
 def binary_cross_entropy_2classes(r1, r2, x, eps: float = 1e-8):
     """Two-head variant: r1 is p(y=1), r2 is p(y=0) (utils.py:65)."""
-    return -jnp.mean(jnp.sum(x * jnp.log(r1 + eps) + (1 - x) * jnp.log(r2 + eps), axis=-1))
+    r1 = jnp.clip(r1, eps, 1.0)
+    r2 = jnp.clip(r2, eps, 1.0)
+    return -jnp.mean(jnp.sum(x * jnp.log(r1) + (1 - x) * jnp.log(r2), axis=-1))
 
 
 # ---------------------------------------------------------------------------

@@ -301,6 +301,13 @@ def fit_adversarial(
         model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
         legacy_aux_coupling=legacy_aux_coupling, use_y_hat_soft=use_y_hat_soft,
     )
+    multi_step = None
+    if cfg.steps_per_dispatch > 1:
+        multi_step = make_adversarial_step(
+            model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
+            legacy_aux_coupling=legacy_aux_coupling,
+            use_y_hat_soft=use_y_hat_soft, multi=True,
+        )
     evaluate = make_adversarial_eval_step(model, alpha, beta, gamma, cfg.eps,
                                           use_y_hat_soft=use_y_hat_soft)
 
@@ -313,16 +320,50 @@ def fit_adversarial(
     for epoch in range(cfg.start_epoch, cfg.end_epoch):
         t0 = time.perf_counter()
         totals = {}
-        for i, (x, y) in enumerate(train_ds.batches(cfg.batch_size, rng, cfg.drop_last)):
-            key, sk = jax.random.split(key)
-            if mesh is not None:
-                x, y = _pad_shardable((x, y), mesh)
-                x, y = shard_batch((x, y), mesh)
-            state, metrics = step(state, x, y, sk)
+        i = 0
+        buf = []
+
+        def flush(state, key):
+            nonlocal i
+            if not buf:
+                return state
+            if multi_step is not None and len(buf) > 1:
+                xs = np.stack([b[0] for b in buf])
+                ys = np.stack([b[1] for b in buf])
+                state, metrics = multi_step(state, xs, ys, key)
+                weight = len(buf)
+            else:
+                x, y = buf[0]
+                if mesh is not None:
+                    x, y = _pad_shardable((x, y), mesh)
+                    x, y = shard_batch((x, y), mesh)
+                state, metrics = step(state, x, y, key)
+                weight = 1
             for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            if i % cfg.log_interval == 0:
+                totals[k] = totals.get(k, 0.0) + float(v) * weight
+            if i % cfg.log_interval < weight:
                 log.batch(f"Train Epoch: {epoch:2d} [{i}/{n_train}]    {_fmt(metrics)}")
+            i += weight
+            buf.clear()
+            return state
+
+        group = cfg.steps_per_dispatch if (multi_step is not None and mesh is None) else 1
+        first_shape = None
+        for x, y in train_ds.batches(cfg.batch_size, rng, cfg.drop_last):
+            key, sk = jax.random.split(key)
+            if first_shape is None:
+                first_shape = x.shape
+            if x.shape != first_shape:
+                state = flush(state, sk)
+                buf.append((x, y))
+                key, sk = jax.random.split(key)
+                state = flush(state, sk)
+                continue
+            buf.append((x, y))
+            if len(buf) >= group:
+                state = flush(state, sk)
+        key, sk = jax.random.split(key)
+        state = flush(state, sk)
         train_avg = {k: v / n_train for k, v in totals.items()}
 
         totals = {}

@@ -190,12 +190,17 @@ def make_adversarial_step(
     eps: float = 1e-8,
     legacy_aux_coupling: bool = False,
     use_y_hat_soft: bool = False,
+    multi: bool = False,
 ) -> Callable:
     """Returns jitted ``step(state, x, y, key) -> (state, metrics)``.
 
     ``use_y_hat_soft=True`` feeds the classifier's soft prediction to the
     decoder instead of the true label (the _pretrain variant,
     training_M2_info_vad_pretrain.py:163).
+
+    ``multi=True`` returns ``step(state, xs (K,B,F), ys (K,B,Y), key)``
+    running K adversarial steps per dispatch via ``lax.scan`` (identical
+    math to K sequential calls; cf. make_multi_train_step).
     """
     aux_scale = (gamma - beta) if legacy_aux_coupling else gamma
 
@@ -212,7 +217,15 @@ def make_adversarial_step(
         classif = losses.binary_cross_entropy(y_hat_x, y, eps)
         y_hat_z = model.apply(params, z, method="classify_from_z")
         aux_enc = losses.binary_cross_entropy(y_hat_z, y, eps)
-        enc_loss = elbo_val + alpha * classif - beta * aux_enc
+        # Zero-weighted terms are dropped STATICALLY, not multiplied by 0:
+        # a saturated sigmoid makes dBCE overflow to inf, and 0 * inf = nan
+        # would poison the (otherwise untrained) classifier head — the
+        # published config alpha=0 (training_M2_info_vad.py:53) hits this.
+        enc_loss = elbo_val
+        if alpha:
+            enc_loss = enc_loss + alpha * classif
+        if beta:
+            enc_loss = enc_loss - beta * aux_enc
         metrics = {
             "elbo": elbo_val,
             "recon": recon,
@@ -224,12 +237,14 @@ def make_adversarial_step(
         return enc_loss, (z, metrics)
 
     def aux_loss_fn(aux_params, enc_params, z, y):
+        if not aux_scale:  # static skip, same 0*inf hazard as above
+            return jnp.zeros(())
         params = _merge_params(enc_params, aux_params)
         y_hat_z = model.apply(params, jax.lax.stop_gradient(z), method="classify_from_z")
         return aux_scale * losses.binary_cross_entropy(y_hat_z, y, eps)
 
-    @jax.jit
-    def step(state: AdversarialState, x, y, key):
+    def body(state: AdversarialState, inp):
+        x, y, key = inp
         enc_params, aux_params = _split_params(state.params)
 
         (enc_loss, (z, metrics)), enc_grads = jax.value_and_grad(
@@ -252,7 +267,17 @@ def make_adversarial_step(
         )
         return new_state, metrics
 
-    return step
+    @jax.jit
+    def step(state: AdversarialState, x, y, key):
+        return body(state, (x, y, key))
+
+    @jax.jit
+    def multi_step(state: AdversarialState, xs, ys, key):
+        keys = jax.random.split(key, xs.shape[0])
+        state, ms = jax.lax.scan(body, state, (xs, ys, keys))
+        return state, jax.tree.map(jnp.mean, ms)
+
+    return multi_step if multi else step
 
 
 def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,

@@ -155,3 +155,28 @@ def test_u_loss_runs():
     yh = jnp.full((8, 1), 0.7)
     U, L, recon, kl = losses.U_loss(x, r, mu, lv, yh)
     assert np.isfinite(float(U)) and float(U) >= float(L)
+
+
+def test_bce_finite_at_saturation_under_jit():
+    """BCE of exactly-saturated sigmoid outputs must stay finite under jit.
+
+    float32 cannot represent 1 - 1e-8, and XLA's reassociation of the
+    additive (1 - r + eps) form reaches log(0); with a 0-weighted loss term
+    this became 0*inf = nan and silently poisoned the M2-info classifier
+    head (found driving training_M2_info_vad.py on the subset)."""
+    import jax
+
+    r = jnp.asarray([[0.0, 1.0, 0.5, 1.0]], jnp.float32)
+    y = jnp.asarray([[0.0, 1.0, 1.0, 0.0]], jnp.float32)
+
+    @jax.jit
+    def f(r, y):
+        b = losses.binary_cross_entropy(r, y)
+        return b, 0.0 * b  # the alpha=0 pattern that turned inf into nan
+
+    b, zb = f(r, y)
+    assert np.isfinite(float(b)), float(b)
+    assert float(zb) == 0.0
+    for fn in (losses.binary_cross_entropy_v2, losses.binary_cross_entropy_v3):
+        v = jax.jit(fn)(r)
+        assert np.isfinite(float(v)), (fn.__name__, float(v))

@@ -222,3 +222,37 @@ def test_fit_vae_steps_per_dispatch(tmp_path, subset_dir):
     params, history = fit_vae(model, train, valid, tmp_path, "M1", False, cfg)
     assert len(history) == 2
     assert (tmp_path / "output_epoch.log").read_text().count("Validation") == 2
+
+
+def test_adversarial_multi_step_matches_sequential():
+    """The scanned adversarial multi-step must equal K sequential steps."""
+    from dvae_tpu.models import DisentangledVAE, init_params
+    from dvae_tpu.train.steps import (
+        adam, init_adversarial_state, make_adversarial_step,
+    )
+
+    model = DisentangledVAE(x_dim=64, y_dim=1, z_dim=8, h_dim=(16,))
+    rng = np.random.default_rng(1)
+    xs = np.abs(rng.standard_normal((3, 8, 64))).astype(np.float32) + 0.1
+    ys = (rng.uniform(size=(3, 8, 1)) > 0.5).astype(np.float32)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(xs[0]), jnp.asarray(ys[0]),
+    )
+    tx_e, tx_a = adam(1e-3), adam(1e-3)
+    kwargs = dict(alpha=0.0, beta=10.0, gamma=1.0)
+    s_seq = init_adversarial_state(params, tx_e, tx_a)
+    s_mul = init_adversarial_state(params, tx_e, tx_a)
+
+    key = jax.random.PRNGKey(11)
+    keys = jax.random.split(key, 3)
+    step = make_adversarial_step(model, tx_e, tx_a, **kwargs)
+    for k in range(3):
+        s_seq, _ = step(s_seq, jnp.asarray(xs[k]), jnp.asarray(ys[k]), keys[k])
+
+    multi = make_adversarial_step(model, tx_e, tx_a, **kwargs, multi=True)
+    s_mul, ms = multi(s_mul, jnp.asarray(xs), jnp.asarray(ys), key)
+
+    assert int(s_mul.step) == int(s_seq.step) == 3
+    for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_mul.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
