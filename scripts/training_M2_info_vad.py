@@ -33,7 +33,7 @@ def main():
     model = DisentangledVAE(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     norm = "norm" if args.std_norm else "nonorm"
     hdim = "_".join(f"{h:03d}" for h in args.h_dim)
-    model_name = (
+    model_name = args.run_name or (
         f"ntcd_M2_info_VAD_Lenc_aux_v1_alpha_{args.alpha}_beta_{args.beta}"
         f"_gamma_{args.gamma}_y_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
         f"_end_epoch_{args.end_epoch:03d}"

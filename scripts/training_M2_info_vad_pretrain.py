@@ -49,7 +49,7 @@ def main():
 
     norm = "norm" if args.std_norm else "nonorm"
     hdim = "_".join(f"{h:03d}" for h in args.h_dim)
-    model_name = (
+    model_name = args.run_name or (
         f"ntcd_M2_info_VAD_pretrain_alpha_{args.alpha}_beta_{args.beta}"
         f"_gamma_{args.gamma}_yhatsoft_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
         f"_end_epoch_{args.end_epoch:03d}"
