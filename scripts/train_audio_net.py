@@ -17,6 +17,10 @@ def main():
     ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--num-layers", type=int, default=2)
     ap.add_argument("--seq-batch-size", type=int, default=16)
+    ap.add_argument("--train-split", default="train",
+                    help="catalog split for training (the shipped subset only "
+                         "has noisy 'test' wavs — use it for smoke runs)")
+    ap.add_argument("--valid-split", default="validation")
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -45,7 +49,7 @@ def main():
                 out.append((wav, lab))
         return UtteranceDataset(out)
 
-    train_ds, valid_ds = utterances("train"), utterances("validation")
+    train_ds, valid_ds = utterances(args.train_split), utterances(args.valid_split)
     if len(train_ds) == 0:
         raise SystemExit("no training utterances found; run the create_* builders")
     print(f"{len(train_ds)} train / {len(valid_ds)} validation utterances")
