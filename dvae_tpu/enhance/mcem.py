@@ -139,7 +139,22 @@ def _make_mh_step(decoder: Callable, x2, y, var_rw: float):
         e = jnp.where(acc, e_prime, e)
         return (z, vs, e), None
 
-    return dec, energy, step
+    def step_light(carry, key, vb, g):
+        """Burn-in variant: identical chain, but Vs never enters the scan
+        carry (it is a deterministic function of z, so carrying it is only a
+        cache — one that costs a (B,N,F) HBM read+write per step). Callers
+        recompute vs = dec(z) once when the burn-in ends."""
+        z, e = carry
+        k1, k2 = jax.random.split(key)
+        z_prime = z + sqrt_var * jax.random.normal(k1, z.shape)
+        e_prime = energy(z_prime, dec(z_prime), vb, g)
+        u = jax.random.uniform(k2, e.shape, minval=1e-38)
+        acc = jnp.log(u) < (e - e_prime)
+        z = jnp.where(acc[:, :, None], z_prime, z)
+        e = jnp.where(acc, e_prime, e)
+        return (z, e), None
+
+    return dec, energy, step, step_light
 
 
 def run_mcem(
@@ -187,7 +202,7 @@ def run_mcem(
 
     if decoder_mats is not None and cfg.fast_decoder:
         decoder = make_mlp_decoder(decoder_mats, fast=True)
-    dec, energy, mh_step = _make_mh_step(decoder, x2, y, cfg.var_rw)
+    dec, energy, mh_step, mh_light = _make_mh_step(decoder, x2, y, cfg.var_rw)
 
     denom = jnp.maximum(jnp.sum(mask) * f, 1.0)
 
@@ -249,24 +264,28 @@ def run_mcem(
         m3 = mask[:, :, None]
         return McemResult(wfs * m3, wfn * m3, cost, z, w, h, g)
 
-    vs0 = dec(z_init)
-
     def em_iter(carry, key):
-        z, vs, w, h, g = carry
+        z, w, h, g = carry
         vb = compute_vb(w, h)
-        e = energy(z, vs, vb, g)  # refresh: vb/g changed since last iter
+        # Vs is a deterministic cache of z — it never rides a scan carry:
+        # burn-in uses the light (z, e) carry and the cache is re-derived
+        # only where samples are emitted (saves a (B,N,F) HBM round-trip
+        # per burn-in step and per EM iteration).
+        e = energy(z, dec(z), vb, g)  # refresh: vb/g changed since last iter
 
         def mh(c, k):
-            return mh_step(c, k, vb, g)
+            return mh_light(c, k, vb, g)
 
         def mh_collect(c, k):
             c, _ = mh_step(c, k, vb, g)
             return c, c[1]  # emit accepted Vs sample
 
         kb, ks = jax.random.split(key)
-        (z, vs, e), _ = jax.lax.scan(
-            mh, (z, vs, e), jax.random.split(kb, cfg.burnin_e_step)
+        # burn-in with the light (z, e) carry, then re-derive the Vs cache
+        (z, e), _ = jax.lax.scan(
+            mh, (z, e), jax.random.split(kb, cfg.burnin_e_step)
         )
+        vs = dec(z)
         (z, vs, e), vs_samples = jax.lax.scan(
             mh_collect, (z, vs, e), jax.random.split(ks, cfg.nsamples_e_step)
         )  # vs_samples: (R, B, N, F)
@@ -276,33 +295,41 @@ def run_mcem(
         vb = compute_vb(w, h)
         vx = jnp.maximum(g[None, :, :, None] * vs_samples + vb[None], VX_FLOOR)
         cost = masked_cost(vx)
-        return (z, vs, w, h, g), cost
+        return (z, w, h, g), cost
 
-    (z, vs, w, h, g), cost = jax.lax.scan(
-        em_iter, (z_init, vs0, w, h, g), jax.random.split(k_run, cfg.niter)
+    (z, w, h, g), cost = jax.lax.scan(
+        em_iter, (z_init, w, h, g), jax.random.split(k_run, cfg.niter)
     )
+    vs = dec(z)
 
     # ----- Wiener-filter expectation over a fresh MH chain (mcem.py:310-329)
     vb = compute_vb(w, h)
     e = energy(z, vs, vb, g)
-    n_wf = cfg.burnin_wf + cfg.nsamples_wf
+    k_wf = jax.random.fold_in(k_run, 1)
+    kb, ks = jax.random.split(k_wf)
 
-    def wf_step(carry, inp):
-        key, idx = inp
+    # WF burn-in accumulates nothing: run it with the light (z, e) carry
+    (z, e), _ = jax.lax.scan(
+        lambda c, k: mh_light(c, k, vb, g),
+        (z, e),
+        jax.random.split(kb, cfg.burnin_wf),
+    )
+    vs = dec(z)
+
+    def wf_step(carry, key):
         (z, vs, e), wfs_sum, wfn_sum = carry
         (z, vs, e), _ = mh_step((z, vs, e), key, vb, g)
-        take = (idx >= cfg.burnin_wf).astype(jnp.float32)
         vs_scaled = g[:, :, None] * vs
         vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
-        wfs_sum = wfs_sum + take * (vs_scaled / vx)
-        wfn_sum = wfn_sum + take * (vb / vx)
+        wfs_sum = wfs_sum + vs_scaled / vx
+        wfn_sum = wfn_sum + vb / vx
         return ((z, vs, e), wfs_sum, wfn_sum), None
 
     zero = jnp.zeros_like(x2)
     ((z, vs, e), wfs_sum, wfn_sum), _ = jax.lax.scan(
         wf_step,
         ((z, vs, e), zero, zero),
-        (jax.random.split(jax.random.fold_in(k_run, 1), n_wf), jnp.arange(n_wf)),
+        jax.random.split(ks, cfg.nsamples_wf),
     )
     wfs = wfs_sum / cfg.nsamples_wf
     wfn = wfn_sum / cfg.nsamples_wf
