@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 from glob import glob
-from pathlib import Path
 
 import numpy as np
 from scipy.signal import resample_poly

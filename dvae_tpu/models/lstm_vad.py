@@ -14,7 +14,6 @@ hood) with an OptimizedLSTMCell — gates are fused 8xH matmuls on the MXU.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from dvae_tpu.models.blocks import dense
 

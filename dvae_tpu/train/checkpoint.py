@@ -18,7 +18,6 @@ import json
 import pathlib
 
 import jax
-import numpy as np
 from flax import serialization, traverse_util
 
 
