@@ -230,6 +230,7 @@ def run_mh_chain(
     rows, f = x2.shape
     l = z.shape[-1]
     h1 = w1z.shape[1]
+    h2 = w2.shape[1]  # hidden stack may be non-square, e.g. h_dim=(128, 64)
     n_steps = n_burn + n_samples
     rows_pad = -(-rows // tile) * tile
 
@@ -263,9 +264,9 @@ def run_mh_chain(
             (n_steps, tile, l + 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         rep_spec(l, h1),    # w1z
-        rep_spec(h1, h1),   # w2
-        rep_spec(1, h1),    # b2
-        rep_spec(h1, f),    # w3
+        rep_spec(h1, h2),   # w2
+        rep_spec(1, h2),    # b2
+        rep_spec(h2, f),    # w3
         rep_spec(1, f),     # b3
     ]
     kernel = functools.partial(

@@ -197,7 +197,12 @@ class Enhancer:
         x = np.zeros((b, t_pad), dtype=np.float32)
         mask = np.zeros((b, n_pad), dtype=np.float32)
         for i, w in enumerate(wavs):
-            x[i, : len(w)] = np.asarray(w, dtype=np.float32)
+            # a wav can exceed t_pad when max_frames (video trimming) cut its
+            # frame count below what its sample count implies — the trimmed
+            # frames make the excess samples unused anyway (the reference
+            # trims the spectrogram the same way, evaluate_ntcd_M1.py:140-142)
+            t_use = min(len(w), t_pad)
+            x[i, :t_use] = np.asarray(w[:t_use], dtype=np.float32)
             mask[i, : frames[i]] = 1.0
         if cfg.wire_dtype == "int16":
             peak = np.maximum(np.abs(x).max(axis=-1), 1e-9)
@@ -226,7 +231,9 @@ class Enhancer:
         )
         if cfg.noise_from_partition:
             # coverage: samples synthesizable from each utterance's frames
-            cover = [(fi - 1) * cfg.stft.hop + cfg.stft.nfft for fi in frames[:n_real]]
+            # (centered ISTFT trims nfft//2 from each end of the OLA output)
+            tail = cfg.stft.nfft - (2 * (cfg.stft.nfft // 2) if cfg.stft.center else 0)
+            cover = [(fi - 1) * cfg.stft.hop + tail for fi in frames[:n_real]]
             return out_dev, (
                 [len(w) for w in wavs[:n_real]],
                 [np.asarray(w, np.float32) for w in wavs[:n_real]],
@@ -316,11 +323,43 @@ class Enhancer:
         """
         if key is None:
             key = jax.random.PRNGKey(0)
-        pending = None
-        for i, (wavs, ys, max_frames) in enumerate(batches):
-            handle = self._dispatch(wavs, ys, jax.random.fold_in(key, i), max_frames)
-            if pending is not None:
-                yield self._collect(pending)
-            pending = handle
-        if pending is not None:
-            yield self._collect(pending)
+        mdb = self.cfg.max_device_batch
+
+        def sub_batches():
+            # split oversized batches here so the device never sees more
+            # than max_device_batch utterances (same contract as
+            # enhance_batch); sub-batches of one input batch share an index
+            # so results regroup below
+            for i, (wavs, ys, max_frames) in enumerate(batches):
+                sl = lambda seq, a, b: None if seq is None else seq[a:b]
+                for j, a in enumerate(range(0, len(wavs), mdb)):
+                    last = a + mdb >= len(wavs)
+                    yield (i, j, last, wavs[a:a + mdb], sl(ys, a, a + mdb),
+                           sl(max_frames, a, a + mdb))
+
+        pending = None  # (batch_index, handle)
+        acc = []
+
+        def emit(i, handle, last):
+            nonlocal acc
+            acc.extend(self._collect(handle))
+            if last:
+                out, acc = acc, []
+                return out
+            return None
+
+        prev = None
+        for i, j, last, wavs, ys, max_frames in sub_batches():
+            handle = self._dispatch(
+                wavs, ys, jax.random.fold_in(jax.random.fold_in(key, i), j),
+                max_frames,
+            )
+            if prev is not None:
+                out = emit(*prev)
+                if out is not None:
+                    yield out
+            prev = (i, handle, last)
+        if prev is not None:
+            out = emit(*prev)
+            if out is not None:
+                yield out

@@ -84,7 +84,10 @@ def _resume_checkpoint(model_dir, prefix: str, start_epoch: int):
     if start_epoch <= 1:
         return None
     hits = sorted(
-        pathlib.Path(model_dir).glob(f"{prefix}_epoch_{start_epoch - 1:03d}_vloss_*.msgpack")
+        pathlib.Path(model_dir).glob(f"{prefix}_epoch_{start_epoch - 1:03d}_vloss_*.msgpack"),
+        key=lambda q: q.stat().st_mtime,  # several files for one epoch
+        # (e.g. a crashed resume re-ran it): take the newest, not the
+        # lexicographically-last vloss string
     )
     if not hits:
         raise FileNotFoundError(
@@ -228,9 +231,11 @@ def fit_vae(
         totals = {}
         for x, y in valid_ds.batches(cfg.batch_size):
             key, sk = jax.random.split(key)
-            if mesh is not None:
-                x, y = _pad_shardable((x, y), mesh)
+            if mesh is not None and x.shape[0] % mesh.devices.size == 0:
                 x, y = shard_batch((x, y), mesh)
+            # trailing partial batches run unsharded: wrap-padding would
+            # double-count rows in the validation mean, and vloss picks the
+            # best checkpoint — it must be exact
             m = evaluate(state.params, x, y, sk) if conditional else evaluate(state.params, x, sk)
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -369,9 +374,11 @@ def fit_adversarial(
         totals = {}
         for x, y in valid_ds.batches(cfg.batch_size):
             key, sk = jax.random.split(key)
-            if mesh is not None:
-                x, y = _pad_shardable((x, y), mesh)
+            if mesh is not None and x.shape[0] % mesh.devices.size == 0:
                 x, y = shard_batch((x, y), mesh)
+            # trailing partial batches run unsharded: wrap-padding would
+            # double-count rows in the validation mean, and vloss picks the
+            # best checkpoint — it must be exact
             m = evaluate(state.params, x, y, sk)
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)

@@ -67,45 +67,12 @@ def _normalizer(norm, eps):
     return lambda x: (x - mean) / (std + eps)
 
 
-def make_train_step(model, tx: optax.GradientTransformation, conditional: bool,
-                    eps: float = 1e-8, norm=None) -> Callable:
-    """Returns jitted ``step(state, x, [y,] key) -> (state, metrics)``."""
-    normalize = _normalizer(norm, eps)
+def _make_elbo_body(model, tx, conditional: bool, eps: float, norm):
+    """Shared single-step body: (state, (x, y, key)) -> (state, metrics).
 
-    def loss_fn(params, x, y, key):
-        x_in = normalize(x)
-        if conditional:
-            r, mu, logvar = model.apply(params, x_in, y, rngs={"sample": key})
-        else:
-            r, mu, logvar = model.apply(params, x_in, rngs={"sample": key})
-        total, recon, kl = losses.elbo(x, r, mu, logvar, eps)
-        return total, (recon, kl)
-
-    @jax.jit
-    def step(state: TrainState, x, y, key):
-        (total, (recon, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, y, key
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"elbo": total, "recon": recon, "kl": kl}
-        return TrainState(params, opt_state, state.step + 1), metrics
-
-    if conditional:
-        return step
-    return jax.jit(lambda state, x, key: step(state, x, None, key))
-
-
-def make_multi_train_step(model, tx: optax.GradientTransformation, conditional: bool,
-                          eps: float = 1e-8, norm=None) -> Callable:
-    """K optimizer steps per dispatch via ``lax.scan`` over stacked batches.
-
-    ``step(state, xs (K,B,F), [ys (K,B,Y),] key) -> (state, metrics)`` with
-    metrics averaged over the K steps. Identical math to K sequential
-    `make_train_step` calls; one device program per K batches instead of K.
-    On a remote-attached TPU this amortizes per-dispatch latency; on any TPU
-    it removes K-1 host round-trips from the epoch's critical path.
-    """
+    Both step makers below wrap exactly this, which is what makes the
+    multi-step variant's "identical math to K sequential steps" guarantee
+    structural rather than a convention to maintain."""
     normalize = _normalizer(norm, eps)
 
     def loss_fn(params, x, y, key):
@@ -128,6 +95,36 @@ def make_multi_train_step(model, tx: optax.GradientTransformation, conditional: 
             TrainState(params, opt_state, st.step + 1),
             {"elbo": total, "recon": recon, "kl": kl},
         )
+
+    return body
+
+
+def make_train_step(model, tx: optax.GradientTransformation, conditional: bool,
+                    eps: float = 1e-8, norm=None) -> Callable:
+    """Returns jitted ``step(state, x, [y,] key) -> (state, metrics)``."""
+    body = _make_elbo_body(model, tx, conditional, eps, norm)
+
+    @jax.jit
+    def step(state: TrainState, x, y, key):
+        return body(state, (x, y, key))
+
+    if conditional:
+        return step
+    return jax.jit(lambda state, x, key: step(state, x, None, key))
+
+
+def make_multi_train_step(model, tx: optax.GradientTransformation, conditional: bool,
+                          eps: float = 1e-8, norm=None) -> Callable:
+    """K optimizer steps per dispatch via ``lax.scan`` over stacked batches.
+
+    ``step(state, xs (K,B,F), [ys (K,B,Y),] key) -> (state, metrics)`` with
+    metrics averaged over the K steps. Identical math to K sequential
+    `make_train_step` calls (same body function); one device program per K
+    batches instead of K. On a remote-attached TPU this amortizes
+    per-dispatch latency; on any TPU it removes K-1 host round-trips from
+    the epoch's critical path.
+    """
+    body = _make_elbo_body(model, tx, conditional, eps, norm)
 
     @jax.jit
     def step_cond(state: TrainState, xs, ys, key):
@@ -291,7 +288,13 @@ def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
         classif = losses.binary_cross_entropy(y_hat_x, y, eps)
         y_hat_z = model.apply(params, z, method="classify_from_z")
         aux_enc = losses.binary_cross_entropy(y_hat_z, y, eps)
-        enc_loss = elbo_val + alpha * classif - beta * aux_enc
+        # zero-weighted terms dropped statically (same 0*inf hazard as the
+        # train step; this value names checkpoints and picks the best model)
+        enc_loss = elbo_val
+        if alpha:
+            enc_loss = enc_loss + alpha * classif
+        if beta:
+            enc_loss = enc_loss - beta * aux_enc
         return {
             "elbo": elbo_val,
             "recon": recon,

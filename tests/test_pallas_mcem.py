@@ -192,3 +192,27 @@ def test_run_mcem_kernel_path_interpret(setup):
     assert abs(float(res_k.cost[-1]) - float(res_x.cost[-1])) < 0.5 * abs(
         float(res_x.cost[-1])
     )
+
+
+def test_non_square_hidden_stack(setup):
+    """Decoder hidden stacks need not be square (h_dim=(128, 64) gives a
+    (64,128) decoder); the kernel's block specs must use each layer's true
+    width (regression: silently truncated w2/w3 reads)."""
+    model = VAE(x_dim=F, z_dim=L, h_dim=(64, 32))  # decoder hidden (32, 64)
+    params = model.init(
+        {"params": jax.random.PRNGKey(3), "sample": jax.random.PRNGKey(4)},
+        jnp.ones((4, F)),
+    )
+    mats = extract_decoder_mlp(params, L)
+    assert mats is not None
+    rng = jax.random.PRNGKey(8)
+    x2 = jax.random.uniform(rng, (ROWS, F)) + 0.05
+    vb = jnp.ones((ROWS, F)) * 0.1
+    g = jnp.ones((ROWS,))
+    z0 = 0.1 * jax.random.normal(rng, (ROWS, L))
+    zf, samples = run_mh_chain(
+        mats, x2, vb, g, z0, None, jax.random.PRNGKey(0),
+        n_burn=0, n_samples=1, var_rw=0.0, interpret=True, tile=16,
+    )
+    want = np.asarray(model.apply(params, z0, method="decode"))
+    np.testing.assert_allclose(np.asarray(samples[0]), want, rtol=2e-5, atol=1e-6)

@@ -169,3 +169,36 @@ def test_max_device_batch_split(subset_dir, m1):
     for (s, n), x in zip(out, wavs):
         resid = np.abs((s + n) - x)[: len(x) - 1024]
         assert np.median(resid) < 5e-3
+
+
+def test_max_frames_below_sample_count(subset_dir, m1):
+    """Video trimming can cap frames below what the sample count implies;
+    the excess samples must be ignored, not crash the padding (regression:
+    numpy broadcast ValueError in _dispatch)."""
+    model, params = m1
+    x1, _ = _wavs(subset_dir)
+    enh = Enhancer(model, params, EnhancerConfig(mcem=QUICK_MCEM))
+    # cap at 64 frames: t_pad = 63*256+1024 = 17152 << len(x1)
+    out = enh.enhance_batch([x1], key=jax.random.PRNGKey(4), max_frames=[64])
+    s, n = out[0]
+    assert s.shape == x1.shape
+    cover = 63 * 256 + 1024
+    assert np.abs(s[cover + 1024:]).max() == 0.0  # beyond coverage: silence
+
+
+def test_enhance_stream_respects_max_device_batch(subset_dir, m1):
+    """The sweep path must split oversized batches like enhance_batch does
+    and regroup sub-batch results per input batch, in order."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    cfg = EnhancerConfig(mcem=QUICK_MCEM, max_device_batch=2)
+    enh = Enhancer(model, params, cfg)
+    batches = [([x1, x2, x1[:40000]], None, None), ([x2[:50000]], None, None)]
+    outs = list(enh.enhance_stream(batches, key=jax.random.PRNGKey(5)))
+    assert len(outs) == 2
+    assert [len(s) for s, _ in outs[0]] == [len(x1), len(x2), 40000]
+    assert [len(s) for s, _ in outs[1]] == [50000]
+    for out, wavs in zip(outs, (batches[0][0], batches[1][0])):
+        for (s, n), x in zip(out, wavs):
+            resid = np.abs((s + n) - x)[: len(x) - 1024]
+            assert np.median(resid) < 5e-3
