@@ -52,7 +52,7 @@ def preprocess_noise(noise_audio: np.ndarray, key: str, fs_noise: int, fs: int) 
 def noise_list_preprocessed(preprocessed_noise_dir, dataset_type="test"):
     """{stem -> path} of preprocessed noise wavs (qut_database.py:85-101)."""
     d = os.path.join(preprocessed_noise_dir, dataset_type)
-    paths = glob(d + "**/*.wav", recursive=True)
+    paths = glob(os.path.join(d, "**", "*.wav"), recursive=True)
     return {Path(p).stem: p for p in paths}
 
 
