@@ -15,6 +15,7 @@ the reference engine from /root/reference with identical weights.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import time
 
@@ -34,6 +35,12 @@ REPEATS = 3
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of one measured "
+                         "stream into DIR (view with TensorBoard/Perfetto)")
+    args = ap.parse_args()
+
     model = VAE()
     params = model.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
@@ -73,6 +80,13 @@ def main():
             best_elapsed = min(best_elapsed, elapsed)
     out = outs[-1]
     assert all(np.isfinite(s).all() for s, _ in out)
+
+    if args.profile:
+        from dvae_tpu.utils.profiling import device_trace
+
+        with device_trace(args.profile):
+            list(enh.enhance_stream([(batch, None, None)] * 2,
+                                    key=jax.random.PRNGKey(99)))
 
     elapsed = best_elapsed
     utt_per_sec = (BATCH * n_batches) / elapsed

@@ -60,13 +60,18 @@ class AudioVisualDataset:
                 y = f["Y"][:]  # (y_dim, n_frames)
             y = np.ascontiguousarray(y.T, dtype=np.float32)
 
-        # trim everything to the common frame count (data_handling.py:321-324)
+        # trim video/labels to the common frame count (data_handling.py:321-324)
         n_audio = 1 + max(0, (len(x) - self.nfft)) // self.hop
         n = min(v.shape[0], n_audio, *(() if y is None else (y.shape[0],)))
         v = v[:n]
         if y is not None:
             y = y[:n]
-        # audio samples needed to produce exactly n frames
-        t = (n - 1) * self.hop + self.nfft
-        x = x[:t] if len(x) >= t else np.pad(x, (0, t - len(x)))
+        # The waveform is returned in full (padded up to the n-frame minimum
+        # if short). Exact frame counts depend on the consumer's STFT flags
+        # (center, the end-padding float rule adds a frame for ~10% of
+        # lengths), so consumers slice/mask spectrogram frames to the label
+        # length — exactly what train.sequence.batch_utterances does.
+        t_min = (n - 1) * self.hop + self.nfft
+        if len(x) < t_min:
+            x = np.pad(x, (0, t_min - len(x)))
         return x.astype(np.float32), v, y

@@ -290,7 +290,11 @@ def build_qut_test_set(input_speech_dir, noise_dir, output_dir, dataset_type="te
         speech = speech / np.max(np.abs(speech))
         ntype = noise_types[noise_index[i] % len(noise_types)]
         if ntype not in noise_audios:
-            ntype = next(iter(noise_audios))
+            raise KeyError(
+                f"drawn noise type {ntype!r} not in the preprocessed noise dir "
+                f"(available: {sorted(noise_audios)}); a silent substitution "
+                f"would skew the test set's noise-type distribution"
+            )
         noise = catalog.qut.noise_segment(noise_audios, ntype, speech,
                                           rng=np.random.default_rng(seed + i))
         snr_db = all_snr_db[i]

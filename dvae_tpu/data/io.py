@@ -28,7 +28,9 @@ def read_wav(path) -> tuple[np.ndarray, int]:
 
 
 def write_wav(path, data: np.ndarray, fs: int) -> None:
-    """Write float samples as 16-bit PCM (libsndfile float->PCM_16 contract)."""
+    """Write float samples as 16-bit PCM (libsndfile float->PCM_16 contract:
+    scale by 32768 then lrint — round to nearest, ties to even — not floor,
+    which would bias every written sample half an LSB low)."""
     x = np.asarray(data, dtype=np.float64)
-    pcm = np.clip(np.floor(x * 32768.0), -32768, 32767).astype(np.int16)
+    pcm = np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
     wavfile.write(path, fs, pcm)

@@ -89,7 +89,13 @@ def stoi(x, y, fs_signal: int, extended: bool = True) -> float:
     window = np.hanning(N_FRAME + 2)[1:-1]
     x, y = _remove_silent_frames(x, y, window)
     if len(x) < N_FRAME + (N_SEG - 1) * HOP:
-        raise ValueError("signal too short after silent-frame removal")
+        # pystoi warns and returns 1e-5 here; raising would abort a whole
+        # metrics sweep on one pathological (mostly-silent) utterance
+        import warnings
+
+        warnings.warn("signal too short after silent-frame removal; "
+                      "returning 1e-5 (pystoi convention)")
+        return 1e-5
 
     X = _band_spectrogram(x, window)  # (frames, bands)
     Y = _band_spectrogram(y, window)

@@ -58,15 +58,20 @@ def preprocess_ntcd_matlab(matlab_frames, frame: int, width: int, height: int,
     """One preprocessed RGB lip frame, matching video.py:5-23.
 
     ``matlab_frames``: (n_frames, width*height) DCT coefficients.
-    Normalization constants follow the reference exactly: offset = global min
-    over all frames' IDCTs; scale = max over frames of per-frame row-wise
-    (max-min) maxima.
+    Normalization constants follow the reference exactly (video.py:9-13):
+    the frame itself gets a true 2-D IDCT, but the normalization tensor A is
+    idct(idct(frames)) along the LAST axis twice with NO transpose (not a
+    2-D IDCT — the reference's own TODO comments mark it as provisional);
+    offset = A.min() (global), scale = max over (frame, row) of A's
+    row-wise max-min.
     """
+    from scipy.fftpack import idct as _idct
+
     frames = np.asarray(matlab_frames, dtype=np.float64).reshape(-1, width, height)
-    A = np.asarray(idct2(jnp.asarray(frames)))
-    idct_df = A[frame]
-    scale = (A.max(axis=(-2, -1)) - A.min(axis=(-2, -1))).max()
-    normalized = (idct_df - A.min()) / scale * 255.0
+    idct_df = np.asarray(idct2(jnp.asarray(frames[frame])))
+    a_norm = _idct(_idct(frames))  # double idct along the last axis
+    scale = (a_norm.max(axis=-1) - a_norm.min(axis=-1)).max()
+    normalized = (idct_df - a_norm.min()) / scale * 255.0
     rotated = np.rot90(normalized, 3)
     if y_hat_hard is not None and y_hat_hard[frame] == 1:
         rotated = rotated.copy()

@@ -272,6 +272,7 @@ def fit_adversarial(
     init_params_override=None,
     legacy_aux_coupling: bool = False,
     use_y_hat_soft: bool = False,
+    freeze_classifier: bool = False,
 ):
     """Train the disentangled M2-info model (two-optimizer adversarial game).
 
@@ -302,9 +303,11 @@ def fit_adversarial(
             state = replicate(state, mesh)
         print(f"resumed from {resume}")
 
+    freeze = "classifier" if freeze_classifier else None
     step = make_adversarial_step(
         model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
         legacy_aux_coupling=legacy_aux_coupling, use_y_hat_soft=use_y_hat_soft,
+        freeze_substring=freeze,
     )
     multi_step = None
     if cfg.steps_per_dispatch > 1:
@@ -312,6 +315,7 @@ def fit_adversarial(
             model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
             legacy_aux_coupling=legacy_aux_coupling,
             use_y_hat_soft=use_y_hat_soft, multi=True,
+            freeze_substring=freeze,
         )
     evaluate = make_adversarial_eval_step(model, alpha, beta, gamma, cfg.eps,
                                           use_y_hat_soft=use_y_hat_soft)

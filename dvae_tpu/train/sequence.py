@@ -48,6 +48,23 @@ def make_lstm_vad_step(model, tx: optax.GradientTransformation, eps: float = 1e-
     return step
 
 
+def make_lstm_vad_eval(model, eps: float = 1e-8) -> Callable:
+    """jitted ``evaluate(params, x, y, mask) -> metrics`` (no update) — the
+    validation pass of the reference loop (train_audio_net.py:276-289)."""
+
+    @jax.jit
+    def evaluate(params, x, y, mask):
+        p = model.apply(params, x)
+        bce = -(y * jnp.log(p + eps) + (1 - y) * jnp.log(1 - p + eps))
+        loss = jnp.sum(bce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        hard = (p > 0.5).astype(jnp.float32) * mask
+        acc, prec, rec, f1 = f1_loss(hard.ravel(), (y * mask).ravel())
+        return {"bce": loss, "accuracy": acc, "precision": prec,
+                "recall": rec, "f1": f1}
+
+    return evaluate
+
+
 def batch_utterances(ds, indices, stft_cfg: StftConfig, pad_to_multiple: int = 64):
     """Assemble (x (B,T,F) log-power, y (B,T), mask (B,T)) from an
     UtteranceDataset; the spectrogram is computed on-device."""

@@ -188,6 +188,7 @@ def make_adversarial_step(
     legacy_aux_coupling: bool = False,
     use_y_hat_soft: bool = False,
     multi: bool = False,
+    freeze_substring: str | None = None,
 ) -> Callable:
     """Returns jitted ``step(state, x, y, key) -> (state, metrics)``.
 
@@ -198,6 +199,10 @@ def make_adversarial_step(
     ``multi=True`` returns ``step(state, xs (K,B,F), ys (K,B,Y), key)``
     running K adversarial steps per dispatch via ``lax.scan`` (identical
     math to K sequential calls; cf. make_multi_train_step).
+
+    ``freeze_substring`` zeroes enc-group gradients whose param path
+    contains the substring (e.g. 'classifier') — the REAL version of the
+    reference's no-op freeze (training_M2_info_vad_pretrain.py:142-146).
     """
     aux_scale = (gamma - beta) if legacy_aux_coupling else gamma
 
@@ -240,6 +245,18 @@ def make_adversarial_step(
         y_hat_z = model.apply(params, jax.lax.stop_gradient(z), method="classify_from_z")
         return aux_scale * losses.binary_cross_entropy(y_hat_z, y, eps)
 
+    def _apply_freeze(grads):
+        if freeze_substring is None:
+            return grads
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(grads)
+        flat = {
+            k: (jnp.zeros_like(v) if freeze_substring in "/".join(map(str, k)) else v)
+            for k, v in flat.items()
+        }
+        return traverse_util.unflatten_dict(flat)
+
     def body(state: AdversarialState, inp):
         x, y, key = inp
         enc_params, aux_params = _split_params(state.params)
@@ -247,6 +264,7 @@ def make_adversarial_step(
         (enc_loss, (z, metrics)), enc_grads = jax.value_and_grad(
             enc_loss_fn, has_aux=True
         )(enc_params, aux_params, x, y, key)
+        enc_grads = _apply_freeze(enc_grads)
         upd, opt_enc = tx_enc.update(enc_grads, state.opt_state_enc, enc_params)
         enc_params = optax.apply_updates(enc_params, upd)
 

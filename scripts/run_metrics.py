@@ -68,6 +68,26 @@ def main():
         L = min(len(s_t), len(s_hat_t))
         s_t, s_hat_t = s_t[off : L - off], s_hat_t[off : L - off]
 
+        if args.with_figures:
+            # per-utterance comparison figure (reference run_metrics.py:236)
+            import matplotlib
+
+            matplotlib.use("pdf")
+            import matplotlib.pyplot as plt
+
+            import jax.numpy as jnp
+            from dvae_tpu.ops.stft import StftConfig, stft
+            from dvae_tpu.viz import display_multiple_signals
+
+            cfg_s = StftConfig()
+            sig_items = [
+                (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)).T, None),
+                (s_hat_t, np.asarray(stft(jnp.asarray(s_hat_t), cfg_s)).T, None),
+            ]
+            fig = display_multiple_signals(sig_items, fs=fs)
+            fig.savefig(os.path.splitext(est_path)[0] + "_fig.png", dpi=80)
+            plt.close(fig)
+
         row = [si_sdr_leroux(s_hat_t, s_t), stoi(s_t, s_hat_t, fs, extended=True)]
         if use_pesq:
             row.append(pesq_fn(fs, s_t, s_hat_t, "wb"))

@@ -32,7 +32,9 @@ def main():
     from dvae_tpu.models import LSTMVad
     from dvae_tpu.ops.stft import StftConfig
     from dvae_tpu.train import checkpoint as ckpt
-    from dvae_tpu.train.sequence import batch_utterances, make_lstm_vad_step
+    from dvae_tpu.train.sequence import (
+        batch_utterances, make_lstm_vad_eval, make_lstm_vad_step,
+    )
     from dvae_tpu.train.steps import adam, init_train_state
 
     proc = processed_dir(args)
@@ -60,6 +62,7 @@ def main():
     tx = adam(args.learning_rate)
     state = init_train_state(model, params, tx)
     step = make_lstm_vad_step(model, tx)
+    evaluate = make_lstm_vad_eval(model)
 
     model_dir = os.path.join(args.models_root,
                              f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}")
@@ -75,9 +78,24 @@ def main():
             n_batches += 1
         avg = {k: v / n_batches for k, v in totals.items()}
         print(f"epoch {epoch}: " + "  ".join(f"{k}={v:.4f}" for k, v in avg.items()))
-        name = ckpt.checkpoint_name("VAD", epoch, avg["bce"])
+
+        # validation pass (reference train_audio_net.py:276-289); the vloss
+        # in the checkpoint name is VALIDATION BCE, not training BCE
+        vt, vn = {}, 0
+        for s0 in range(0, len(valid_ds), args.seq_batch_size):
+            xb, yb, mb = batch_utterances(
+                valid_ds, range(s0, min(s0 + args.seq_batch_size, len(valid_ds))),
+                stft_cfg)
+            m = evaluate(state.params, xb, yb, mb)
+            for k, v in m.items():
+                vt[k] = vt.get(k, 0.0) + float(v)
+            vn += 1
+        vavg = {k: v / max(vn, 1) for k, v in vt.items()}
+        print(f"  valid: " + "  ".join(f"{k}={v:.4f}" for k, v in vavg.items()))
+        name = ckpt.checkpoint_name("VAD", epoch, vavg.get("bce", avg["bce"]))
         ckpt.save_checkpoint(model_dir, name, state.params,
-                             metadata={"epoch": epoch, **avg})
+                             metadata={"epoch": epoch, **avg,
+                                       **{f"valid_{k}": v for k, v in vavg.items()}})
 
 
 if __name__ == "__main__":

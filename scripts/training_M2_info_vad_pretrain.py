@@ -67,7 +67,8 @@ def main():
                     cfg=cfg, mesh=make_mesh_if(args),
                     init_params_override=params,
                     legacy_aux_coupling=args.legacy_aux_coupling,
-                    use_y_hat_soft=True)
+                    use_y_hat_soft=True,
+                    freeze_classifier=args.freeze_classifier)
 
 
 if __name__ == "__main__":

@@ -88,5 +88,9 @@ def test_audio_visual_dataset(subset_dir):
     assert v.shape[1:] == (67, 67)
     assert v.shape[0] == y.shape[0]  # common frame count
     n = v.shape[0]
-    assert len(x) == (n - 1) * 256 + 1024  # audio trimmed to produce n frames
+    assert len(x) >= (n - 1) * 256 + 1024  # audio yields >= n frames
     assert np.abs(x).max() <= 1.0 + 1e-6  # peak-normalized
+    # consumer contract: spectrogram frames sliced to the label count
+    from dvae_tpu.ops.stft import StftConfig, n_stft_frames
+
+    assert n_stft_frames(len(x), StftConfig()) >= n

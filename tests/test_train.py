@@ -256,3 +256,37 @@ def test_adversarial_multi_step_matches_sequential():
     assert int(s_mul.step) == int(s_seq.step) == 3
     for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_mul.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_freeze_substring_keeps_params_fixed():
+    """freeze_substring='classifier' must keep the classifier head bitwise
+    unchanged while the rest of the enc group trains (the REAL version of
+    the reference's no-op freeze)."""
+    from dvae_tpu.models import DisentangledVAE, init_params
+    from dvae_tpu.train.steps import (
+        adam, init_adversarial_state, make_adversarial_step,
+    )
+
+    model = DisentangledVAE(x_dim=64, y_dim=1, z_dim=8, h_dim=(16,))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(np.abs(rng.standard_normal((8, 64))).astype(np.float32) + 0.1)
+    y = jnp.asarray((rng.uniform(size=(8, 1)) > 0.5).astype(np.float32))
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, y
+    )
+    tx_e, tx_a = adam(1e-2), adam(1e-2)
+    state = init_adversarial_state(params, tx_e, tx_a)
+    step = make_adversarial_step(model, tx_e, tx_a, alpha=1.0, beta=1.0,
+                                 gamma=1.0, freeze_substring="classifier")
+    clf_before = jax.tree.map(
+        np.asarray, state.params["params"]["enc_dec_clf"]["classifier"])
+    enc_before = np.asarray(
+        jax.tree.leaves(state.params["params"]["enc_dec_clf"]["encoder"])[0])
+    for k in range(3):
+        state, _ = step(state, x, y, jax.random.PRNGKey(k))
+    clf_after = state.params["params"]["enc_dec_clf"]["classifier"]
+    for a, b in zip(jax.tree.leaves(clf_before), jax.tree.leaves(clf_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    enc_after = np.asarray(
+        jax.tree.leaves(state.params["params"]["enc_dec_clf"]["encoder"])[0])
+    assert not np.array_equal(enc_before, enc_after)  # the rest still trains
