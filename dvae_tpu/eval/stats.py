@@ -13,7 +13,12 @@ import scipy.stats
 def mean_confidence_interval(data, confidence: float = 0.95):
     a = 1.0 * np.asarray(data)
     n = len(a)
-    m, se = np.mean(a), scipy.stats.sem(a)
+    m = np.mean(a)
+    if n < 2:
+        # sem(ddof=1) is NaN for one sample; NaN would also make the
+        # stats.json invalid JSON downstream
+        return np.round(m, 3), 0.0
+    se = scipy.stats.sem(a)
     h = se * scipy.stats.t.ppf((1 + confidence) / 2.0, n - 1)
     return np.round(m, 3), np.round(h, 3)
 

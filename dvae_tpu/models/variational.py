@@ -59,12 +59,17 @@ class ImportanceWeightedSampler:
         return jnp.mean(elbo, axis=0).reshape(-1)
 
 
-def labelled_loss(x, r, mu, log_var, y, eps: float = 1e-8):
-    """-log p(x|y,z) + KL + log p(y) per sample (the L(x,y) bound)."""
+def labelled_loss(x, r, mu, log_var, y, eps: float = 1e-8, beta: float = 1.0):
+    """-log p(x|y,z) + beta*KL + log p(y) per sample (the L(x,y) bound).
+
+    ``beta`` is the KL weight — with DeterministicWarmup this is the
+    standard Soenderby-style linear KL warm-up (it must scale ONLY the KL
+    term: scaling the whole bound would zero the reconstruction signal at
+    warm-up start while the entropy term kept full weight)."""
     recon = losses.itakura_saito_divergence(r, x, eps)
     kl = losses.kl_gaussian_standard(mu, log_var)
     prior_y = losses.log_standard_categorical(y, eps)
-    return recon + kl + prior_y
+    return recon + beta * kl + prior_y
 
 
 def svi_loss(model, params, x, y, key, alpha: float = 0.1, beta: float = 1.0,
@@ -77,7 +82,7 @@ def svi_loss(model, params, x, y, key, alpha: float = 0.1, beta: float = 1.0,
     """
     if y is not None:
         r, mu, log_var = model.apply(params, x, y, rngs={"sample": key})
-        L = labelled_loss(x, r, mu, log_var, y, eps)
+        L = labelled_loss(x, r, mu, log_var, y, eps, beta)
         y_hat = model.apply(params, x, method="classify")
         ce = losses.binary_cross_entropy(y_hat, y, eps)
         loss = jnp.mean(L) + alpha * ce
@@ -90,10 +95,10 @@ def svi_loss(model, params, x, y, key, alpha: float = 0.1, beta: float = 1.0,
     for label, k in zip((0.0, 1.0), keys):
         y_l = jnp.full((x.shape[0], 1), label)
         r, mu, log_var = model.apply(params, x, y_l, rngs={"sample": k})
-        Ls.append(labelled_loss(x, r, mu, log_var, y_l, eps))
+        Ls.append(labelled_loss(x, r, mu, log_var, y_l, eps, beta))
     L0, L1 = Ls
     q1 = y_hat[:, 0]
     expected = (1 - q1) * L0 + q1 * L1
     H = -(q1 * jnp.log(q1 + eps) + (1 - q1) * jnp.log(1 - q1 + eps))
-    U = jnp.mean(beta * expected - H)
+    U = jnp.mean(expected - H)
     return U, {"U": U, "entropy": jnp.mean(H)}

@@ -31,6 +31,12 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
         # virtual CPU devices, which that flag multiplies.
         devices = jax.devices("cpu")
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devices)} "
+                f"devices exist (set XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices} to emulate on CPU)"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

@@ -13,8 +13,10 @@ def count_parameters(params) -> int:
 
 
 def get_key(d: dict, val):
-    """First key whose value equals ``val`` (utils.py:5-7)."""
+    """First key whose value equals ``val``; None on a miss (utils.py:5-7
+    falls through its loop, which returns None — a truthy sentinel string
+    here would break ``if get_key(...)``-style callers)."""
     for key, value in d.items():
         if value == val:
             return key
-    return "key doesn't exist"
+    return None

@@ -87,9 +87,13 @@ def display_wav_spectro_mask(x, spec, mask, fs=16000, wlen_sec=64e-3,
     axes = fig.subplots(3, 1)
     display_waveplot(x, fs, ax=axes[0])
     hop_sec = wlen_sec * hop_percent
-    _imshow_spec(axes[1], _spec_db(spec, power=True), fs, hop_sec)
+    # real-valued inputs here are MAGNITUDE spectra (reconstruct passes
+    # sqrt(variance)); the reference renders them with amplitude_to_db
+    # (20*log10), not the power convention
+    _imshow_spec(axes[1], _spec_db(spec, power=False), fs, hop_sec)
     if mask.ndim == 1 or mask.shape[-1] == 1:
-        mask = vad_as_mask(mask, np.asarray(spec).shape[-1])
+        n_bins = np.asarray(spec).shape[-1] if spec is not None else 513
+        mask = vad_as_mask(mask, n_bins)
     axes[2].imshow(np.asarray(mask).T, origin="lower", aspect="auto",
                    extent=[0, mask.shape[0] * hop_sec, 0, fs / 2000.0], cmap="gray")
     axes[2].set_xlabel("Time (s)")
@@ -109,11 +113,15 @@ def display_multiple_signals(signal_list, fs=16000, wlen_sec=64e-3,
         if x is not None:
             display_waveplot(x, fs, ax=axes[0][j])
         if spec is not None:
-            _imshow_spec(axes[1][j], _spec_db(spec, power=True), fs, hop_sec)
+            # amplitude convention for real inputs (see display_wav_spectro_mask)
+            _imshow_spec(axes[1][j], _spec_db(spec, power=False), fs, hop_sec)
         if mask is not None:
             m = np.asarray(mask)
             if m.ndim == 1 or m.shape[-1] == 1:
-                m = vad_as_mask(m, np.asarray(spec).shape[-1])
+                # the reference broadcasts to its hard-coded 513 bins when no
+                # spectrogram accompanies the mask (visualization.py:73-75)
+                n_bins = np.asarray(spec).shape[-1] if spec is not None else 513
+                m = vad_as_mask(m, n_bins)
             axes[2][j].imshow(m.T, origin="lower", aspect="auto",
                               extent=[0, m.shape[0] * hop_sec, 0, fs / 2000.0],
                               cmap="gray")

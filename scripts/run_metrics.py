@@ -80,9 +80,10 @@ def main():
             from dvae_tpu.viz import display_multiple_signals
 
             cfg_s = StftConfig()
+            # ops.stft already returns the (n_frames, n_bins) layout viz wants
             sig_items = [
-                (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)).T, None),
-                (s_hat_t, np.asarray(stft(jnp.asarray(s_hat_t), cfg_s)).T, None),
+                (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)), None),
+                (s_hat_t, np.asarray(stft(jnp.asarray(s_hat_t), cfg_s)), None),
             ]
             fig = display_multiple_signals(sig_items, fs=fs)
             fig.savefig(os.path.splitext(est_path)[0] + "_fig.png", dpi=80)
