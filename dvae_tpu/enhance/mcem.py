@@ -86,6 +86,15 @@ class McemConfig:
     # the EM averages over (25 WF samples); parity is validated at the
     # PESQ/STOI level like everything else stochastic here.
     fast_decoder: bool = True
+    # Keep the chain's loop-invariant stats (|X|^2, Vb) and the emitted Vs
+    # samples in HBM as bf16, computing in f32 (loads upconvert in
+    # registers). The whole engine is HBM-bandwidth-bound on exactly these
+    # tensors (profiled on v5e: MH energy passes + NMF stats passes are ~70%
+    # of device time), so halving their bytes is a direct speedup. Numerics:
+    # equivalent to enhancing a 0.4%-perturbed spectrogram — far below the
+    # MH sampling noise; every exact identity (Wiener partition, masking)
+    # is precision-independent and still tested. f32 everywhere when False.
+    fast_stats: bool = True
 
 
 class McemResult(NamedTuple):
@@ -98,7 +107,7 @@ class McemResult(NamedTuple):
     g: jnp.ndarray  # (B, N) gains
 
 
-def _make_mh_step(decoder: Callable, x2, y, var_rw: float):
+def _make_mh_step(decoder: Callable, x2, y, var_rw: float, stats_dtype=jnp.float32):
     """Returns one Metropolis-Hastings step over the utterance batch.
 
     Carry: (z (B,N,L), vs (B,N,F), e (B,N)) where ``e`` is the per-frame
@@ -112,8 +121,14 @@ def _make_mh_step(decoder: Callable, x2, y, var_rw: float):
     mathematically identical (log-accept ratio = E - E') and halves both the
     decoder and the transcendental cost per step. ``e`` must be refreshed by
     ``energy`` whenever vb or g change (once per EM iteration).
+
+    ``stats_dtype`` is the HBM residency dtype of the chain's loop-invariant
+    |X|^2 (and, by the caller's choice, Vb): every energy pass re-reads both
+    planes, so bf16 storage halves the engine's dominant traffic; the
+    arithmetic promotes back to f32 in registers.
     """
     sqrt_var = jnp.sqrt(jnp.asarray(var_rw, jnp.float32))
+    x2e = x2.astype(stats_dtype)
 
     def dec(z):
         zin = z if y is None else jnp.concatenate([z, y], axis=-1)
@@ -121,7 +136,7 @@ def _make_mh_step(decoder: Callable, x2, y, var_rw: float):
 
     def energy(z, vs, vb, g):
         vx = jnp.maximum(g[:, :, None] * vs + vb, VX_FLOOR)
-        return jnp.sum(jnp.log(vx) + x2 / vx, axis=-1) + 0.5 * jnp.sum(
+        return jnp.sum(jnp.log(vx) + x2e / vx, axis=-1) + 0.5 * jnp.sum(
             z**2, axis=-1
         )
 
@@ -202,7 +217,10 @@ def run_mcem(
 
     if decoder_mats is not None and cfg.fast_decoder:
         decoder = make_mlp_decoder(decoder_mats, fast=True)
-    dec, energy, mh_step, mh_light = _make_mh_step(decoder, x2, y, cfg.var_rw)
+    sd = jnp.bfloat16 if cfg.fast_stats else jnp.float32
+    dec, energy, mh_step, mh_light = _make_mh_step(
+        decoder, x2, y, cfg.var_rw, stats_dtype=sd
+    )
 
     denom = jnp.maximum(jnp.sum(mask) * f, 1.0)
 
@@ -267,18 +285,20 @@ def run_mcem(
     def em_iter(carry, key):
         z, w, h, g = carry
         vb = compute_vb(w, h)
+        # the chain re-reads Vb every step: store it at the stats dtype
+        vbe = vb.astype(sd)
         # Vs is a deterministic cache of z — it never rides a scan carry:
         # burn-in uses the light (z, e) carry and the cache is re-derived
         # only where samples are emitted (saves a (B,N,F) HBM round-trip
         # per burn-in step and per EM iteration).
-        e = energy(z, dec(z), vb, g)  # refresh: vb/g changed since last iter
+        e = energy(z, dec(z), vbe, g)  # refresh: vb/g changed since last iter
 
         def mh(c, k):
-            return mh_light(c, k, vb, g)
+            return mh_light(c, k, vbe, g)
 
         def mh_collect(c, k):
-            c, _ = mh_step(c, k, vb, g)
-            return c, c[1]  # emit accepted Vs sample
+            c, _ = mh_step(c, k, vbe, g)
+            return c, c[1].astype(sd)  # emit accepted Vs sample
 
         kb, ks = jax.random.split(key)
         # burn-in with the light (z, e) carry, then re-derive the Vs cache
@@ -288,7 +308,7 @@ def run_mcem(
         vs = dec(z)
         (z, vs, e), vs_samples = jax.lax.scan(
             mh_collect, (z, vs, e), jax.random.split(ks, cfg.nsamples_e_step)
-        )  # vs_samples: (R, B, N, F)
+        )  # vs_samples: (R, B, N, F) at the stats dtype
 
         w, h, g = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
 
@@ -304,21 +324,24 @@ def run_mcem(
 
     # ----- Wiener-filter expectation over a fresh MH chain (mcem.py:310-329)
     vb = compute_vb(w, h)
-    e = energy(z, vs, vb, g)
+    vbe = vb.astype(sd)  # chain energies read the stats-dtype copy
+    e = energy(z, vs, vbe, g)
     k_wf = jax.random.fold_in(k_run, 1)
     kb, ks = jax.random.split(k_wf)
 
     # WF burn-in accumulates nothing: run it with the light (z, e) carry
     (z, e), _ = jax.lax.scan(
-        lambda c, k: mh_light(c, k, vb, g),
+        lambda c, k: mh_light(c, k, vbe, g),
         (z, e),
         jax.random.split(kb, cfg.burnin_wf),
     )
     vs = dec(z)
 
     def wf_step(carry, key):
+        # mask accumulation stays f32: WFs + WFn = (g*Vs + Vb)/Vx ≡ 1 uses
+        # the SAME f32 vb in numerator and denominator (partition identity)
         (z, vs, e), wfs_sum, wfn_sum = carry
-        (z, vs, e), _ = mh_step((z, vs, e), key, vb, g)
+        (z, vs, e), _ = mh_step((z, vs, e), key, vbe, g)
         vs_scaled = g[:, :, None] * vs
         vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
         wfs_sum = wfs_sum + vs_scaled / vx

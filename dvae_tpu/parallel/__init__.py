@@ -1,3 +1,15 @@
+from dvae_tpu.parallel.distributed import (
+    distributed_init,
+    gather_metrics,
+    global_batch_from_local,
+)
 from dvae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
-__all__ = ["make_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "distributed_init",
+    "gather_metrics",
+    "global_batch_from_local",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+]

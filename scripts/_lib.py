@@ -41,6 +41,11 @@ def add_common(ap: argparse.ArgumentParser, training: bool = False):
         ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
         ap.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
+        ap.add_argument("--multihost", action="store_true",
+                        help="join a multi-process JAX runtime "
+                             "(jax.distributed.initialize with cluster "
+                             "auto-detection) before building the mesh; "
+                             "implies --data-parallel")
     return ap
 
 
@@ -83,6 +88,11 @@ def mangle(prefix: str, args, extra: str = "") -> str:
 
 
 def make_mesh_if(args):
+    if getattr(args, "multihost", False):
+        from dvae_tpu.parallel import distributed_init, make_mesh
+
+        distributed_init()  # after this jax.devices() is the global list
+        return make_mesh()
     if getattr(args, "data_parallel", False):
         from dvae_tpu.parallel import make_mesh
 

@@ -95,6 +95,27 @@ def test_mcem_masks_partition_unity_and_cost_decreases():
     assert cost[-1] < cost[0], f"cost did not decrease: {cost[:3]} -> {cost[-3:]}"
 
 
+def test_fast_stats_matches_f32_engine():
+    """bf16 HBM residency of the chain stats (fast_stats, the default) is a
+    storage optimization, not an algorithm change: on the deterministic
+    var_rw=0 path it must track the all-f32 engine to bf16 rounding."""
+    base = dict(niter=6, nsamples_e_step=3, burnin_e_step=2, nsamples_wf=4,
+                burnin_wf=2, var_rw=0.0, nmf_rank=K)
+    b, n = 2, 30
+    x2, _ = _mixture(b, n, jax.random.PRNGKey(11))
+    z0 = jax.random.normal(jax.random.PRNGKey(12), (b, n, L)) * 0.5
+    mask = jnp.ones((b, n))
+    nmf = init_nmf(jax.random.PRNGKey(13), b, n, F, K, 1e-8)
+    fast = run_mcem(toy_decoder, x2, z0, mask, jax.random.PRNGKey(14),
+                    McemConfig(**base, fast_stats=True), nmf_init=nmf)
+    slow = run_mcem(toy_decoder, x2, z0, mask, jax.random.PRNGKey(14),
+                    McemConfig(**base, fast_stats=False), nmf_init=nmf)
+    np.testing.assert_allclose(np.asarray(fast.wfs), np.asarray(slow.wfs),
+                               rtol=0.05, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fast.cost), np.asarray(slow.cost),
+                               rtol=2e-2)
+
+
 def test_mcem_conditional_y():
     """y-conditioned decoder path (M2 variants) runs and respects shapes."""
     cfg = McemConfig(niter=3, nsamples_e_step=2, burnin_e_step=2, nsamples_wf=2,
