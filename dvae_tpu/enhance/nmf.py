@@ -38,39 +38,66 @@ def compute_vb(w, h):
     return jnp.einsum("bnk,bfk->bnf", h, w, precision=_DEFAULT)
 
 
+def _sum2(ops, axes):
+    """Variadic reduce: sum two same-shaped arrays over ``axes`` in ONE pass.
+
+    ``jnp.sum(a) ; jnp.sum(b)`` compiles to two loop fusions that each
+    re-read the shared (R, B, N, F)-sized producer from HBM — on v5e those
+    paired stat passes are the M-step's whole cost (profiled: ~7 x ~140 MB
+    fusions per EM iteration). A single variadic ``lax.reduce`` makes XLA
+    emit one multi-output fusion that loads the samples once (verified in
+    compiled HLO: 1 fusion vs 2).
+    """
+    a, b = ops
+    zero = jnp.zeros((), a.dtype)
+    return jax.lax.reduce(
+        (a, b), (zero, zero),
+        lambda acc, x: (acc[0] + x[0], acc[1] + x[1]), axes,
+    )
+
+
 def nmf_m_step(x2, vs, w, h, g, mask, eps: float = 1e-8):
     """One multiplicative M-step given latent-sample speech variances.
 
     Args:
         x2:   (B, N, F) mixture power spectrogram.
-        vs:   (R, B, N, F) decoder speech variances for R posterior samples.
+        vs:   (R, B, N, F) decoder speech variances for R posterior samples
+            (any float dtype; bf16 when the engine runs fast_stats — loads
+            upconvert, all arithmetic is f32).
         w,h,g: current NMF parameters / gains.
         mask: (B, N) float frame-validity mask.
 
     Returns updated (w, h, g).
+
+    Every reduction over the R samples is a single HBM pass (see
+    :func:`_sum2`); the intermediate a1/a2 planes are stored at ``vs``'s
+    dtype so the stats path's writes shrink with it too.
     """
     m = mask[:, :, None]  # (B, N, 1)
-    vs_scaled = g[None, :, :, None] * vs  # (R, B, N, F)
+    ad = vs.dtype  # dtype of the (B, N, F) stat planes written between passes
 
     def vx(vb):
         # floor keeps all-silent frames (x2 == 0 -> g, H -> 0) from collapsing
-        # Vx to 0 and poisoning 1/Vx with inf
-        return jnp.maximum(vs_scaled + vb[None], VX_FLOOR)
+        # Vx to 0 and poisoning 1/Vx with inf; f32 arithmetic regardless of
+        # the storage dtype of vs
+        return jnp.maximum(
+            g[None, :, :, None] * vs.astype(jnp.float32) + vb[None], VX_FLOOR
+        )
 
     vb = compute_vb(w, h)
-    vxc = vx(vb)
+    r1 = 1.0 / vx(vb)
     # --- update W (reduces over frames: must be masked) ---
-    a2 = jnp.sum(vxc**-2, axis=0)  # (B, N, F)
-    a1 = jnp.sum(vxc**-1, axis=0)
+    a1, a2 = _sum2((r1, r1 * r1), (0,))  # (B, N, F) each, one pass
+    a1, a2 = a1.astype(ad), a2.astype(ad)
     num = jnp.einsum("bnf,bnk->bfk", x2 * a2 * m, h, precision=_DEFAULT)
     den = jnp.einsum("bnf,bnk->bfk", a1 * m, h, precision=_DEFAULT)
     w = w * jnp.sqrt(num / jnp.maximum(den, eps))
 
     vb = compute_vb(w, h)
-    vxc = vx(vb)
+    r1 = 1.0 / vx(vb)
     # --- update H (per-frame; padded rows are harmless) ---
-    a2 = jnp.sum(vxc**-2, axis=0)
-    a1 = jnp.sum(vxc**-1, axis=0)
+    a1, a2 = _sum2((r1, r1 * r1), (0,))
+    a1, a2 = a1.astype(ad), a2.astype(ad)
     num = jnp.einsum("bnf,bfk->bnk", x2 * a2, w, precision=_DEFAULT)
     den = jnp.einsum("bnf,bfk->bnk", a1, w, precision=_DEFAULT)
     h = h * jnp.sqrt(num / jnp.maximum(den, eps))
@@ -81,10 +108,12 @@ def nmf_m_step(x2, vs, w, h, g, mask, eps: float = 1e-8):
     h = h * norm[:, None, :]
 
     vb = compute_vb(w, h)
-    vxc = vx(vb)
+    r1 = 1.0 / vx(vb)
+    vs32 = vs.astype(jnp.float32)
     # --- update the per-frame gain g (reduces over freq only) ---
-    num = jnp.sum(x2 * jnp.sum(vs * vxc**-2, axis=0), axis=-1)  # (B, N)
-    den = jnp.sum(jnp.sum(vs * vxc**-1, axis=0), axis=-1)
+    # fold the sample and frequency reductions into one (R,·,F) pass:
+    # num = sum_{r,f} x2 * Vs_r / Vx_r^2, den = sum_{r,f} Vs_r / Vx_r
+    num, den = _sum2((x2[None] * vs32 * (r1 * r1), vs32 * r1), (0, 3))  # (B, N)
     g = g * jnp.sqrt(num / jnp.maximum(den, eps))
 
     return w, h, g
