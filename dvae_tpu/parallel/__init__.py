@@ -1,4 +1,5 @@
 from dvae_tpu.parallel.distributed import (
+    distribute_batch,
     distributed_init,
     gather_metrics,
     global_batch_from_local,
@@ -6,6 +7,7 @@ from dvae_tpu.parallel.distributed import (
 from dvae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 __all__ = [
+    "distribute_batch",
     "distributed_init",
     "gather_metrics",
     "global_batch_from_local",

@@ -20,7 +20,8 @@ import time
 import jax
 import numpy as np
 
-from dvae_tpu.parallel.mesh import replicate, shard_batch
+from dvae_tpu.parallel.distributed import distribute_batch
+from dvae_tpu.parallel.mesh import replicate
 from dvae_tpu.train import checkpoint as ckpt
 from dvae_tpu.train.steps import (
     AdversarialState,
@@ -54,20 +55,31 @@ class LoopConfig:
 
 
 class _Logger:
+    """Reference-format batch/epoch logs. In a multi-process run only
+    process 0 writes (and prints) — every host computes identical metrics,
+    and N hosts appending to one shared-filesystem log would interleave."""
+
     def __init__(self, model_dir, append: bool = False):
         import pathlib
 
+        self.enabled = jax.process_index() == 0
         self.dir = pathlib.Path(model_dir)
+        if not self.enabled:
+            return
         self.dir.mkdir(parents=True, exist_ok=True)
         if not append:
             (self.dir / "output_batch.log").write_text("")
             (self.dir / "output_epoch.log").write_text("")
 
     def batch(self, msg):
+        if not self.enabled:
+            return
         with open(self.dir / "output_batch.log", "a") as f:
             print(msg, file=f)
 
     def epoch(self, msg):
+        if not self.enabled:
+            return
         print(msg)
         with open(self.dir / "output_epoch.log", "a") as f:
             print(msg, file=f)
@@ -196,7 +208,7 @@ def fit_vae(
                 x, y = buf[0]
                 if mesh is not None:
                     x, y = _pad_shardable((x, y), mesh)
-                    x, y = shard_batch((x, y), mesh)
+                    x, y = distribute_batch((x, y), mesh)
                 state, metrics = step(state, x, y, key) if conditional else step(state, x, key)
                 weight = 1
             for k, v in metrics.items():
@@ -232,7 +244,7 @@ def fit_vae(
         for x, y in valid_ds.batches(cfg.batch_size):
             key, sk = jax.random.split(key)
             if mesh is not None and x.shape[0] % mesh.devices.size == 0:
-                x, y = shard_batch((x, y), mesh)
+                x, y = distribute_batch((x, y), mesh)
             # trailing partial batches run unsharded: wrap-padding would
             # double-count rows in the validation mean, and vloss picks the
             # best checkpoint — it must be exact
@@ -248,9 +260,11 @@ def fit_vae(
 
         vloss = valid_avg["elbo"]
         name = ckpt.checkpoint_name(prefix, epoch, vloss)
-        ckpt.save_checkpoint(model_dir, name, state.params,
-                             opt_state=state.opt_state,
-                             metadata={"epoch": epoch, **valid_avg})
+        if jax.process_index() == 0:  # hosts compute identical metrics;
+            # concurrent writes to a shared models dir would corrupt files
+            ckpt.save_checkpoint(model_dir, name, state.params,
+                                 opt_state=state.opt_state,
+                                 metadata={"epoch": epoch, **valid_avg})
         history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
         if vloss < best[0]:
             best = (vloss, jax.device_get(state.params))
@@ -345,7 +359,7 @@ def fit_adversarial(
                 x, y = buf[0]
                 if mesh is not None:
                     x, y = _pad_shardable((x, y), mesh)
-                    x, y = shard_batch((x, y), mesh)
+                    x, y = distribute_batch((x, y), mesh)
                 state, metrics = step(state, x, y, key)
                 weight = 1
             for k, v in metrics.items():
@@ -379,7 +393,7 @@ def fit_adversarial(
         for x, y in valid_ds.batches(cfg.batch_size):
             key, sk = jax.random.split(key)
             if mesh is not None and x.shape[0] % mesh.devices.size == 0:
-                x, y = shard_batch((x, y), mesh)
+                x, y = distribute_batch((x, y), mesh)
             # trailing partial batches run unsharded: wrap-padding would
             # double-count rows in the validation mean, and vloss picks the
             # best checkpoint — it must be exact
@@ -395,9 +409,10 @@ def fit_adversarial(
 
         vloss = valid_avg["enc"]
         name = ckpt.checkpoint_name(prefix, epoch, vloss)
-        ckpt.save_checkpoint(model_dir, name, state.params,
-                             opt_state=(state.opt_state_enc, state.opt_state_aux),
-                             metadata={"epoch": epoch, **valid_avg})
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(model_dir, name, state.params,
+                                 opt_state=(state.opt_state_enc, state.opt_state_aux),
+                                 metadata={"epoch": epoch, **valid_avg})
         history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
         if vloss < best[0]:
             best = (vloss, jax.device_get(state.params))

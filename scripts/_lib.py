@@ -54,6 +54,20 @@ def maybe_force_platform(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "multihost", False):
+        # must run BEFORE anything initializes the XLA backend (model init,
+        # jax.devices(), ...) — scripts call this right after arg parsing
+        from dvae_tpu.parallel import distributed_init
+
+        if not distributed_init():
+            raise RuntimeError(
+                "--multihost was requested but no multi-process runtime was "
+                "detected (jax.distributed auto-detection found no cluster; "
+                "set JAX_COORDINATOR_ADDRESS / run under a pod or SLURM "
+                "launcher). Refusing to continue: every host would silently "
+                "train an independent copy. For single-process multi-device "
+                "runs use --data-parallel."
+            )
 
 
 def y_dim_for(labels: str) -> int:
@@ -88,12 +102,9 @@ def mangle(prefix: str, args, extra: str = "") -> str:
 
 
 def make_mesh_if(args):
-    if getattr(args, "multihost", False):
-        from dvae_tpu.parallel import distributed_init, make_mesh
-
-        distributed_init()  # after this jax.devices() is the global list
-        return make_mesh()
-    if getattr(args, "data_parallel", False):
+    if getattr(args, "multihost", False) or getattr(args, "data_parallel", False):
+        # under --multihost the runtime was already joined in
+        # maybe_force_platform, so jax.devices() is the global device list
         from dvae_tpu.parallel import make_mesh
 
         return make_mesh()

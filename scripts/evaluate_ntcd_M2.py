@@ -74,9 +74,14 @@ def main():
         mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="enc_dec"),
         mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
-    # at a read-only corpus)
+    # at a read-only corpus); layout mirrors the reference's
+    # models/<model_name>/<ckpt>/... convention (evaluate_ntcd_M1.py:79-82) —
+    # the model-dir name must stay in the path or different models sharing a
+    # checkpoint prefix (M2 vs M2-info both write M2_epoch_*) would collide.
+    model_name = os.path.basename(os.path.normpath(
+        args.model_dir or os.path.dirname(path)))
     out_dir = args.output_dir or os.path.join(
-        args.models_root, "enhanced",
+        args.models_root, "enhanced", model_name,
         os.path.splitext(os.path.basename(path))[0])
     n = evaluate_sweep(
         enh, proc, out_dir, dataset_size=args.dataset_size, labels=args.labels,

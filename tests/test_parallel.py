@@ -35,6 +35,34 @@ def test_global_batch_from_local_matches_shard_batch():
     assert float(total) == x.sum() + batch["y"].sum()
 
 
+def test_distribute_batch_single_process_equals_shard_batch():
+    mesh = make_mesh()
+    from dvae_tpu.parallel import distribute_batch
+
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    d = distribute_batch((x, x[:, 0]), mesh)
+    s = shard_batch((jnp.asarray(x), jnp.asarray(x[:, 0])), mesh)
+    assert d[0].sharding == s[0].sharding
+    np.testing.assert_array_equal(np.asarray(d[0]), x)
+    np.testing.assert_array_equal(np.asarray(d[1]), x[:, 0])
+
+
+def test_multihost_flag_fails_loudly_without_cluster():
+    """--multihost with no detectable cluster must error, not silently run
+    every host as an independent single process (review finding)."""
+    import subprocess, sys, pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(root / "scripts" / "training_M1.py"),
+         "--multihost", "--end-epoch", "2", "--platform", "cpu",
+         "--data-root", "/nonexistent"],
+        capture_output=True, text=True, cwd=root,
+    )
+    assert r.returncode != 0
+    assert "multihost" in (r.stderr + r.stdout)
+
+
 def test_gather_metrics_single_process_shape():
     out = gather_metrics({"loss": jnp.float32(2.5), "n": np.int32(7)})
     # leading process axis of size process_count (1 here)
