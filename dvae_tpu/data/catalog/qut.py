@@ -30,7 +30,6 @@ def noise_list(input_noise_dir, dataset_type="test"):
     paths = [os.path.relpath(p, input_noise_dir) for p in paths]
     out = {}
     for p in paths:
-        base = os.path.basename(p)
         for key, fname in TEST_FILENAMES.items():
             if fname in p:
                 out[key] = p

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from dvae_tpu.enhance.nmf import VX_FLOOR, compute_vb, init_nmf, nmf_m_step
+from dvae_tpu.utils.misc import on_tpu as _on_tpu
 
 
 def make_mlp_decoder(mats, fast: bool = True) -> Callable:
@@ -57,15 +58,6 @@ def make_mlp_decoder(mats, fast: bool = True) -> Callable:
         return jnp.exp(mm(h, w3) + b3)
 
     return dec
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
-
-
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,7 +201,11 @@ def run_mcem(
     b, n, f = x2.shape
     x2 = x2.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
-    k_nmf, k_run = jax.random.split(key)
+    # three independent streams: NMF init, EM iterations, WF expectation.
+    # (k_wf must NOT be fold_in(k_em, c): under the partitionable threefry
+    # PRNG fold_in(k, c) == split(k, n)[c], so the WF chain would replay EM
+    # iteration c's exact proposal/acceptance noise.)
+    k_nmf, k_em, k_wf = jax.random.split(key, 3)
     if nmf_init is None:
         w, h, g = init_nmf(k_nmf, b, n, f, cfg.nmf_rank, cfg.eps)
     else:
@@ -271,11 +267,9 @@ def run_mcem(
             return (z, w, h, g), masked_cost(vx)
 
         (z, w, h, g), cost = jax.lax.scan(
-            em_iter_kernel, (z_init, w, h, g), jax.random.split(k_run, cfg.niter)
+            em_iter_kernel, (z_init, w, h, g), jax.random.split(k_em, cfg.niter)
         )
-        (zf, wfs_sum, wfn_sum), _ = chain(
-            z, w, h, g, jax.random.fold_in(k_run, 1), wf_mode=True
-        )
+        (zf, wfs_sum, wfn_sum), _ = chain(z, w, h, g, k_wf, wf_mode=True)
         z = zf.reshape(b, n, l)
         wfs = wfs_sum.reshape(b, n, f) / cfg.nsamples_wf
         wfn = wfn_sum.reshape(b, n, f) / cfg.nsamples_wf
@@ -318,7 +312,7 @@ def run_mcem(
         return (z, w, h, g), cost
 
     (z, w, h, g), cost = jax.lax.scan(
-        em_iter, (z_init, w, h, g), jax.random.split(k_run, cfg.niter)
+        em_iter, (z_init, w, h, g), jax.random.split(k_em, cfg.niter)
     )
     vs = dec(z)
 
@@ -326,7 +320,6 @@ def run_mcem(
     vb = compute_vb(w, h)
     vbe = vb.astype(sd)  # chain energies read the stats-dtype copy
     e = energy(z, vs, vbe, g)
-    k_wf = jax.random.fold_in(k_run, 1)
     kb, ks = jax.random.split(k_wf)
 
     # WF burn-in accumulates nothing: run it with the light (z, e) carry

@@ -337,7 +337,6 @@ class Enhancer:
                     yield (i, j, last, wavs[a:a + mdb], sl(ys, a, a + mdb),
                            sl(max_frames, a, a + mdb))
 
-        pending = None  # (batch_index, handle)
         acc = []
 
         def emit(i, handle, last):

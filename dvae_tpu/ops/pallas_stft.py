@@ -44,6 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dvae_tpu.utils.misc import on_tpu as _on_tpu
+
 from dvae_tpu.ops.stft import (
     StftConfig,
     _apply_center_pad,
@@ -122,13 +124,6 @@ def _stft_power_pallas(x, cfg: StftConfig, log_eps: float | None, interpret: boo
         interpret=interpret,
     )(frames, jnp.asarray(basis))
     return out[:rows, : cfg.n_bins].reshape(*lead, n, cfg.n_bins)
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
 
 
 def power_spectrogram(x, cfg: StftConfig = StftConfig(), use_pallas: bool = False):

@@ -198,11 +198,11 @@ def fit_vae(
                 return state
             if multi_step is not None and len(buf) > 1:
                 xs = np.stack([b[0] for b in buf])
-                ys = np.stack([b[1] for b in buf])
-                state, metrics = (
-                    multi_step(state, xs, ys, key) if conditional
-                    else multi_step(state, xs, key)
-                )
+                if conditional:  # don't stack labels the step won't consume
+                    state, metrics = multi_step(
+                        state, xs, np.stack([b[1] for b in buf]), key)
+                else:
+                    state, metrics = multi_step(state, xs, key)
                 weight = len(buf)
             else:
                 x, y = buf[0]
@@ -238,7 +238,9 @@ def fit_vae(
                 state = flush(state, sk)
         key, sk = jax.random.split(key)
         state = flush(state, sk)
-        train_avg = {k: v / n_train for k, v in totals.items()}
+        # divide by the steps actually run: with drop_last the trailing batch
+        # never runs and ceil(len/bs) would bias every train metric low
+        train_avg = {k: v / max(i, 1) for k, v in totals.items()}
 
         totals = {}
         for x, y in valid_ds.batches(cfg.batch_size):
@@ -387,7 +389,9 @@ def fit_adversarial(
                 state = flush(state, sk)
         key, sk = jax.random.split(key)
         state = flush(state, sk)
-        train_avg = {k: v / n_train for k, v in totals.items()}
+        # divide by the steps actually run: with drop_last the trailing batch
+        # never runs and ceil(len/bs) would bias every train metric low
+        train_avg = {k: v / max(i, 1) for k, v in totals.items()}
 
         totals = {}
         for x, y in valid_ds.batches(cfg.batch_size):

@@ -20,3 +20,15 @@ def get_key(d: dict, val):
         if value == val:
             return key
     return None
+
+
+def on_tpu() -> bool:
+    """True when the default JAX device is a TPU (incl. the axon tunnel
+    plugin). One shared definition — a platform rename must not diverge
+    between the Pallas call sites (ops/pallas_stft.py, enhance/mcem.py)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False

@@ -9,7 +9,7 @@ per epoch. The 4-GPU nn.DataParallel becomes a ``data`` mesh shard."""
 import argparse
 import os
 
-from _lib import add_common, maybe_force_platform, processed_dir
+from _lib import add_common, make_mesh_if, maybe_force_platform, processed_dir
 
 
 def main():
@@ -64,6 +64,23 @@ def main():
     step = make_lstm_vad_step(model, tx)
     evaluate = make_lstm_vad_eval(model)
 
+    # the one reference script with multi-device training (DataParallel over
+    # 4 GPUs, train_audio_net.py:150): here the sequence batch shards over
+    # the data mesh, params replicated; divisibility-breaking trailing
+    # batches run unsharded like the fit_vae validation path
+    mesh = make_mesh_if(args)
+    if mesh is not None:
+        from dvae_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
+
+    def maybe_shard(batch):
+        if mesh is not None and batch[0].shape[0] % mesh.devices.size == 0:
+            from dvae_tpu.parallel import distribute_batch
+
+            return distribute_batch(batch, mesh)
+        return batch
+
     model_dir = os.path.join(args.models_root,
                              f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}")
     rng = np.random.default_rng(args.seed)
@@ -71,7 +88,8 @@ def main():
         order = rng.permutation(len(train_ds))
         totals, n_batches = {}, 0
         for s in range(0, len(order), args.seq_batch_size):
-            xb, yb, mb = batch_utterances(train_ds, order[s : s + args.seq_batch_size], stft_cfg)
+            xb, yb, mb = maybe_shard(batch_utterances(
+                train_ds, order[s : s + args.seq_batch_size], stft_cfg))
             state, m = step(state, xb, yb, mb)
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -83,9 +101,9 @@ def main():
         # in the checkpoint name is VALIDATION BCE, not training BCE
         vt, vn = {}, 0
         for s0 in range(0, len(valid_ds), args.seq_batch_size):
-            xb, yb, mb = batch_utterances(
+            xb, yb, mb = maybe_shard(batch_utterances(
                 valid_ds, range(s0, min(s0 + args.seq_batch_size, len(valid_ds))),
-                stft_cfg)
+                stft_cfg))
             m = evaluate(state.params, xb, yb, mb)
             for k, v in m.items():
                 vt[k] = vt.get(k, 0.0) + float(v)
@@ -93,9 +111,10 @@ def main():
         vavg = {k: v / max(vn, 1) for k, v in vt.items()}
         print(f"  valid: " + "  ".join(f"{k}={v:.4f}" for k, v in vavg.items()))
         name = ckpt.checkpoint_name("VAD", epoch, vavg.get("bce", avg["bce"]))
-        ckpt.save_checkpoint(model_dir, name, state.params,
-                             metadata={"epoch": epoch, **avg,
-                                       **{f"valid_{k}": v for k, v in vavg.items()}})
+        if jax.process_index() == 0:  # multi-host: one writer to shared dir
+            ckpt.save_checkpoint(model_dir, name, state.params,
+                                 metadata={"epoch": epoch, **avg,
+                                           **{f"valid_{k}": v for k, v in vavg.items()}})
 
 
 if __name__ == "__main__":
