@@ -77,6 +77,12 @@ class EnhancerConfig:
     # 52.7 utt/s, B=64 35.5 utt/s for the bare engine) — oversized requests
     # are split into sub-dispatches that pipeline like separate batches.
     max_device_batch: int = 32
+    # Dispatches kept in flight by enhance_stream before collecting the
+    # oldest. 1 = dispatch k+1, then collect k (hides host prep only).
+    # Deeper pipelines also hide the host<->device transfer + dispatch
+    # round-trips of a remote-attached link behind device compute, at the
+    # cost of buffering that many batches on device.
+    pipeline_depth: int = 2
 
 
 class Enhancer:
@@ -316,14 +322,18 @@ class Enhancer:
         """Pipelined enhancement over an iterable of batches.
 
         ``batches`` yields ``(wavs, ys_or_None, max_frames_or_None)`` tuples.
-        The next batch's upload + device program are enqueued *before* the
-        previous batch's outputs are pulled back, overlapping host<->device
-        transfers with device compute (jax dispatch is async). Yields one
-        result list per input batch, in order.
+        Up to ``cfg.pipeline_depth`` batches' uploads + device programs are
+        enqueued before the oldest batch's outputs are pulled back,
+        overlapping host<->device transfers and dispatch round-trips with
+        device compute (jax dispatch is async). Yields one result list per
+        input batch, in order.
         """
+        import collections
+
         if key is None:
             key = jax.random.PRNGKey(0)
         mdb = self.cfg.max_device_batch
+        depth = max(1, self.cfg.pipeline_depth)
 
         def sub_batches():
             # split oversized batches here so the device never sees more
@@ -347,18 +357,18 @@ class Enhancer:
                 return out
             return None
 
-        prev = None
+        pending = collections.deque()  # (batch_index, handle, last)
         for i, j, last, wavs, ys, max_frames in sub_batches():
             handle = self._dispatch(
                 wavs, ys, jax.random.fold_in(jax.random.fold_in(key, i), j),
                 max_frames,
             )
-            if prev is not None:
-                out = emit(*prev)
+            pending.append((i, handle, last))
+            if len(pending) > depth:
+                out = emit(*pending.popleft())
                 if out is not None:
                     yield out
-            prev = (i, handle, last)
-        if prev is not None:
-            out = emit(*prev)
+        while pending:
+            out = emit(*pending.popleft())
             if out is not None:
                 yield out

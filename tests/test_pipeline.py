@@ -186,6 +186,26 @@ def test_max_frames_below_sample_count(subset_dir, m1):
     assert np.abs(s[cover + 1024:]).max() == 0.0  # beyond coverage: silence
 
 
+def test_enhance_stream_deep_pipeline_preserves_order(subset_dir, m1):
+    """pipeline_depth > number of batches, = 1, and in between must all
+    yield identical per-batch groupings in input order."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    batches = [([x1], None, None), ([x2, x1[:40000]], None, None),
+               ([x2[:50000]], None, None), ([x1, x2], None, None)]
+    lens = None
+    for depth in (1, 3, 8):
+        cfg = EnhancerConfig(mcem=QUICK_MCEM, max_device_batch=2,
+                             pipeline_depth=depth)
+        enh = Enhancer(model, params, cfg)
+        outs = list(enh.enhance_stream(list(batches), key=jax.random.PRNGKey(7)))
+        got = [[len(s) for s, _ in out] for out in outs]
+        if lens is None:
+            lens = got
+        assert got == lens, f"depth={depth} regrouped differently"
+    assert lens == [[len(x1)], [len(x2), 40000], [50000], [len(x1), len(x2)]]
+
+
 def test_enhance_stream_respects_max_device_batch(subset_dir, m1):
     """The sweep path must split oversized batches like enhance_batch does
     and regroup sub-batch results per input batch, in order."""
