@@ -53,3 +53,41 @@ def polqa(ref_paths, deg_paths):
             "not installed in this environment."
         ) from e
     return _polqa(ref_paths, deg_paths)
+
+
+def polqa_prepare_pairs(pairs, pad_dir, fs: int = 16000, min_sec: float = 3.0):
+    """Split (ref, deg) wav-path pairs into POLQA-ready lists.
+
+    POLQA rejects signals shorter than ~3 s; the reference works around it by
+    zero-padding short pairs to exactly 3 s and scoring them as a separate
+    "extended" batch (run_metrics.py:398-424, files suffixed ``_3sec``).
+    Replicated here as a pure, testable step — with one deliberate change:
+    the reference writes the padded CLEAN copy back into the data tree, which
+    may be a read-only corpus; both padded copies go under ``pad_dir``
+    (the model output dir) instead.
+
+    Returns (normal_pairs, extended_pairs); extended pairs point at the
+    padded copies that were written.
+    """
+    import os
+
+    from dvae_tpu.data.io import read_wav, write_wav
+
+    target = int(round(min_sec * fs))
+    normal, extended = [], []
+    os.makedirs(pad_dir, exist_ok=True)
+    for ref_path, deg_path in pairs:
+        ref, fs_r = read_wav(ref_path)
+        deg, _ = read_wav(deg_path)
+        if len(ref) >= target:
+            normal.append((ref_path, deg_path))
+            continue
+        ref = np.pad(ref, (0, target - len(ref)))
+        deg = np.pad(deg, (0, max(0, target - len(deg))))
+        stem = os.path.splitext(os.path.basename(deg_path))[0]
+        ref_out = os.path.join(pad_dir, f"{stem}_s_3sec.wav")
+        deg_out = os.path.join(pad_dir, f"{stem}_3sec.wav")
+        write_wav(ref_out, ref, fs_r)
+        write_wav(deg_out, deg, fs_r)
+        extended.append((ref_out, deg_out))
+    return normal, extended

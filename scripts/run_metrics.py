@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--snr", default=None)
     ap.add_argument("--confidence", type=float, default=0.95)
     ap.add_argument("--with-figures", action="store_true")
+    ap.add_argument("--polqa", action="store_true",
+                    help="batch POLQA mode (reference main_polqa, "
+                         "run_metrics.py:337): requires the proprietary "
+                         "uhh_sp package; pairs shorter than 3 s are padded "
+                         "copies scored as a separate batch")
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -43,6 +48,42 @@ def main():
     items = list(pairs.items())
     if args.snr and args.snr != "all":
         items = [it for it in items if it[0].split("/")[-4] == args.snr]
+
+    if args.polqa:
+        # batch POLQA over (clean, s_est) pairs — reference main_polqa
+        # (run_metrics.py:337-452): short pairs padded to 3 s, scored as a
+        # separate extended batch, overall mean + CI printed
+        from dvae_tpu.eval.pesq import polqa, polqa_available, polqa_prepare_pairs
+        from dvae_tpu.eval.stats import mean_confidence_interval
+
+        if not polqa_available():
+            raise SystemExit(
+                "POLQA requires the proprietary uhh_sp package (ITU-T P.863),"
+                " which is not installed."
+            )
+        wav_pairs = []
+        for noisy_rel, clean_rel in items:
+            est = os.path.join(args.model_output_dir,
+                               os.path.splitext(noisy_rel)[0] + f"_s_est{args.suffix}.wav")
+            ref_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
+            ref = os.path.join(proc, os.path.splitext(ref_rel)[0] + ".wav")
+            if os.path.exists(est) and os.path.exists(ref):
+                wav_pairs.append((ref, est))
+        if not wav_pairs:
+            raise SystemExit(f"no (clean, s_est{args.suffix}) pairs under "
+                             f"{args.model_output_dir}")
+        normal, extended = polqa_prepare_pairs(
+            wav_pairs, pad_dir=os.path.join(args.model_output_dir, "polqa_3sec"))
+        scores = []
+        if normal:
+            scores += list(polqa([r for r, _ in normal], [d for _, d in normal]))
+        if extended:
+            print(f"note: {len(extended)} pairs < 3 s scored from padded copies")
+            scores += list(polqa([r for r, _ in extended], [d for _, d in extended]))
+        mean, ci = mean_confidence_interval(np.asarray(scores, np.float64),
+                                            args.confidence)
+        print(f"polqa      {mean:<10.3f} {ci:<10.3f} (n={len(scores)})")
+        return
 
     use_pesq = pesq_available()
     keys = ["si_sdr", "estoi"] + (["pesq"] if use_pesq else [])

@@ -96,3 +96,36 @@ def test_stoi_sanity():
     d_snr10 = stoi(clean, clean + 0.31 * noise * clean.std(), 16000)
     assert d_snr10 > d_snr0
     assert stoi(clean, clean, 16000, extended=False) > 0.99
+
+
+def test_polqa_prepare_pairs_pads_short_to_3s(tmp_path):
+    """The POLQA 3 s padding workaround (reference run_metrics.py:398-424):
+    short pairs become padded copies in a separate 'extended' list written
+    under pad_dir; long pairs pass through untouched."""
+    import numpy as np
+
+    from dvae_tpu.data.io import read_wav, write_wav
+    from dvae_tpu.eval.pesq import polqa_prepare_pairs
+
+    fs = 16000
+    short_ref = tmp_path / "ref_short.wav"
+    short_deg = tmp_path / "deg_short.wav"
+    long_ref = tmp_path / "ref_long.wav"
+    long_deg = tmp_path / "deg_long.wav"
+    rng = np.random.default_rng(0)
+    write_wav(str(short_ref), 0.1 * rng.standard_normal(fs).astype(np.float32), fs)
+    write_wav(str(short_deg), 0.1 * rng.standard_normal(fs - 100).astype(np.float32), fs)
+    write_wav(str(long_ref), 0.1 * rng.standard_normal(4 * fs).astype(np.float32), fs)
+    write_wav(str(long_deg), 0.1 * rng.standard_normal(4 * fs).astype(np.float32), fs)
+
+    normal, extended = polqa_prepare_pairs(
+        [(str(short_ref), str(short_deg)), (str(long_ref), str(long_deg))],
+        pad_dir=str(tmp_path / "pad"))
+    assert normal == [(str(long_ref), str(long_deg))]
+    assert len(extended) == 1
+    ref_out, deg_out = extended[0]
+    assert "pad" in ref_out and ref_out.endswith("_s_3sec.wav")
+    r, _ = read_wav(ref_out)
+    d, _ = read_wav(deg_out)
+    assert len(r) == 3 * fs and len(d) == 3 * fs
+    assert np.all(r[fs:] == 0)  # zero-padded tail
