@@ -52,12 +52,19 @@ def display_waveplot(x, fs=16000, ax=None):
 
 
 def display_spectrogram(complex_spec, fs=16000, wlen_sec=64e-3, hop_percent=0.25,
-                        vmin=-60, vmax=10, ax=None):
+                        vmin=-60, vmax=10, ax=None, vad=None):
     """Power-dB spectrogram of a complex (n_frames, n_bins) STFT
-    (visualization.py:44-105)."""
+    (visualization.py:44-105). ``vad``: optional per-frame labels overlaid
+    via the reference's row-broadcast trick (visualization.py:73-75 — the
+    (frames,) VAD tiled across all bins, drawn translucently on top)."""
     ax = ax or plt.gca()
     hop_sec = wlen_sec * hop_percent
     im = _imshow_spec(ax, _spec_db(complex_spec, power=True), fs, hop_sec, vmin, vmax)
+    if vad is not None:
+        n_bins = np.asarray(complex_spec).shape[-1]
+        m = vad_as_mask(vad, n_bins)
+        ax.imshow(np.asarray(m).T, origin="lower", aspect="auto", alpha=0.25,
+                  extent=[0, m.shape[0] * hop_sec, 0, fs / 2000.0], cmap="gray")
     plt.colorbar(im, ax=ax)
     return ax
 

@@ -55,7 +55,18 @@ def test_viz_smoke(tmp_path):
     fig.savefig(tmp_path / "a.png")
     fig2 = viz.display_multiple_signals([(x, spec, vad), (x, spec, None)])
     fig2.savefig(tmp_path / "b.png")
-    assert (tmp_path / "a.png").stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    ax = viz.display_spectrogram(spec, vad=vad)
+    ax.figure.savefig(tmp_path / "c.png"); plt.close(ax.figure)
+    ax = viz.display_power_spectro(np.abs(spec) ** 2)
+    ax.figure.savefig(tmp_path / "d.png"); plt.close(ax.figure)
+    fig5 = viz.display_multiple_spectro([np.abs(spec) ** 2] * 2)
+    fig5.savefig(tmp_path / "e.png")
+    ax = viz.display_waveplot(x)
+    ax.figure.savefig(tmp_path / "f.png"); plt.close(ax.figure)
+    for name in "abcdef":
+        assert (tmp_path / f"{name}.png").stat().st_size > 0
 
 
 def test_svi_objectives():
@@ -129,3 +140,32 @@ def test_polqa_prepare_pairs_pads_short_to_3s(tmp_path):
     d, _ = read_wav(deg_out)
     assert len(r) == 3 * fs and len(d) == 3 * fs
     assert np.all(r[fs:] == 0)  # zero-padded tail
+
+
+def test_preprocess_ntcd_matlab_matches_reference():
+    """Single-frame lip preprocessing cross-run against the reference's own
+    function (imported from /root/reference/packages/processing/video.py) on
+    random DCT frames, incl. the quirky normalization tensor (a double IDCT
+    along the last axis, NOT a 2-D IDCT) and the VAD white-square overlay."""
+    import importlib.util
+    import pathlib
+
+    import pytest
+
+    ref_path = pathlib.Path("/root/reference/packages/processing/video.py")
+    if not ref_path.exists():
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("ref_video", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from dvae_tpu.ops.video import preprocess_ntcd_matlab
+
+    rng = np.random.default_rng(11)
+    mats = rng.standard_normal((5, 67 * 67)).astype(np.float64)
+    vad = np.array([0, 1, 1, 0, 1], np.float32)
+    for frame in (0, 1, 4):
+        want = ref.preprocess_ntcd_matlab(mats, frame, 67, 67, y_hat_hard=vad)
+        got = preprocess_ntcd_matlab(mats, frame, 67, 67, y_hat_hard=vad)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=0)  # 0-255 pixel scale

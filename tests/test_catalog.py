@@ -54,3 +54,21 @@ def test_proc_noisy_clean_pair_dict_parity(ref, split, upsampled):
 def test_proc_video_audio_pair_dict_parity(ref, upsampled):
     assert ours.proc_video_audio_pair_dict(PROC, "train", "vad_labels", upsampled) == \
         ref.proc_video_audio_pair_dict(PROC, "train", "vad_labels", upsampled)
+
+
+def test_kaldi_list_shapes(tmp_path):
+    """kaldi_list returns sorted relative (ark, scp) lists for the
+    kaldi_fMLLR tree (reference ntcd_timit.py:57-96); the shipped subset has
+    no kaldi tree, so build a miniature one."""
+    from dvae_tpu.data.catalog.ntcd_timit import kaldi_list
+
+    d = tmp_path / "ntcd_timit" / "kaldi_fMLLR" / "train"
+    (d / "09F").mkdir(parents=True)
+    (d / "09F" / "b.ark").write_bytes(b"")
+    (d / "09F" / "a.ark").write_bytes(b"")
+    (d / "09F" / "a.scp").write_text("")
+    ark, scp = kaldi_list(str(tmp_path), "train")
+    assert ark == ["ntcd_timit/kaldi_fMLLR/train/09F/a.ark",
+                   "ntcd_timit/kaldi_fMLLR/train/09F/b.ark"]
+    assert scp == ["ntcd_timit/kaldi_fMLLR/train/09F/a.scp"]
+    assert kaldi_list(str(tmp_path), "test") == ([], [])

@@ -180,3 +180,71 @@ def test_bce_finite_at_saturation_under_jit():
     for fn in (losses.binary_cross_entropy_v2, losses.binary_cross_entropy_v3):
         v = jax.jit(fn)(r)
         assert np.isfinite(float(v)), (fn.__name__, float(v))
+
+
+def test_log_density_helpers_match_scipy():
+    """log_standard_gaussian / log_gaussian vs scipy.stats.norm closed form
+    (reference distributions.py:13-34 sums the per-dim log-pdfs)."""
+    import scipy.stats
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 6)).astype(np.float32)
+    mu = rng.standard_normal((4, 6)).astype(np.float32)
+    logvar = rng.standard_normal((4, 6)).astype(np.float32) * 0.5
+    got = np.asarray(losses.log_standard_gaussian(jnp.asarray(x)))
+    want = scipy.stats.norm.logpdf(x).sum(axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    got = np.asarray(losses.log_gaussian(jnp.asarray(x), jnp.asarray(mu), jnp.asarray(logvar)))
+    want = scipy.stats.norm.logpdf(x, mu, np.exp(logvar / 2)).sum(axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_categorical_priors_and_discrete_helpers():
+    """prior_categorical / log_standard_categorical / onehot /
+    enumerate_discrete / log_sum_exp behavior (reference distributions.py:5-53,
+    utils.py:5-53)."""
+    p = np.asarray(losses.prior_categorical(3, 4))
+    assert p.shape == (3, 4) and np.allclose(p, 0.25)
+
+    # BCE of p against the fixed 0.5 prior: -sum[p log .5 + (1-p) log .5]
+    y = np.asarray([[0.2, 0.9]], np.float32)
+    got = float(losses.log_standard_categorical(jnp.asarray(y))[0])
+    want = -np.sum(y * np.log(0.5 + 1e-8) + (1 - y) * np.log(0.5 + 1e-8))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    oh = np.asarray(losses.onehot(2, 5))
+    np.testing.assert_array_equal(oh, [0, 0, 1, 0, 0])
+
+    ed = np.asarray(losses.enumerate_discrete(3, 2))  # (y_dim*batch, y_dim)
+    assert ed.shape == (6, 2)
+    np.testing.assert_array_equal(ed[:3], np.tile([1, 0], (3, 1)))
+    np.testing.assert_array_equal(ed[3:], np.tile([0, 1], (3, 1)))
+
+    x = np.asarray([[1.0, 2.0, 3.0]], np.float32)
+    got = float(losses.log_sum_exp(jnp.asarray(x))[0, 0])
+    want = np.log(np.exp(x - x.max()).sum() + 1e-8) + x.max()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_mask_and_msa_losses_match_formulas():
+    """BCE-2classes / MSE signal/mask / MSA vs direct numpy formulas
+    (reference utils.py:65, :107-118)."""
+    rng = np.random.default_rng(4)
+    x = np.abs(rng.standard_normal((3, 5))).astype(np.float32)
+    s = np.abs(rng.standard_normal((3, 5))).astype(np.float32)
+    y = (rng.uniform(size=(3, 5)) > 0.5).astype(np.float32)
+    y_hat = rng.uniform(size=(3, 5)).astype(np.float32)
+
+    got = float(losses.binary_cross_entropy_2classes(
+        jnp.asarray(y_hat), jnp.asarray(1 - y_hat), jnp.asarray(y)))
+    r1, r2 = np.clip(y_hat, 1e-8, 1), np.clip(1 - y_hat, 1e-8, 1)
+    want = -np.mean(np.sum(y * np.log(r1) + (1 - y) * np.log(r2), axis=-1))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    got = float(losses.mean_square_error_signal(jnp.asarray(x), jnp.asarray(y), jnp.asarray(y_hat)))
+    np.testing.assert_allclose(got, np.mean(np.sum(((y - y_hat) * x) ** 2, -1)), rtol=1e-6)
+    got = float(losses.mean_square_error_mask(jnp.asarray(y), jnp.asarray(y_hat)))
+    np.testing.assert_allclose(got, np.mean(np.sum((y - y_hat) ** 2, -1)), rtol=1e-6)
+    got = float(losses.magnitude_spectrum_approximation_loss(
+        jnp.asarray(x), jnp.asarray(s), jnp.asarray(y_hat)))
+    np.testing.assert_allclose(got, np.mean(np.sum((s - y_hat * x) ** 2, -1)), rtol=1e-6)
