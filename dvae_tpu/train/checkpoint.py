@@ -44,8 +44,22 @@ def load_checkpoint(path, params_template, opt_state_template=None):
 
     Tolerates both payload layouts: params-only and params+opt_state (a
     params-only load of a params+opt_state file simply ignores the
-    optimizer state)."""
+    optimizer state). A ``.pt`` path is a REFERENCE torch checkpoint
+    (``torch.save(model.state_dict())``, training_M1.py:195) and loads
+    through the weight bridge — users of the reference can point any CLI's
+    --checkpoint at their existing .pt files (params only; torch
+    checkpoints never carry optimizer state, SURVEY §5)."""
     path = pathlib.Path(path)
+    if path.suffix == ".pt":
+        from dvae_tpu.train.torch_import import load_torch_state_dict
+
+        params = load_torch_state_dict(params_template, str(path))
+        if opt_state_template is not None:
+            raise ValueError(
+                f"{path} is a reference torch checkpoint: it has no "
+                "optimizer state to resume from"
+            )
+        return params
     raw = serialization.msgpack_restore(path.read_bytes())
     params = serialization.from_state_dict(params_template, raw["params"])
     if opt_state_template is not None:
@@ -85,10 +99,14 @@ def extract_submodule(params, *path_keys):
 
 
 def best_checkpoint(model_dir, prefix: str | None = None) -> pathlib.Path:
-    """The checkpoint with the lowest vloss encoded in its filename."""
+    """The checkpoint with the lowest vloss encoded in its filename.
+
+    Considers our ``.msgpack`` checkpoints and the reference's ``.pt`` ones
+    alike (same ``<prefix>_epoch_{e}_vloss_{v}`` naming scheme), so a
+    --model-dir full of reference-trained checkpoints works unchanged."""
     model_dir = pathlib.Path(model_dir)
     cands = []
-    for p in model_dir.glob("*.msgpack"):
+    for p in list(model_dir.glob("*.msgpack")) + list(model_dir.glob("*.pt")):
         stem = p.stem
         if prefix and not stem.startswith(prefix):
             continue

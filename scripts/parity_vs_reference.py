@@ -57,24 +57,10 @@ def train_small_m1(epochs: int):
 
 
 def export_to_torch_state_dict(params):
-    """Map our Flax tree onto the reference's state_dict naming so the
-    reference model can run with identical weights."""
-    import torch
+    """Shared weight bridge (train/torch_import.py) — reference naming."""
+    from dvae_tpu.train.torch_import import export_torch_state_dict
 
-    p = params["params"]
-    sd = {}
-
-    def put(name, leaf):
-        sd[name + ".weight"] = torch.tensor(np.asarray(leaf["kernel"]).T.copy())
-        sd[name + ".bias"] = torch.tensor(np.asarray(leaf["bias"]).copy())
-
-    for i in (0, 1):
-        put(f"encoder.hidden.{i}", p["encoder"]["hidden"][f"layers_{i}"])
-        put(f"decoder.hidden.{i}", p["decoder"]["hidden"][f"layers_{i}"])
-    put("encoder.sample.mu", p["encoder"]["sample"]["mu"])
-    put("encoder.sample.log_var", p["encoder"]["sample"]["log_var"])
-    put("decoder.reconstruction", p["decoder"]["reconstruction"])
-    return sd
+    return export_torch_state_dict(params)
 
 
 def main():

@@ -1,0 +1,141 @@
+"""Two-way torch checkpoint bridge (train/torch_import.py), round-tripped
+through the REFERENCE's own model classes: export our params with the
+reference's state_dict naming, strict-load them into the reference model,
+run both forward paths on the same input, then import the state_dict back
+and require the tree to be unchanged."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+from dvae_tpu.models import VAE, DisentangledVAE, init_params
+from dvae_tpu.train.torch_import import (
+    export_torch_state_dict,
+    load_torch_state_dict,
+)
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/packages/models/models.py"),
+    reason="reference checkout not available",
+)
+
+
+def _ref_models():
+    import sys
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from packages.models import models as ref_models
+
+    return ref_models
+
+
+def test_m1_roundtrip_and_forward_parity():
+    ref_models = _ref_models()
+    model = VAE(x_dim=33, z_dim=5, h_dim=(16, 16))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((2, 33)),
+    )
+    sd = export_torch_state_dict(params)
+    tm = ref_models.VariationalAutoencoder([33, 5, [16, 16]])
+    tm.load_state_dict(sd)  # strict torch load: names + shapes must match
+
+    # decoder forward parity on the same latents
+    z = np.random.default_rng(0).standard_normal((4, 5)).astype(np.float32)
+    ours = np.asarray(model.apply(params, jnp.asarray(z), method="decode"))
+    with torch.no_grad():
+        theirs = tm.decoder(torch.tensor(z)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-6)
+
+    # import back: tree must be bitwise-identical
+    back = load_torch_state_dict(params, sd)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v5_disentangled_roundtrip():
+    ref_models = _ref_models()
+    model = DisentangledVAE(x_dim=21, y_dim=1, z_dim=3, h_dim=(8,))
+    params = init_params(
+        model,
+        {"params": jax.random.PRNGKey(2), "sample": jax.random.PRNGKey(3)},
+        jnp.ones((2, 21)),
+        jnp.ones((2, 1)),
+    )
+    sd = export_torch_state_dict(params)
+    tm = ref_models.DeepGenerativeModel_v5([21, 1, 3, [8]])
+    tm.load_state_dict(sd)  # covers enc_dec_clf.* + auxiliary.* naming
+
+    back = load_torch_state_dict(params, sd)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_from_pt_file_and_family_mismatch(tmp_path):
+    model = VAE(x_dim=12, z_dim=2, h_dim=(4,))
+    params = model.init(
+        {"params": jax.random.PRNGKey(4), "sample": jax.random.PRNGKey(5)},
+        jnp.ones((2, 12)),
+    )
+    path = tmp_path / "ckpt.pt"
+    torch.save(export_torch_state_dict(params), path)  # the reference's save
+    back = load_torch_state_dict(params, str(path))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # wrong dims must raise, not silently truncate
+    wrong = VAE(x_dim=13, z_dim=2, h_dim=(4,))
+    wparams = wrong.init(
+        {"params": jax.random.PRNGKey(6), "sample": jax.random.PRNGKey(7)},
+        jnp.ones((2, 13)),
+    )
+    with pytest.raises((ValueError, KeyError)):
+        load_torch_state_dict(wparams, str(path))
+
+    # partial (substring-filtered) transfer load, reference pretrain trick
+    sub = {k: v for k, v in export_torch_state_dict(params).items() if "decoder" in k}
+    out = load_torch_state_dict(params, sub, strict=False)
+    assert np.array_equal(
+        np.asarray(out["params"]["decoder"]["reconstruction"]["kernel"]),
+        np.asarray(params["params"]["decoder"]["reconstruction"]["kernel"]),
+    )
+
+
+def test_enhancer_runs_from_reference_pt_checkpoint(tmp_path):
+    """The serving path accepts a reference .pt checkpoint end-to-end:
+    best_checkpoint picks it by vloss, load_checkpoint bridges it, and the
+    enhancement output equals the run from our native checkpoint format."""
+    from dvae_tpu.enhance.mcem import McemConfig
+    from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
+    from dvae_tpu.train import checkpoint as ckpt
+
+    model = VAE()
+    params = model.init(
+        {"params": jax.random.PRNGKey(8), "sample": jax.random.PRNGKey(9)},
+        jnp.ones((2, 513)),
+    )
+    torch.save(export_torch_state_dict(params),
+               tmp_path / "M1_epoch_007_vloss_123.45.pt")
+    best = ckpt.best_checkpoint(tmp_path)
+    assert best.suffix == ".pt"
+    loaded = ckpt.load_checkpoint(best, params)
+
+    wav = (0.05 * np.random.default_rng(1).standard_normal(16000)).astype(np.float32)
+    cfg = EnhancerConfig(mcem=McemConfig(
+        niter=2, nsamples_e_step=2, burnin_e_step=2, nsamples_wf=2, burnin_wf=2))
+    out_pt = Enhancer(model, loaded, cfg).enhance_batch([wav], key=jax.random.PRNGKey(0))
+    out_native = Enhancer(model, params, cfg).enhance_batch([wav], key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(out_pt[0][0], out_native[0][0], atol=1e-6)
+
+    with pytest.raises(ValueError):  # .pt has no optimizer state to resume
+        ckpt.load_checkpoint(best, params, opt_state_template={})
