@@ -44,7 +44,14 @@ def polqa_available() -> bool:
 
 
 def polqa(ref_paths, deg_paths):
-    """Batch POLQA through the proprietary uhh_sp package (run_metrics.py:448-452)."""
+    """Batch POLQA through the proprietary uhh_sp package.
+
+    Invoked exactly as the reference does (run_metrics.py:448-453):
+    wideband MOS only, narrowband disabled, 2 workers. Returns one
+    wideband score per pair — uhh_sp items are (id, score)-style
+    sequences with the score at index 1 (the reference consumes
+    ``sub_list[1]``, run_metrics.py:477); scalars pass through.
+    """
     try:
         from uhh_sp.evaluation import polqa as _polqa
     except ImportError as e:
@@ -52,7 +59,9 @@ def polqa(ref_paths, deg_paths):
             "POLQA requires the proprietary `uhh_sp` package (ITU-T P.863); "
             "not installed in this environment."
         ) from e
-    return _polqa(ref_paths, deg_paths)
+    out = _polqa(v_reference=ref_paths, v_processed=deg_paths,
+                 narrowband=False, wideband=True, n_workers=2)
+    return [float(item if np.isscalar(item) else item[1]) for item in out]
 
 
 def polqa_prepare_pairs(pairs, pad_dir, fs: int = 16000, min_sec: float = 3.0):
@@ -84,7 +93,11 @@ def polqa_prepare_pairs(pairs, pad_dir, fs: int = 16000, min_sec: float = 3.0):
             continue
         ref = np.pad(ref, (0, target - len(ref)))
         deg = np.pad(deg, (0, max(0, target - len(deg))))
-        stem = os.path.splitext(os.path.basename(deg_path))[0]
+        # NTCD utterance ids (sa1, si*) repeat across speaker/noise/SNR
+        # directories — a basename-only name would collide and clobber.
+        # Encode the tail of the degraded path into the copy's name.
+        parts = os.path.normpath(deg_path).split(os.sep)[-5:]
+        stem = os.path.splitext("__".join(p for p in parts if p))[0]
         ref_out = os.path.join(pad_dir, f"{stem}_s_3sec.wav")
         deg_out = os.path.join(pad_dir, f"{stem}_3sec.wav")
         write_wav(ref_out, ref, fs_r)

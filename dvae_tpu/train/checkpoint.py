@@ -76,7 +76,17 @@ def partial_load(path, params_template, key_substring: str):
     """Load only parameters whose '/'-joined path contains ``key_substring``;
 
     everything else keeps the template's values (the reference's filtered
-    ``state_dict`` update, training_M2_info_vad_pretrain.py:103-113)."""
+    ``state_dict`` update, training_M2_info_vad_pretrain.py:103-113). Works
+    for reference ``.pt`` checkpoints too: the bridge applies the filter
+    itself so entries outside the filtered region (possibly from a model
+    with different dims) are ignored rather than strict-matched."""
+    path = pathlib.Path(path)
+    if path.suffix == ".pt":
+        from dvae_tpu.train.torch_import import load_torch_state_dict
+
+        return load_torch_state_dict(
+            params_template, str(path), filter_substring=key_substring
+        )
     loaded = load_checkpoint(path, params_template)
     flat_new = traverse_util.flatten_dict(loaded)
     flat_old = traverse_util.flatten_dict(params_template)

@@ -64,17 +64,22 @@ def export_torch_state_dict(params):
     return sd
 
 
-def load_torch_state_dict(params_template, state_dict, strict: bool = True):
+def load_torch_state_dict(params_template, state_dict,
+                          strict: bool = True,
+                          filter_substring: str | None = None):
     """Reference torch ``state_dict`` (or ``.pt`` path) -> Flax params.
 
     ``params_template`` is a freshly initialized params tree of the matching
     model (shapes define the expectation). ``strict=True`` additionally
     requires every checkpoint entry to be consumed — catching family
-    mismatches (e.g. loading an M2 checkpoint into an M1). Substring-filtered
-    partial loads (the reference's transfer-learning trick,
-    training_M2_info_vad_pretrain.py:103-113) are just
-    ``{k: v for k, v in sd.items() if "classifier" in k}`` with
-    ``strict=False``.
+    mismatches (e.g. loading an M2 checkpoint into an M1).
+
+    ``filter_substring`` restricts the load to parameters whose
+    '/'-joined Flax path contains the substring; everything else keeps the
+    template's values and unconsumed checkpoint entries are expected (the
+    reference's transfer-learning trick,
+    training_M2_info_vad_pretrain.py:103-113). Shape mismatches *inside*
+    the filtered region still raise.
     """
     import jax.numpy as jnp
 
@@ -90,6 +95,8 @@ def load_torch_state_dict(params_template, state_dict, strict: bool = True):
 
     def rebuild(t, path=()):
         if isinstance(t, dict) and "kernel" in t:
+            if filter_substring and filter_substring not in "/".join(path):
+                return t  # outside the filtered region: keep template values
             name = _torch_name(path)
             out = dict(t)
             if name + ".weight" in sd:
@@ -113,6 +120,8 @@ def load_torch_state_dict(params_template, state_dict, strict: bool = True):
 
     inner = rebuild(tree["params"] if has_params_key else tree)
     leftovers = set(sd) - consumed
+    if filter_substring:
+        leftovers = set()  # unfiltered checkpoint entries are expected
     if strict and leftovers:
         raise KeyError(
             f"checkpoint entries not consumed by the model: {sorted(leftovers)[:6]}"

@@ -61,7 +61,7 @@ def main():
                 "POLQA requires the proprietary uhh_sp package (ITU-T P.863),"
                 " which is not installed."
             )
-        wav_pairs = []
+        wav_pairs, missing = [], 0
         for noisy_rel, clean_rel in items:
             est = os.path.join(args.model_output_dir,
                                os.path.splitext(noisy_rel)[0] + f"_s_est{args.suffix}.wav")
@@ -69,9 +69,14 @@ def main():
             ref = os.path.join(proc, os.path.splitext(ref_rel)[0] + ".wav")
             if os.path.exists(est) and os.path.exists(ref):
                 wav_pairs.append((ref, est))
+            else:
+                missing += 1
         if not wav_pairs:
             raise SystemExit(f"no (clean, s_est{args.suffix}) pairs under "
                              f"{args.model_output_dir}")
+        if missing:
+            print(f"note: {missing}/{len(items)} utterances missing enhanced "
+                  f"output or clean reference, skipped")
         normal, extended = polqa_prepare_pairs(
             wav_pairs, pad_dir=os.path.join(args.model_output_dir, "polqa_3sec"))
         scores = []
@@ -80,8 +85,14 @@ def main():
         if extended:
             print(f"note: {len(extended)} pairs < 3 s scored from padded copies")
             scores += list(polqa([r for r, _ in extended], [d for _, d in extended]))
-        mean, ci = mean_confidence_interval(np.asarray(scores, np.float64),
-                                            args.confidence)
+        scores = np.asarray(scores, np.float64)
+        n_nan = int(np.isnan(scores).sum())
+        if n_nan:  # the reference drops NaN POLQA results (run_metrics.py:480-486)
+            print(f"note: {n_nan} NaN POLQA scores dropped")
+            scores = scores[~np.isnan(scores)]
+        if scores.size == 0:
+            raise SystemExit("POLQA returned no valid scores")
+        mean, ci = mean_confidence_interval(scores, args.confidence)
         print(f"polqa      {mean:<10.3f} {ci:<10.3f} (n={len(scores)})")
         return
 

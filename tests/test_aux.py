@@ -152,6 +152,7 @@ def test_preprocess_ntcd_matlab_matches_reference():
 
     import pytest
 
+    pytest.importorskip("cv2")  # the reference module imports it at top level
     ref_path = pathlib.Path("/root/reference/packages/processing/video.py")
     if not ref_path.exists():
         pytest.skip("reference checkout not available")

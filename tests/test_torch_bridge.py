@@ -139,3 +139,35 @@ def test_enhancer_runs_from_reference_pt_checkpoint(tmp_path):
 
     with pytest.raises(ValueError):  # .pt has no optimizer state to resume
         ckpt.load_checkpoint(best, params, opt_state_template={})
+
+
+def test_partial_load_pt_transfer_with_mismatched_dims(tmp_path):
+    """The reference's filtered transfer load from a .pt checkpoint: only the
+    substring-matched region loads; a donor model with DIFFERENT encoder
+    dims must not break the classifier-only transfer (review finding)."""
+    from dvae_tpu.models import CVAE_v3
+    from dvae_tpu.train.checkpoint import partial_load
+
+    # donor and recipient share classifier dims (x->h->y) but differ in
+    # z_dim, so encoder sample heads and decoder input dims mismatch
+    donor = CVAE_v3(x_dim=21, y_dim=1, z_dim=3, h_dim=(8,))
+    dparams = init_params(
+        donor, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((2, 21)), jnp.ones((2, 1)))
+    recip = CVAE_v3(x_dim=21, y_dim=1, z_dim=4, h_dim=(8,))
+    rparams = init_params(
+        recip, {"params": jax.random.PRNGKey(2), "sample": jax.random.PRNGKey(3)},
+        jnp.ones((2, 21)), jnp.ones((2, 1)))
+
+    pt = tmp_path / "donor.pt"
+    torch.save(export_torch_state_dict(dparams), pt)
+    out = partial_load(str(pt), rparams, "classifier")
+
+    # classifier came from the donor...
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["classifier"]["hidden_0"]["kernel"]),
+        np.asarray(dparams["params"]["classifier"]["hidden_0"]["kernel"]))
+    # ...everything else kept the recipient's values (incl. mismatched dims)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["encoder"]["sample"]["mu"]["kernel"]),
+        np.asarray(rparams["params"]["encoder"]["sample"]["mu"]["kernel"]))
