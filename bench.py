@@ -73,14 +73,22 @@ def main():
     # contended), so sample many short measurement windows and report the
     # best one — the closest observation of the device's actual capability.
     best_elapsed = float("inf")
+    out = None
     for r in range(N_STREAMS + 1):  # first stream is extra warm-up
         stream = [(batch, None, None)] * N_BATCHES
-        t0 = time.perf_counter()
-        outs = list(enh.enhance_stream(stream, key=jax.random.PRNGKey(r + 1)))
-        elapsed = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            outs = list(enh.enhance_stream(stream, key=jax.random.PRNGKey(r + 1)))
+            elapsed = time.perf_counter() - t0
+        except Exception as e:  # transient tunnel hiccup: skip this window
+            print(f"warning: stream {r} failed ({type(e).__name__}: {e}); "
+                  "skipping window", flush=True)
+            continue
+        out = outs[-1]
         if r > 0:
             best_elapsed = min(best_elapsed, elapsed)
-    out = outs[-1]
+    if out is None or not np.isfinite(best_elapsed):
+        raise SystemExit("benchmark failed: no measurement window succeeded")
     assert all(np.isfinite(s).all() for s, _ in out)
 
     if args.profile:
