@@ -116,6 +116,30 @@ def test_fast_stats_matches_f32_engine():
                                rtol=2e-2)
 
 
+def test_masked_batch_matches_trimmed_runs_conditional():
+    """Same airtight-masking contract as the unconditional test, on the
+    y-conditioned (M2) decoder path: padded y rows must be inert too."""
+    cfg = McemConfig(niter=5, nsamples_e_step=2, burnin_e_step=2, nsamples_wf=3,
+                     burnin_wf=2, var_rw=0.0, nmf_rank=K)
+    n1, n2, ydim = 30, 22, 1
+    x2_full, _ = _mixture(2, n1, jax.random.PRNGKey(20))
+    y_full = (jax.random.uniform(jax.random.PRNGKey(21), (2, n1, ydim)) > 0.5
+              ).astype(jnp.float32)
+    z0 = jax.random.normal(jax.random.PRNGKey(22), (2, n1, L - ydim)) * 0.5
+    w, h, g = init_nmf(jax.random.PRNGKey(23), 2, n1, F, K, 1e-8)
+    mask = jnp.stack([jnp.ones(n1), (jnp.arange(n1) < n2).astype(jnp.float32)])
+
+    batched = run_mcem(toy_decoder, x2_full, z0, mask, jax.random.PRNGKey(24),
+                       cfg, y=y_full, nmf_init=(w, h, g))
+    solo = run_mcem(toy_decoder, x2_full[1:2, :n2], z0[1:2, :n2],
+                    jnp.ones((1, n2)), jax.random.PRNGKey(24), cfg,
+                    y=y_full[1:2, :n2],
+                    nmf_init=(w[1:2], h[1:2, :n2], g[1:2, :n2]))
+    np.testing.assert_allclose(np.asarray(batched.wfs[1, :n2]),
+                               np.asarray(solo.wfs[0]), rtol=2e-4, atol=2e-5)
+    assert float(jnp.abs(batched.wfs[1, n2:]).max()) == 0.0
+
+
 def test_mcem_conditional_y():
     """y-conditioned decoder path (M2 variants) runs and respects shapes."""
     cfg = McemConfig(niter=3, nsamples_e_step=2, burnin_e_step=2, nsamples_wf=2,

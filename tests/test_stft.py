@@ -154,3 +154,18 @@ def test_istft_masked_batch_matches_per_utterance(signal):
         np.testing.assert_allclose(out[i, : len(w)], ref, atol=1e-3)
         # beyond the utterance: exactly zero (masked frames contribute nothing)
         assert np.abs(out[i, len(w) + CFG.nfft :]).max() == 0.0
+
+
+def test_n_stft_frames_boundary_lengths():
+    """Frame-count contract at hop/nfft boundaries (±1 sample), where
+    off-by-one bugs in the end-padding rule would land — swept for both
+    center modes against the actual transform."""
+    rng = np.random.default_rng(5)
+    lengths = set()
+    for base in (CFG.nfft, 4 * CFG.hop, 40 * CFG.hop, 173 * CFG.hop):
+        lengths.update((base - 1, base, base + 1))
+    for n in sorted(lengths):
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        for cfg in (CFG, StftConfig(center=True)):
+            got = stft(x, cfg).shape[-2]
+            assert got == n_stft_frames(n, cfg), (n, cfg.center, got)
