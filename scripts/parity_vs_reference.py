@@ -67,41 +67,61 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--niter", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--utterances", type=int, default=1,
+                    help="number of subset noisy utterances to compare "
+                         "(ours runs them as ONE masked batch; the torch "
+                         "reference loops per utterance)")
     ap.add_argument("--out", default=None, help="optional JSON output path")
     args = ap.parse_args()
 
+    import glob as _glob
+
     model, params = train_small_m1(args.epochs)
 
-    x_noisy, _ = read_wav(
+    noisy_paths = sorted(_glob.glob(
         f"{SUBSET}/raw/ntcd_timit/u/drspeech/data/TCDTIMIT/Noisy_TCDTIMIT/"
-        "Babble/-5/volunteers/01M/straightcam/sa1.wav"
-    )
-    s_clean, _ = read_wav(f"{SUBSET}/raw/ntcd_timit/Clean/volunteers/01M/straightcam/sa1.wav")
+        "*/*/volunteers/*/straightcam/*.wav"))[: args.utterances]
+    pairs = []
+    for p in noisy_paths:
+        tail = p.split("Noisy_TCDTIMIT/")[1]          # <type>/<snr>/volunteers/...
+        clean = f"{SUBSET}/raw/ntcd_timit/Clean/volunteers/" + tail.split("volunteers/")[1]
+        pairs.append((p, clean))
 
-    X = np.asarray(stft(jnp.asarray(x_noisy, jnp.float32)))  # (N, F)
-    x2 = jnp.abs(jnp.asarray(X)) ** 2
-    n = X.shape[0]
+    xs = [read_wav(p)[0] for p, _ in pairs]
+    cleans = [read_wav(c)[0] for _, c in pairs]
+    Xs = [np.asarray(stft(jnp.asarray(x, jnp.float32))) for x in xs]
+    n_max = max(X.shape[0] for X in Xs)
+    b = len(Xs)
+    x2 = np.zeros((b, n_max, 513), np.float32)
+    mask = np.zeros((b, n_max), np.float32)
+    for i, X in enumerate(Xs):
+        x2[i, : X.shape[0]] = np.abs(X) ** 2
+        mask[i, : X.shape[0]] = 1.0
+    x2 = jnp.asarray(x2)
 
-    # ---- our engine -------------------------------------------------------
-    _, z0, _ = model.apply(params, x2, method="encode", sample=False)
+    # ---- our engine: ONE masked batch over all utterances -----------------
+    _, z0, _ = model.apply(params, x2.reshape(-1, 513), method="encode", sample=False)
+    z0 = z0.reshape(b, n_max, -1)
     dec = lambda zz: model.apply(params, zz, method="decode")
     t0 = time.perf_counter()
-    res = run_mcem(dec, x2[None], z0[None], jnp.ones((1, n)), jax.random.PRNGKey(5),
+    res = run_mcem(dec, x2, z0, jnp.asarray(mask), jax.random.PRNGKey(5),
                    McemConfig(niter=args.niter))
     jax.block_until_ready(res.wfs)
     ours_time = time.perf_counter() - t0
-    s_hat = istft_np(np.asarray(res.wfs[0]) * X, length=len(x_noisy)).astype(np.float64)
-    ours = {
-        "cost_first": float(res.cost[0]),
-        "cost_last": float(res.cost[-1]),
-        "wf_mean": float(res.wfs.mean()),
-        "wf_median": float(jnp.median(res.wfs)),
-        "si_sdr": si_sdr_leroux(s_hat, s_clean),
-        "estoi": stoi(s_clean, s_hat, 16000),
-        "seconds": ours_time,
-    }
+    ours_rows = []
+    for i, (X, x_noisy, s_clean) in enumerate(zip(Xs, xs, cleans)):
+        wf = np.asarray(res.wfs[i, : X.shape[0]])
+        s_hat = istft_np(wf * X, length=len(x_noisy)).astype(np.float64)
+        ours_rows.append({
+            "wf_mean": float(wf.mean()),
+            "si_sdr": si_sdr_leroux(s_hat, s_clean),
+            "estoi": stoi(s_clean, s_hat, 16000),
+        })
+    ours = {k: float(np.mean([r[k] for r in ours_rows])) for k in ours_rows[0]}
+    ours.update({"cost_first": float(res.cost[0]), "cost_last": float(res.cost[-1]),
+                 "seconds": ours_time})
 
-    # ---- reference engine (torch, CPU) ------------------------------------
+    # ---- reference engine (torch, CPU), one utterance at a time -----------
     sys.path.insert(0, "/root/reference")
     import torch
 
@@ -114,30 +134,37 @@ def main():
     for q in ref_model.parameters():
         q.requires_grad = False
 
-    S_ref = np.asarray(stft(jnp.asarray(s_clean, jnp.float32))).T
-    mcem = MCEM_M1(niter=args.niter)
-    mcem.init_parameters(X=X.T, S=S_ref, vae=ref_model, nmf_rank=10, eps=1e-8, device="cpu")
-    t0 = time.perf_counter()
-    cost = mcem.run()
-    ref_time = time.perf_counter() - t0
-    wf_mag = np.abs(mcem.S_hat) / np.maximum(np.abs(X.T), 1e-12)
-    s_hat_ref = istft_np(mcem.S_hat.T, length=len(x_noisy)).astype(np.float64)
-    ref = {
-        "cost_first": float(cost[0]),
-        "cost_last": float(cost[-1]),
-        "wf_mean": float(wf_mag.mean()),
-        "wf_median": float(np.median(wf_mag)),
-        "si_sdr": si_sdr_leroux(s_hat_ref, s_clean),
-        "estoi": stoi(s_clean, s_hat_ref, 16000),
-        "seconds": ref_time,
-    }
+    ref_rows, cost_first, cost_last, ref_time = [], [], [], 0.0
+    for X, x_noisy, s_clean in zip(Xs, xs, cleans):
+        S_ref = np.asarray(stft(jnp.asarray(s_clean, jnp.float32))).T
+        n = min(S_ref.shape[1], X.shape[0])
+        mcem = MCEM_M1(niter=args.niter)
+        mcem.init_parameters(X=X[:n].T, S=S_ref[:, :n], vae=ref_model,
+                             nmf_rank=10, eps=1e-8, device="cpu")
+        t0 = time.perf_counter()
+        cost = mcem.run()
+        ref_time += time.perf_counter() - t0
+        wf_mag = np.abs(mcem.S_hat) / np.maximum(np.abs(X[:n].T), 1e-12)
+        s_hat_ref = istft_np(mcem.S_hat.T, length=len(x_noisy)).astype(np.float64)
+        cost_first.append(float(cost[0])); cost_last.append(float(cost[-1]))
+        ref_rows.append({
+            "wf_mean": float(wf_mag.mean()),
+            "si_sdr": si_sdr_leroux(s_hat_ref, s_clean),
+            "estoi": stoi(s_clean, s_hat_ref, 16000),
+        })
+    ref = {k: float(np.mean([r[k] for r in ref_rows])) for k in ref_rows[0]}
+    ref.update({"cost_first": float(np.mean(cost_first)),
+                "cost_last": float(np.mean(cost_last)), "seconds": ref_time})
 
+    print(f"(means over {b} utterance(s); niter={args.niter}, identical weights)")
     print(f"{'':<12}{'ours':>12}{'reference':>12}")
-    for k in ours:
+    for k in ("cost_first", "cost_last", "wf_mean", "si_sdr", "estoi", "seconds"):
         print(f"{k:<12}{ours[k]:>12.4f}{ref[k]:>12.4f}")
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"ours": ours, "reference": ref}, f, indent=1)
+            json.dump({"ours": ours, "reference": ref,
+                       "per_utterance": {"ours": ours_rows, "reference": ref_rows}},
+                      f, indent=1)
 
 
 if __name__ == "__main__":
