@@ -6,6 +6,7 @@ import pathlib
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
@@ -78,3 +79,22 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
               "--platform", "cpu"], cwd=data_root)
     assert "si_sdr" in r.stdout and "estoi" in r.stdout
     assert (out_dir / "stats.json").exists()
+
+
+def test_parity_harness_smoke(tmp_path):
+    """scripts/parity_vs_reference.py at a tiny budget: trains, runs BOTH
+    engines (ours batched, the reference's torch engine) on 2 utterances,
+    and emits a comparable JSON. Protects the cross-engine evidence path."""
+    import json
+
+    pytest.importorskip("torch")
+    out = tmp_path / "parity.json"
+    r = _run([str(SCRIPTS / "parity_vs_reference.py"), "--epochs", "2",
+              "--niter", "2", "--utterances", "2", "--out", str(out)],
+             cwd=SCRIPTS.parent)
+    data = json.loads(out.read_text())
+    for side in ("ours", "reference"):
+        assert np.isfinite(data[side]["cost_last"])
+        assert np.isfinite(data[side]["si_sdr"])
+    assert len(data["per_utterance"]["ours"]) == 2
+    assert len(data["per_utterance"]["reference"]) == 2
