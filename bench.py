@@ -81,8 +81,10 @@ def main():
             outs = list(enh.enhance_stream(stream, key=jax.random.PRNGKey(r + 1)))
             elapsed = time.perf_counter() - t0
         except Exception as e:  # transient tunnel hiccup: skip this window
+            import sys
+
             print(f"warning: stream {r} failed ({type(e).__name__}: {e}); "
-                  "skipping window", flush=True)
+                  "skipping window", file=sys.stderr, flush=True)
             continue
         out = outs[-1]
         if r > 0:

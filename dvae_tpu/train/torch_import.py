@@ -76,10 +76,16 @@ def load_torch_state_dict(params_template, state_dict,
 
     ``filter_substring`` restricts the load to parameters whose
     '/'-joined Flax path contains the substring; everything else keeps the
-    template's values and unconsumed checkpoint entries are expected (the
-    reference's transfer-learning trick,
-    training_M2_info_vad_pretrain.py:103-113). Shape mismatches *inside*
-    the filtered region still raise.
+    template's values and unconsumed checkpoint entries OUTSIDE the
+    filtered region are expected (the reference's transfer-learning trick,
+    training_M2_info_vad_pretrain.py:103-113). The match runs against the
+    full flattened path incl. the 'params' prefix and kernel/bias leaf —
+    the same strings ``checkpoint.partial_load`` matches for msgpack
+    checkpoints, so e.g. 'params/enc_dec_clf' or 'hidden_0/kernel' work
+    identically for both formats. Shape mismatches inside the filtered
+    region still raise, as do (under ``strict``) checkpoint entries inside
+    the region that map to nothing in the template (e.g. a donor
+    classifier with more layers than the recipient).
     """
     import jax.numpy as jnp
 
@@ -93,9 +99,18 @@ def load_torch_state_dict(params_template, state_dict,
     tree = {"params": params_template["params"]} if has_params_key else dict(params_template)
     consumed = set()
 
+    prefix = ("params",) if has_params_key else ()
+
+    def in_filter(path):
+        # match against the same strings checkpoint.partial_load uses for
+        # msgpack checkpoints: 'params/<module path>/{kernel,bias}'
+        full = "/".join(prefix + path)
+        return (filter_substring in full + "/kernel"
+                or filter_substring in full + "/bias")
+
     def rebuild(t, path=()):
         if isinstance(t, dict) and "kernel" in t:
-            if filter_substring and filter_substring not in "/".join(path):
+            if filter_substring and not in_filter(path):
                 return t  # outside the filtered region: keep template values
             name = _torch_name(path)
             out = dict(t)
@@ -121,7 +136,15 @@ def load_torch_state_dict(params_template, state_dict,
     inner = rebuild(tree["params"] if has_params_key else tree)
     leftovers = set(sd) - consumed
     if filter_substring:
-        leftovers = set()  # unfiltered checkpoint entries are expected
+        # entries outside the filtered region are expected leftovers, but an
+        # in-region entry the template never consumed means the donor's
+        # filtered submodule is structurally bigger (e.g. more hidden
+        # layers) — a half-transfer the reference's strict load would catch.
+        frag = _torch_name(tuple(
+            q for q in filter_substring.strip("/").split("/")
+            if q and q not in ("params", "kernel", "bias")
+        ))
+        leftovers = {k for k in leftovers if frag and frag in k}
     if strict and leftovers:
         raise KeyError(
             f"checkpoint entries not consumed by the model: {sorted(leftovers)[:6]}"

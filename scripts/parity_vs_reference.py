@@ -86,6 +86,12 @@ def main():
         tail = p.split("Noisy_TCDTIMIT/")[1]          # <type>/<snr>/volunteers/...
         clean = f"{SUBSET}/raw/ntcd_timit/Clean/volunteers/" + tail.split("volunteers/")[1]
         pairs.append((p, clean))
+    if not pairs:
+        raise SystemExit(f"no noisy subset utterances found under {SUBSET} — "
+                         "is the reference checkout mounted?")
+    if len(pairs) < args.utterances:
+        print(f"note: only {len(pairs)} of {args.utterances} requested "
+              "utterances ship in the subset")
 
     xs = [read_wav(p)[0] for p, _ in pairs]
     cleans = [read_wav(c)[0] for _, c in pairs]
@@ -114,6 +120,7 @@ def main():
         s_hat = istft_np(wf * X, length=len(x_noisy)).astype(np.float64)
         ours_rows.append({
             "wf_mean": float(wf.mean()),
+            "wf_median": float(np.median(wf)),
             "si_sdr": si_sdr_leroux(s_hat, s_clean),
             "estoi": stoi(s_clean, s_hat, 16000),
         })
@@ -149,16 +156,22 @@ def main():
         cost_first.append(float(cost[0])); cost_last.append(float(cost[-1]))
         ref_rows.append({
             "wf_mean": float(wf_mag.mean()),
+            "wf_median": float(np.median(wf_mag)),
             "si_sdr": si_sdr_leroux(s_hat_ref, s_clean),
             "estoi": stoi(s_clean, s_hat_ref, 16000),
         })
     ref = {k: float(np.mean([r[k] for r in ref_rows])) for k in ref_rows[0]}
-    ref.update({"cost_first": float(np.mean(cost_first)),
-                "cost_last": float(np.mean(cost_last)), "seconds": ref_time})
+    # our batched cost is a masked mean over ALL valid cells (long utterances
+    # weigh more); weight the per-utterance reference costs the same way
+    frames = np.asarray([X.shape[0] for X in Xs], np.float64)
+    wavg = lambda v: float(np.average(np.asarray(v), weights=frames))
+    ref.update({"cost_first": wavg(cost_first),
+                "cost_last": wavg(cost_last), "seconds": ref_time})
 
     print(f"(means over {b} utterance(s); niter={args.niter}, identical weights)")
     print(f"{'':<12}{'ours':>12}{'reference':>12}")
-    for k in ("cost_first", "cost_last", "wf_mean", "si_sdr", "estoi", "seconds"):
+    for k in ("cost_first", "cost_last", "wf_mean", "wf_median", "si_sdr",
+              "estoi", "seconds"):
         print(f"{k:<12}{ours[k]:>12.4f}{ref[k]:>12.4f}")
     if args.out:
         with open(args.out, "w") as f:

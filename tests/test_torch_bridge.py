@@ -171,3 +171,41 @@ def test_partial_load_pt_transfer_with_mismatched_dims(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(out["params"]["encoder"]["sample"]["mu"]["kernel"]),
         np.asarray(rparams["params"]["encoder"]["sample"]["mu"]["kernel"]))
+
+
+def test_partial_load_pt_msgpack_style_filter_and_deep_donor(tmp_path):
+    """The .pt filter matches the same strings as the msgpack partial_load
+    ('params/...' prefix, kernel/bias leaf), and a donor whose FILTERED
+    submodule is structurally bigger than the recipient's raises instead of
+    silently half-transferring (review findings)."""
+    from dvae_tpu.models import CVAE_v3
+    from dvae_tpu.train.checkpoint import partial_load
+
+    donor = CVAE_v3(x_dim=21, y_dim=1, z_dim=3, h_dim=(8,))
+    dparams = init_params(
+        donor, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((2, 21)), jnp.ones((2, 1)))
+    pt = tmp_path / "donor.pt"
+    torch.save(export_torch_state_dict(dparams), pt)
+
+    # msgpack-style substring forms all hit the same region
+    for sub in ("params/classifier", "classifier/hidden_0/kernel"):
+        out = partial_load(str(pt), dparams, sub)
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["classifier"]["hidden_0"]["kernel"]),
+            np.asarray(dparams["params"]["classifier"]["hidden_0"]["kernel"]))
+
+    # donor classifier with MORE hidden layers than the recipient: the
+    # unconsumed in-region entry must surface, not silently drop
+    deep = CVAE_v3(x_dim=21, y_dim=1, z_dim=3, h_dim=(8, 8))
+    deep_params = init_params(
+        deep, {"params": jax.random.PRNGKey(4), "sample": jax.random.PRNGKey(5)},
+        jnp.ones((2, 21)), jnp.ones((2, 1)))
+    deep_pt = tmp_path / "deep.pt"
+    torch.save(export_torch_state_dict(deep_params), deep_pt)
+    shallow = CVAE_v3(x_dim=21, y_dim=1, z_dim=3, h_dim=(8,))
+    sparams = init_params(
+        shallow, {"params": jax.random.PRNGKey(6), "sample": jax.random.PRNGKey(7)},
+        jnp.ones((2, 21)), jnp.ones((2, 1)))
+    with pytest.raises(KeyError):
+        partial_load(str(deep_pt), sparams, "classifier")
