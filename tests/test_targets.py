@@ -56,6 +56,70 @@ def test_vad_shapes_and_range():
     assert set(np.unique(vad)) <= {0.0, 1.0}
 
 
+def _load_reference_target_module():
+    """Import /root/reference/packages/processing/target.py as an oracle.
+
+    The module imports librosa at top level (used only by the VAD path, not
+    the legacy threshold-IBM family), and librosa is not in this environment
+    — inject a stub so the import succeeds.
+    """
+    import importlib.util
+    import pathlib
+    import sys
+    import types
+
+    ref_path = pathlib.Path("/root/reference/packages/processing/target.py")
+    if not ref_path.exists():
+        pytest.skip("reference checkout not available")
+    if "librosa" not in sys.modules:
+        stub = types.ModuleType("librosa")
+        stub.util = types.SimpleNamespace()
+        sys.modules["librosa"] = stub
+    spec = importlib.util.spec_from_file_location("ref_target", ref_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_voiced_unvoiced_split_parity():
+    from dvae_tpu.ops.targets import voiced_unvoiced_split_characteristic
+
+    ref = _load_reference_target_module()
+    for n_bins in (513, 600):
+        want_v, want_u = ref._voiced_unvoiced_split_characteristic(n_bins)
+        got_v, got_u = voiced_unvoiced_split_characteristic(n_bins)
+        np.testing.assert_allclose(got_v, want_v, atol=1e-12)
+        np.testing.assert_allclose(got_u, want_u, atol=1e-12)
+
+
+def test_noise_aware_ibm_parity():
+    from dvae_tpu.ops.targets import noise_aware_ibm
+
+    ref = _load_reference_target_module()
+    rng = np.random.default_rng(7)
+    # complex spectrograms spanning the 0.005 floor and both thresholds
+    X = (rng.standard_normal((11, 513)) + 1j * rng.standard_normal((11, 513))) * \
+        rng.choice([0.01, 1.0, 10.0], size=(11, 1))
+    N = (rng.standard_normal((11, 513)) + 1j * rng.standard_normal((11, 513)))
+    want_s, want_n = ref.noise_aware_IBM(X, N)
+    got_s, got_n = noise_aware_ibm(jnp.asarray(X), jnp.asarray(N))
+    # float32 |X|^2 vs the oracle's float64: allow rare borderline flips
+    assert np.mean(np.asarray(got_s) != want_s) < 1e-4
+    assert np.mean(np.asarray(got_n) != want_n) < 1e-4
+
+
+def test_threshold_ibm_parity():
+    from dvae_tpu.ops.targets import threshold_ibm
+
+    ref = _load_reference_target_module()
+    rng = np.random.default_rng(8)
+    X = (rng.standard_normal((9, 513)) + 1j * rng.standard_normal((9, 513))) * \
+        rng.choice([0.05, 1.0, 20.0], size=(9, 1))
+    want = ref.threshold_IBM(X)
+    got = threshold_ibm(jnp.asarray(X))
+    assert np.mean(np.asarray(got) != want) < 1e-4
+
+
 def test_noise_robust_ibm_is_gated():
     rng = np.random.default_rng(2)
     x = np.concatenate([np.zeros(8000), rng.standard_normal(12000)]).astype(np.float32)
