@@ -1,11 +1,15 @@
-"""PESQ / POLQA gating.
+"""PESQ / POLQA dispatch and gating.
 
 PESQ (ITU-T P.862) and POLQA (P.863) are licensed algorithms the reference
 consumes through external packages — ``pesq`` from PyPI (run_metrics.py:23)
-and the proprietary ``uhh_sp.evaluation.polqa`` (run_metrics.py:24). Neither
-package is available in this environment, so both are gated: if the package
-is importable we use it; otherwise calls raise a clear error and the metric
-sweeps simply skip the column (run_metrics marks them 'n/a').
+and the proprietary ``uhh_sp.evaluation.polqa`` (run_metrics.py:24).
+
+* Wideband PESQ is always available: if the licensed ``pesq`` wheel is
+  importable it is preferred (bit-conformant to ITU); otherwise the native
+  implementation in :mod:`dvae_tpu.eval.pesq_native` scores the pair (same
+  pipeline structure, not bit-conformant — see its module docstring).
+* Narrowband PESQ and POLQA remain gated on their packages: calls raise a
+  clear error and the metric sweeps skip the column (run_metrics 'n/a').
 """
 
 from __future__ import annotations
@@ -13,7 +17,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def pesq_available() -> bool:
+def pesq_wheel_available() -> bool:
+    """True iff the licensed PyPI ``pesq`` wheel is importable."""
     try:
         import pesq  # noqa: F401
 
@@ -22,15 +27,28 @@ def pesq_available() -> bool:
         return False
 
 
+def pesq_available() -> bool:
+    """Wideband PESQ is always measurable (native fallback)."""
+    return True
+
+
 def pesq(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:
-    """Wideband PESQ MOS-LQO via the PyPI ``pesq`` package (run_metrics.py:137)."""
+    """Wideband PESQ MOS-LQO (run_metrics.py:137: ``pesq(fs, s, s_hat, 'wb')``).
+
+    Prefers the licensed wheel; falls back to the native P.862.2
+    implementation. Narrowband mode needs the wheel.
+    """
     try:
         from pesq import pesq as _pesq
-    except ImportError as e:
-        raise RuntimeError(
-            "PESQ requires the `pesq` package (ITU-T P.862 implementation), "
-            "which is not installed in this environment."
-        ) from e
+    except ImportError:
+        if mode != "wb":
+            raise RuntimeError(
+                "narrowband PESQ requires the licensed `pesq` package; only "
+                "the native wideband ('wb') implementation is available here"
+            ) from None
+        from dvae_tpu.eval.pesq_native import pesq_wb
+
+        return pesq_wb(ref, deg, fs)
     return _pesq(fs, ref, deg, mode)
 
 

@@ -27,9 +27,17 @@ def _table(metrics: dict, mask=None, confidence: float = 0.95, out=print):
     stats = {}
     out("{:<10} {:<10} {:<10}".format("METRIC", "AVERAGE", "CONF. INT."))
     for key, vals in metrics.items():
-        vals = np.asarray(vals)
+        vals = np.asarray(vals, dtype=np.float64)
         if mask is not None:
             vals = vals[mask]
+        # a metric can be NaN for individual utterances (e.g. classifier-F1
+        # columns when that utterance has no stored classifier output) —
+        # exclude them rather than poisoning the mean / stats.json
+        vals = vals[np.isfinite(vals)]
+        if vals.size == 0:
+            stats[key] = {"avg": None, "+/-": None}
+            out("{:<10} {:<10} {:<10}".format(key, "n/a", "n/a"))
+            continue
         m, h = mean_confidence_interval(vals, confidence)
         stats[key] = {"avg": float(m), "+/-": float(h)}
         out("{:<10} {:<10} {:<10}".format(key, m, h))

@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""Compute SI-SDR / ESTOI / PESQ (gated) over enhanced outputs and print the
+"""Compute SI-SDR / ESTOI / PESQ over enhanced outputs and print the
 95%-CI tables grouped by SNR / noise type / stationarity / speaker.
 
 Mirrors /root/reference/scripts/run_metrics.py: 0.05 s edge trim, condition
 parsing from the processed-noisy path, per-condition tables via
-compute_stats, optional per-utterance figures; PESQ and POLQA columns are
-skipped when their (licensed) packages are absent (see dvae_tpu.eval.pesq).
+compute_stats, optional per-utterance mixture/clean/estimate figures
+(run_metrics.py:171-236) and in-sweep classifier-F1 columns via
+--classifier-dir (run_metrics.py:144-169). PESQ always scores — the licensed
+wheel when importable, else the native P.862.2 implementation
+(dvae_tpu.eval.pesq_native); POLQA stays gated on its proprietary package.
 Also writes ``stats.json`` in the model output dir."""
 
 import argparse
@@ -24,7 +27,14 @@ def main():
                     help="estimate suffix, e.g. _y_hat_hard or _oracle_y")
     ap.add_argument("--snr", default=None)
     ap.add_argument("--confidence", type=float, default=0.95)
-    ap.add_argument("--with-figures", action="store_true")
+    ap.add_argument("--with-figures", action="store_true",
+                    help="per-utterance mixture/clean/estimate figure "
+                         "(wave + spectrogram + mask grid, reference "
+                         "run_metrics.py:171-236)")
+    ap.add_argument("--classifier-dir", default=None,
+                    help="dir with <spk>/<utt>_y_hat_hard.{pt,npy} classifier "
+                         "outputs: adds accuracy/precision/recall/f1 columns "
+                         "to the sweep (reference run_metrics.py:144-169)")
     ap.add_argument("--polqa", action="store_true",
                     help="batch POLQA mode (reference main_polqa, "
                          "run_metrics.py:337): requires the proprietary "
@@ -98,8 +108,11 @@ def main():
 
     use_pesq = pesq_available()
     keys = ["si_sdr", "estoi"] + (["pesq"] if use_pesq else [])
+    if args.classifier_dir:
+        keys += ["accuracy", "precision", "recall", "f1"]
     rows, snrs, noises, speakers, stationarities = [], [], [], [], []
     missing = 0
+    missing_classif = 0
 
     for noisy_rel, clean_rel in items:
         est_path = os.path.join(
@@ -110,6 +123,7 @@ def main():
             continue
         parts = noisy_rel.split("/")
         noise_type, snr_db, speaker = parts[-5], int(parts[-4]), parts[-2]
+        utt = os.path.splitext(os.path.basename(noisy_rel))[0]
 
         clean_wav_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
         clean_wav_rel = os.path.splitext(clean_wav_rel)[0] + ".wav"
@@ -120,8 +134,48 @@ def main():
         L = min(len(s_t), len(s_hat_t))
         s_t, s_hat_t = s_t[off : L - off], s_hat_t[off : L - off]
 
+        y_hat_hard = None
+        if args.classifier_dir:
+            # classifier-F1 inside the sweep (reference run_metrics.py:144-169)
+            import glob
+
+            from dvae_tpu.enhance.evaluate import load_classifier_labels
+
+            cand = glob.glob(os.path.join(args.classifier_dir, "**", speaker,
+                                          utt + "_y_hat_hard.*"), recursive=True)
+            if cand:
+                y_hat_hard = load_classifier_labels(cand[0])
+            else:
+                missing_classif += 1
+
+        row = [si_sdr_leroux(s_hat_t, s_t), stoi(s_t, s_hat_t, fs, extended=True)]
+        if use_pesq:
+            row.append(pesq_fn(fs, s_t, s_hat_t, "wb"))
+        y_oracle = None
+        if args.classifier_dir or args.with_figures:
+            from dvae_tpu.enhance.evaluate import load_oracle_labels
+
+            try:
+                y_oracle = load_oracle_labels(os.path.join(proc, clean_rel))
+            except (FileNotFoundError, OSError):
+                y_oracle = None
+        if args.classifier_dir:
+            if y_hat_hard is not None and y_oracle is not None:
+                import jax.numpy as jnp
+
+                from dvae_tpu.models.losses import f1_loss
+
+                n = min(len(y_oracle), len(y_hat_hard))
+                acc, prec, rec, f1 = f1_loss(
+                    jnp.asarray(y_hat_hard[:n].ravel()),
+                    jnp.asarray(y_oracle[:n].ravel()))
+                row += [float(acc), float(prec), float(rec), float(f1)]
+            else:
+                row += [np.nan] * 4
+
         if args.with_figures:
-            # per-utterance comparison figure (reference run_metrics.py:236)
+            # mixture / clean / estimate grid with oracle + classifier masks
+            # (reference run_metrics.py:171-236)
             import matplotlib
 
             matplotlib.use("pdf")
@@ -131,19 +185,22 @@ def main():
             from dvae_tpu.ops.stft import StftConfig, stft
             from dvae_tpu.viz import display_multiple_signals
 
+            x_t, _ = read_wav(os.path.join(proc, noisy_rel))
+            x_t = x_t[off : L - off]
             cfg_s = StftConfig()
             # ops.stft already returns the (n_frames, n_bins) layout viz wants
             sig_items = [
-                (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)), None),
-                (s_hat_t, np.asarray(stft(jnp.asarray(s_hat_t), cfg_s)), None),
+                (x_t, np.asarray(stft(jnp.asarray(x_t), cfg_s)), None),
+                (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)), y_oracle),
+                (s_hat_t, np.asarray(stft(jnp.asarray(s_hat_t), cfg_s)),
+                 y_hat_hard),
             ]
             fig = display_multiple_signals(sig_items, fs=fs)
+            fig.suptitle(f"Input SNR = {snr_db:.1f} dB \n"
+                         f"SI-SDR = {row[0]:.1f} dB.", fontsize=40)
             fig.savefig(os.path.splitext(est_path)[0] + "_fig.png", dpi=80)
             plt.close(fig)
 
-        row = [si_sdr_leroux(s_hat_t, s_t), stoi(s_t, s_hat_t, fs, extended=True)]
-        if use_pesq:
-            row.append(pesq_fn(fs, s_t, s_hat_t, "wb"))
         rows.append(row)
         snrs.append(snr_db)
         noises.append(noise_type)
@@ -164,8 +221,14 @@ def main():
         )
     if missing:
         print(f"note: {missing} utterances missing enhanced output, skipped")
-    if not use_pesq:
-        print("note: PESQ skipped (pesq package not installed)")
+    if missing_classif:
+        print(f"note: {missing_classif} utterances missing classifier output "
+              f"(excluded from the accuracy/.../f1 columns)")
+    from dvae_tpu.eval.pesq import pesq_wheel_available
+
+    if not pesq_wheel_available():
+        print("note: PESQ scored by the native P.862.2 implementation "
+              "(licensed wheel not installed; see dvae_tpu.eval.pesq_native)")
 
     compute_stats(keys, rows, args.model_output_dir, args.confidence,
                   all_snr_db=np.asarray(snrs), all_noise_types=noises,

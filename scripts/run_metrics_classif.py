@@ -17,6 +17,15 @@ def main():
     ap.add_argument("--classifier-dir", required=True,
                     help="dir with <split>/<spk>/<utt>_y_hat_hard.pt outputs")
     ap.add_argument("--confidence", type=float, default=0.95)
+    ap.add_argument("--with-figures", action="store_true",
+                    help="per-utterance mixture/clean/mask figure with the "
+                         "classifier metrics in the title, saved next to the "
+                         "classifier output as *_hard_mask.png (reference "
+                         "run_metrics_classif.py:204-232)")
+    ap.add_argument("--snr", default="-5",
+                    help="SNR folder of the mixture drawn in figures")
+    ap.add_argument("--noise-type", default="Babble",
+                    help="noise folder of the mixture drawn in figures")
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -56,6 +65,47 @@ def main():
                                      jnp.asarray(y[:n].ravel()))
         rows.append([float(acc), float(prec), float(rec), float(f1)])
         speakers.append(spk)
+
+        if args.with_figures:
+            # mixture / clean+oracle-mask / classifier-mask grid, metrics in
+            # the title (reference run_metrics_classif.py:204-232; the
+            # reference's y_hat_soft panel is omitted — our classifier
+            # artifacts only ship the hard decisions)
+            import matplotlib
+
+            matplotlib.use("pdf")
+            import matplotlib.pyplot as plt
+
+            from dvae_tpu.data.io import read_wav
+            from dvae_tpu.ops.stft import StftConfig, stft
+            from dvae_tpu.viz import display_multiple_signals
+
+            clean_wav = os.path.join(os.path.dirname(lab_path), utt + ".wav")
+            noisy_wav = os.path.join(
+                proc, "ntcd_timit/Noisy", args.noise_type, str(args.snr),
+                "test", spk, utt + ".wav")
+            if os.path.exists(clean_wav) and os.path.exists(noisy_wav):
+                s_t, fs = read_wav(clean_wav)
+                x_t, _ = read_wav(noisy_wav)
+                norm = np.max(np.abs(x_t)) or 1.0
+                s_t, x_t = s_t / norm, x_t / norm
+                cfg_s = StftConfig()
+                sig_items = [
+                    (x_t, np.asarray(stft(jnp.asarray(x_t), cfg_s)), None),
+                    (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)), y),
+                    (None, None, y_hat),
+                ]
+                fig = display_multiple_signals(sig_items, fs=fs)
+                fig.suptitle(
+                    f"Input SNR = {args.snr} dB \n"
+                    f"Noise type = {args.noise_type}, \n"
+                    f"Accuracy = {float(acc):.3f},  "
+                    f"Precision = {float(prec):.3f},  "
+                    f"Recall = {float(rec):.3f},  "
+                    f"F1-score = {float(f1):.3f}\n", fontsize=40)
+                fig.savefig(os.path.splitext(cand[0])[0] + "_hard_mask.png",
+                            dpi=80)
+                plt.close(fig)
 
     if not rows:
         raise SystemExit(f"no classifier outputs matched under {args.classifier_dir} "

@@ -72,13 +72,24 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
               "--platform", "cpu"], cwd=data_root)
     assert "done: 0 utterances" in r.stdout
 
-    # 3. metrics over the enhanced outputs
+    # 3. metrics over the enhanced outputs, with per-utterance figures and
+    # the in-sweep classifier-F1 columns (reference run_metrics.py:144-236)
+    classif = tmp_path / "classif" / "test" / "34M"
+    classif.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for utt in ("sa1", "sa2", "si494"):
+        np.save(classif / f"{utt}_y_hat_hard.npy",
+                (rng.uniform(size=120) > 0.5).astype(np.float32))
     r = _run([str(SCRIPTS / "run_metrics.py"), "--dataset-size", "subset",
               "--data-root", str(data_root / "data"),
               "--model-output-dir", str(out_dir), "--snr", "-5",
+              "--with-figures", "--classifier-dir", str(tmp_path / "classif"),
               "--platform", "cpu"], cwd=data_root)
-    assert "si_sdr" in r.stdout and "estoi" in r.stdout
+    for col in ("si_sdr", "estoi", "pesq", "accuracy", "f1"):
+        assert col in r.stdout, col
     assert (out_dir / "stats.json").exists()
+    figs = list(out_dir.rglob("*_fig.png"))
+    assert len(figs) == 6, figs
 
 
 def test_parity_harness_smoke(tmp_path):
