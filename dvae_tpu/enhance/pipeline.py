@@ -173,22 +173,12 @@ class Enhancer:
         return core
 
     # -- host orchestration ----------------------------------------------------
-    def _dispatch(self, wavs, ys, key, max_frames):
-        """Pad + upload one batch and enqueue the device program (async).
-
-        Returns an opaque handle for :meth:`_collect`."""
+    def _prepare(self, wavs, ys, max_frames):
+        """Host-side batch assembly: pad/bucket the wavs into the wire arrays
+        the jitted core consumes. Returns (xw, x_scale, mask, y, n_pad,
+        frames). Split out of :meth:`_dispatch` so bench.py can time the pure
+        device program on pre-uploaded inputs (tunnel-independent number)."""
         cfg = self.cfg
-        n_real = len(wavs)
-        if self.mesh is not None and n_real % self.mesh.devices.size:
-            # pad the batch to a mesh-divisible size with 1-frame silent
-            # utterances (dropped again in _collect)
-            pad_n = -(-n_real // self.mesh.devices.size) * self.mesh.devices.size - n_real
-            wavs = list(wavs) + [np.zeros(cfg.stft.nfft, np.float32)] * pad_n
-            if ys is not None:
-                y_dim = np.asarray(ys[0]).shape[-1]
-                ys = list(ys) + [np.zeros((1, y_dim), np.float32)] * pad_n
-            if max_frames is not None:
-                max_frames = list(max_frames) + [1] * pad_n
         b = len(wavs)
         frames = [n_stft_frames(len(w), cfg.stft) for w in wavs]
         if max_frames is not None:
@@ -229,6 +219,25 @@ class Enhancer:
                 n = min(len(yi), frames[i])
                 y[i, :n] = yi[:n]
             y = jnp.asarray(y)
+        return xw, x_scale, mask, y, n_pad, frames
+
+    def _dispatch(self, wavs, ys, key, max_frames):
+        """Pad + upload one batch and enqueue the device program (async).
+
+        Returns an opaque handle for :meth:`_collect`."""
+        cfg = self.cfg
+        n_real = len(wavs)
+        if self.mesh is not None and n_real % self.mesh.devices.size:
+            # pad the batch to a mesh-divisible size with 1-frame silent
+            # utterances (dropped again in _collect)
+            pad_n = -(-n_real // self.mesh.devices.size) * self.mesh.devices.size - n_real
+            wavs = list(wavs) + [np.zeros(cfg.stft.nfft, np.float32)] * pad_n
+            if ys is not None:
+                y_dim = np.asarray(ys[0]).shape[-1]
+                ys = list(ys) + [np.zeros((1, y_dim), np.float32)] * pad_n
+            if max_frames is not None:
+                max_frames = list(max_frames) + [1] * pad_n
+        xw, x_scale, mask, y, n_pad, frames = self._prepare(wavs, ys, max_frames)
 
         out_dev = self._core(
             self.params, self._shard(xw), self._shard(x_scale), self._shard(mask),

@@ -60,62 +60,102 @@ def distributed_init(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except Exception:
-        # includes "must be called before the backend initializes": with an
-        # explicit cluster request that is a real ordering bug and must
-        # surface; in auto-detect mode the caller decides — make_mesh_if
-        # (--multihost) raises on a False return, library callers treat it
-        # as "no multi-process runtime available"
+    except Exception as e:
         if explicit or num_processes not in (None, 1):
             raise  # a requested multi-process setup failing is an error
+        if "before any JAX" in str(e) and _cluster_env_hinted():
+            # the backend was already up when we got here AND the
+            # environment looks like a real cluster job — an ordering bug in
+            # the caller, NOT "no cluster detected"; reporting it as the
+            # latter would send the user chasing cluster config instead of
+            # the real cause. (Without cluster hints the same jax error just
+            # means "plain single process that already used JAX" — stay
+            # single-process like any other nothing-to-detect case.)
+            raise RuntimeError(
+                "distributed_init() ran after the XLA backend was already "
+                "initialized — call it (or pass --multihost, which does) "
+                "before any JAX operation, including jax.devices()/model "
+                "init"
+            ) from e
         return False  # nothing to auto-detect: stay single-process
     return jax.process_count() > 1
 
 
-def global_batch_from_local(local_batch, mesh, axis: str = "data"):
+def _cluster_env_hinted() -> bool:
+    """True when the environment carries multi-process-job markers that
+    ``jax.distributed.initialize`` auto-detection would have consumed.
+
+    Only scheduler/launcher-provided markers qualify: libtpu itself exports
+    TPU_WORKER_HOSTNAMES even on a single host, so it is deliberately NOT a
+    hint."""
+    return any(
+        k in os.environ
+        for k in (
+            "SLURM_JOB_ID",
+            "OMPI_COMM_WORLD_SIZE",
+            "PMI_SIZE",
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+        )
+    )
+
+
+def global_batch_from_local(local_batch, mesh, axis: str = "data",
+                            batch_dim: int = 0):
     """Assemble a global batch-sharded array from per-process local data.
 
-    Each process passes only ITS slice (local leaves of shape
-    ``(global_batch / process_count, ...)``); the result is a global
-    jax.Array sharded over ``axis`` whose addressable pieces are exactly the
-    local data — no cross-host data movement. Single-process this is just
+    Each process passes only ITS slice (local leaves whose ``batch_dim`` is
+    ``global_batch / process_count``); the result is a global jax.Array
+    sharded over ``axis`` whose addressable pieces are exactly the local
+    data — no cross-host data movement. Single-process this is just
     ``shard_batch``.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, P(*([None] * batch_dim), axis))
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sharding, x),
         local_batch,
     )
 
 
-def distribute_batch(batch, mesh, axis: str = "data"):
+def distribute_batch(batch, mesh, axis: str = "data", batch_dim: int = 0):
     """Shard a host-replicated batch over a (possibly multi-process) mesh.
 
-    Single-process: plain ``shard_batch`` (one device_put per leaf).
-    Multi-process: every host holds the same full batch (the datasets read
-    a shared filesystem); each host slices out its ``process_index`` rows
-    and the global array is assembled from those local shards, so each
-    host only feeds the devices it owns. Leading dims must divide the
-    process count (the training loop wrap-pads to the mesh size, which is
-    a multiple of it).
-    """
-    if jax.process_count() == 1:
-        from dvae_tpu.parallel.mesh import shard_batch
+    Single-process: one device_put per leaf. Multi-process: every host holds
+    the same full batch (the datasets read a shared filesystem); each host
+    slices out its ``process_index`` rows and the global array is assembled
+    from those local shards, so each host only feeds the devices it owns.
+    The sharded dim must divide the process count (the training loop
+    wrap-pads to the mesh size, which is a multiple of it).
 
-        return shard_batch(batch, mesh, axis)
+    ``batch_dim`` selects which dim is the batch: 0 for plain ``(B, ...)``
+    batches, 1 for the multi-step dispatcher's ``(K, B, ...)`` stacks (the
+    scan axis K stays unsharded on every device).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        sharding = NamedSharding(mesh, P(*([None] * batch_dim), axis))
+        return jax.tree.map(
+            lambda x: x if x is None else jax.device_put(x, sharding), batch,
+            is_leaf=lambda x: x is None,
+        )
     pc, pid = jax.process_count(), jax.process_index()
 
     def slice_local(x):
-        per, rem = divmod(x.shape[0], pc)
+        per, rem = divmod(x.shape[batch_dim], pc)
         if rem:
             raise ValueError(
-                f"batch dim {x.shape[0]} not divisible by process_count={pc}"
+                f"batch dim {x.shape[batch_dim]} not divisible by "
+                f"process_count={pc}"
             )
-        return x[pid * per : (pid + 1) * per]
+        sl = [slice(None)] * batch_dim + [slice(pid * per, (pid + 1) * per)]
+        return x[tuple(sl)]
 
-    return global_batch_from_local(jax.tree.map(slice_local, batch), mesh, axis)
+    return global_batch_from_local(
+        jax.tree.map(slice_local, batch), mesh, axis, batch_dim
+    )
 
 
 def gather_metrics(tree):

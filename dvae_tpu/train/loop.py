@@ -51,6 +51,10 @@ class LoopConfig:
     # K optimizer steps per device dispatch (lax.scan over stacked batches,
     # steps.make_multi_train_step): identical math, K-1 fewer host round
     # trips per K batches. 1 = reference-style one dispatch per batch.
+    # Composes with a mesh: the (K, B, ...) stack is sharded over the data
+    # axis on B (scan axis unsharded), so multi-step dispatch and
+    # --data-parallel work together; batches whose B doesn't divide the
+    # mesh run one-at-a-time with wrap-padding instead.
     steps_per_dispatch: int = 1
 
 
@@ -134,6 +138,133 @@ def _pad_shardable(batch, mesh):
     return tuple(b[idx] if b is not None else None for b in batch)
 
 
+def _run_epochs(
+    state,
+    train_ds,
+    valid_ds,
+    model_dir,
+    prefix: str,
+    cfg: LoopConfig,
+    mesh,
+    run_step,          # (state, x, y, key) -> (state, metrics)
+    run_multi,         # (state, xs, ys, key) -> (state, metrics), or None
+    run_eval,          # (params, x, y, key) -> metrics
+    stack_labels: bool,  # whether run_multi consumes a stacked label array
+    vloss_key: str,    # which validation metric names checkpoints / best
+    ckpt_opt_state,    # state -> opt-state payload for save_checkpoint
+    resumed: bool,
+):
+    """The shared epoch driver behind fit_vae / fit_adversarial: buffered
+    multi-step dispatch, mesh sharding, reference-format logging, per-epoch
+    checkpointing, best-params tracking."""
+    rng = np.random.default_rng(cfg.seed)
+    # the fitters' init keys come from split(PRNGKey(seed)), which leaves
+    # this root key itself unconsumed — the in-loop stream starts from it,
+    # exactly as the pre-refactor loops did (bitwise-stable training)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    log = _Logger(model_dir, append=resumed)
+    history = []
+    best = (np.inf, None)
+    n_train = max(1, -(-len(train_ds) // cfg.batch_size))
+    n_valid = max(1, -(-len(valid_ds) // cfg.batch_size))
+    mesh_size = mesh.devices.size if mesh is not None else 1
+
+    for epoch in range(cfg.start_epoch, cfg.end_epoch):
+        t0 = time.perf_counter()
+        totals = {}
+        i = 0
+        buf = []
+
+        def flush(state, key):
+            """Run the buffered batches: one scanned dispatch when the buffer
+            holds several same-shape batches, the plain step otherwise.
+            Metrics from a scanned dispatch are per-step means, so they enter
+            the epoch totals weighted by the number of steps."""
+            nonlocal i
+            if not buf:
+                return state
+            if run_multi is not None and len(buf) > 1:
+                xs = np.stack([b[0] for b in buf])
+                ys = np.stack([b[1] for b in buf]) if stack_labels else None
+                if mesh is not None:
+                    # shard the (K, B, ...) stack on B; scan axis K unsharded
+                    xs, ys = distribute_batch((xs, ys), mesh, batch_dim=1)
+                state, metrics = run_multi(state, xs, ys, key)
+                weight = len(buf)
+            else:
+                x, y = buf[0]
+                if mesh is not None:
+                    x, y = _pad_shardable((x, y), mesh)
+                    x, y = distribute_batch((x, y), mesh)
+                state, metrics = run_step(state, x, y, key)
+                weight = 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * weight
+            if i % cfg.log_interval < weight:
+                log.batch(f"Train Epoch: {epoch:2d} [{i}/{n_train}]    {_fmt(metrics)}")
+            i += weight
+            buf.clear()
+            return state
+
+        # multi-step dispatch needs same-shape batches; under a mesh the
+        # batch dim must additionally divide the mesh (wrap-padding a whole
+        # stack would mix padded and real rows within scan steps) — batches
+        # that don't qualify run one-at-a-time through the padded step path
+        group = cfg.steps_per_dispatch if run_multi is not None else 1
+        first_shape = None
+        for x, y in train_ds.batches(cfg.batch_size, rng, cfg.drop_last):
+            key, sk = jax.random.split(key)
+            if first_shape is None:
+                first_shape = x.shape
+            groupable = x.shape == first_shape and x.shape[0] % mesh_size == 0
+            if not groupable:  # ragged trailing batch: run alone
+                state = flush(state, sk)
+                buf.append((x, y))
+                key, sk = jax.random.split(key)
+                state = flush(state, sk)
+                continue
+            buf.append((x, y))
+            if len(buf) >= group:
+                state = flush(state, sk)
+        key, sk = jax.random.split(key)
+        state = flush(state, sk)
+        # divide by the steps actually run: with drop_last the trailing batch
+        # never runs and ceil(len/bs) would bias every train metric low
+        train_avg = {k: v / max(i, 1) for k, v in totals.items()}
+
+        totals = {}
+        for x, y in valid_ds.batches(cfg.batch_size):
+            key, sk = jax.random.split(key)
+            if mesh is not None and x.shape[0] % mesh_size == 0:
+                x, y = distribute_batch((x, y), mesh)
+            # trailing partial batches run unsharded: wrap-padding would
+            # double-count rows in the validation mean, and vloss picks the
+            # best checkpoint — it must be exact
+            m = run_eval(state.params, x, y, sk)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        valid_avg = {k: v / n_valid for k, v in totals.items()}
+
+        dt = time.perf_counter() - t0
+        log.epoch(f"Epoch: {epoch} ({dt:.1f}s)")
+        log.epoch(f"[Train]\t\t {_fmt(train_avg)}")
+        log.epoch(f"[Validation]\t {_fmt(valid_avg)}")
+
+        vloss = valid_avg[vloss_key]
+        name = ckpt.checkpoint_name(prefix, epoch, vloss)
+        if jax.process_index() == 0:  # hosts compute identical metrics;
+            # concurrent writes to a shared models dir would corrupt files
+            ckpt.save_checkpoint(model_dir, name, state.params,
+                                 opt_state=ckpt_opt_state(state),
+                                 metadata={"epoch": epoch, **valid_avg})
+        history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
+        if vloss < best[0]:
+            best = (vloss, jax.device_get(state.params))
+
+    return best[1] if best[1] is not None else jax.device_get(state.params), history
+
+
 def fit_vae(
     model,
     train_ds,
@@ -147,7 +278,6 @@ def fit_vae(
 ):
     """Train M1 (conditional=False) or M2 (conditional=True). Returns
     (best_params, history)."""
-    rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
     kp, ks = jax.random.split(key)
 
@@ -176,102 +306,23 @@ def fit_vae(
         multi_step = make_multi_train_step(model, tx, conditional, cfg.eps, norm)
     evaluate = make_eval_step(model, conditional, cfg.eps, norm)
 
-    log = _Logger(model_dir, append=resume is not None)
-    history = []
-    best = (np.inf, None)
-    n_train = max(1, -(-len(train_ds) // cfg.batch_size))
-    n_valid = max(1, -(-len(valid_ds) // cfg.batch_size))
+    if conditional:
+        run_step = step
+        run_multi = multi_step
+        run_eval = evaluate
+    else:
+        run_step = lambda st, x, y, k: step(st, x, k)
+        run_multi = None if multi_step is None else (
+            lambda st, xs, ys, k: multi_step(st, xs, k))
+        run_eval = lambda p, x, y, k: evaluate(p, x, k)
 
-    for epoch in range(cfg.start_epoch, cfg.end_epoch):
-        t0 = time.perf_counter()
-        totals = {}
-        i = 0
-        buf = []
-
-        def flush(state, key):
-            """Run the buffered batches: one scanned dispatch when the buffer
-            holds several same-shape batches, the plain step otherwise.
-            Metrics from a scanned dispatch are per-step means, so they enter
-            the epoch totals weighted by the number of steps."""
-            nonlocal i
-            if not buf:
-                return state
-            if multi_step is not None and len(buf) > 1:
-                xs = np.stack([b[0] for b in buf])
-                if conditional:  # don't stack labels the step won't consume
-                    state, metrics = multi_step(
-                        state, xs, np.stack([b[1] for b in buf]), key)
-                else:
-                    state, metrics = multi_step(state, xs, key)
-                weight = len(buf)
-            else:
-                x, y = buf[0]
-                if mesh is not None:
-                    x, y = _pad_shardable((x, y), mesh)
-                    x, y = distribute_batch((x, y), mesh)
-                state, metrics = step(state, x, y, key) if conditional else step(state, x, key)
-                weight = 1
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * weight
-            if i % cfg.log_interval < weight:
-                log.batch(f"Train Epoch: {epoch:2d} [{i}/{n_train}]    {_fmt(metrics)}")
-            i += weight
-            buf.clear()
-            return state
-
-        # multi-step dispatch requires same-shape batches and (for now) no
-        # mesh (the scan carries unsharded stacks); fall back otherwise
-        group = cfg.steps_per_dispatch if (multi_step is not None and mesh is None) else 1
-        first_shape = None
-        for x, y in train_ds.batches(cfg.batch_size, rng, cfg.drop_last):
-            key, sk = jax.random.split(key)
-            if first_shape is None:
-                first_shape = x.shape
-            if x.shape != first_shape:  # ragged trailing batch: run alone
-                state = flush(state, sk)
-                buf.append((x, y))
-                key, sk = jax.random.split(key)
-                state = flush(state, sk)
-                continue
-            buf.append((x, y))
-            if len(buf) >= group:
-                state = flush(state, sk)
-        key, sk = jax.random.split(key)
-        state = flush(state, sk)
-        # divide by the steps actually run: with drop_last the trailing batch
-        # never runs and ceil(len/bs) would bias every train metric low
-        train_avg = {k: v / max(i, 1) for k, v in totals.items()}
-
-        totals = {}
-        for x, y in valid_ds.batches(cfg.batch_size):
-            key, sk = jax.random.split(key)
-            if mesh is not None and x.shape[0] % mesh.devices.size == 0:
-                x, y = distribute_batch((x, y), mesh)
-            # trailing partial batches run unsharded: wrap-padding would
-            # double-count rows in the validation mean, and vloss picks the
-            # best checkpoint — it must be exact
-            m = evaluate(state.params, x, y, sk) if conditional else evaluate(state.params, x, sk)
-            for k, v in m.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-        valid_avg = {k: v / n_valid for k, v in totals.items()}
-
-        dt = time.perf_counter() - t0
-        log.epoch(f"Epoch: {epoch} ({dt:.1f}s)")
-        log.epoch(f"[Train]\t\t {_fmt(train_avg)}")
-        log.epoch(f"[Validation]\t {_fmt(valid_avg)}")
-
-        vloss = valid_avg["elbo"]
-        name = ckpt.checkpoint_name(prefix, epoch, vloss)
-        if jax.process_index() == 0:  # hosts compute identical metrics;
-            # concurrent writes to a shared models dir would corrupt files
-            ckpt.save_checkpoint(model_dir, name, state.params,
-                                 opt_state=state.opt_state,
-                                 metadata={"epoch": epoch, **valid_avg})
-        history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
-        if vloss < best[0]:
-            best = (vloss, jax.device_get(state.params))
-
-    return best[1] if best[1] is not None else jax.device_get(state.params), history
+    return _run_epochs(
+        state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,
+        run_step, run_multi, run_eval,
+        stack_labels=conditional, vloss_key="elbo",
+        ckpt_opt_state=lambda st: st.opt_state,
+        resumed=resume is not None,
+    )
 
 
 def fit_adversarial(
@@ -296,7 +347,6 @@ def fit_adversarial(
     training_M2_info_vad.py:280-281. Returns (best_params, history)."""
     from dvae_tpu.models import init_params as init_all_params
 
-    rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
     kp, ks = jax.random.split(key)
 
@@ -336,89 +386,10 @@ def fit_adversarial(
     evaluate = make_adversarial_eval_step(model, alpha, beta, gamma, cfg.eps,
                                           use_y_hat_soft=use_y_hat_soft)
 
-    log = _Logger(model_dir, append=resume is not None)
-    history = []
-    best = (np.inf, None)
-    n_train = max(1, -(-len(train_ds) // cfg.batch_size))
-    n_valid = max(1, -(-len(valid_ds) // cfg.batch_size))
-
-    for epoch in range(cfg.start_epoch, cfg.end_epoch):
-        t0 = time.perf_counter()
-        totals = {}
-        i = 0
-        buf = []
-
-        def flush(state, key):
-            nonlocal i
-            if not buf:
-                return state
-            if multi_step is not None and len(buf) > 1:
-                xs = np.stack([b[0] for b in buf])
-                ys = np.stack([b[1] for b in buf])
-                state, metrics = multi_step(state, xs, ys, key)
-                weight = len(buf)
-            else:
-                x, y = buf[0]
-                if mesh is not None:
-                    x, y = _pad_shardable((x, y), mesh)
-                    x, y = distribute_batch((x, y), mesh)
-                state, metrics = step(state, x, y, key)
-                weight = 1
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * weight
-            if i % cfg.log_interval < weight:
-                log.batch(f"Train Epoch: {epoch:2d} [{i}/{n_train}]    {_fmt(metrics)}")
-            i += weight
-            buf.clear()
-            return state
-
-        group = cfg.steps_per_dispatch if (multi_step is not None and mesh is None) else 1
-        first_shape = None
-        for x, y in train_ds.batches(cfg.batch_size, rng, cfg.drop_last):
-            key, sk = jax.random.split(key)
-            if first_shape is None:
-                first_shape = x.shape
-            if x.shape != first_shape:
-                state = flush(state, sk)
-                buf.append((x, y))
-                key, sk = jax.random.split(key)
-                state = flush(state, sk)
-                continue
-            buf.append((x, y))
-            if len(buf) >= group:
-                state = flush(state, sk)
-        key, sk = jax.random.split(key)
-        state = flush(state, sk)
-        # divide by the steps actually run: with drop_last the trailing batch
-        # never runs and ceil(len/bs) would bias every train metric low
-        train_avg = {k: v / max(i, 1) for k, v in totals.items()}
-
-        totals = {}
-        for x, y in valid_ds.batches(cfg.batch_size):
-            key, sk = jax.random.split(key)
-            if mesh is not None and x.shape[0] % mesh.devices.size == 0:
-                x, y = distribute_batch((x, y), mesh)
-            # trailing partial batches run unsharded: wrap-padding would
-            # double-count rows in the validation mean, and vloss picks the
-            # best checkpoint — it must be exact
-            m = evaluate(state.params, x, y, sk)
-            for k, v in m.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-        valid_avg = {k: v / n_valid for k, v in totals.items()}
-
-        dt = time.perf_counter() - t0
-        log.epoch(f"Epoch: {epoch} ({dt:.1f}s)")
-        log.epoch(f"[Train]\t\t {_fmt(train_avg)}")
-        log.epoch(f"[Validation]\t {_fmt(valid_avg)}")
-
-        vloss = valid_avg["enc"]
-        name = ckpt.checkpoint_name(prefix, epoch, vloss)
-        if jax.process_index() == 0:
-            ckpt.save_checkpoint(model_dir, name, state.params,
-                                 opt_state=(state.opt_state_enc, state.opt_state_aux),
-                                 metadata={"epoch": epoch, **valid_avg})
-        history.append({"epoch": epoch, "train": train_avg, "valid": valid_avg})
-        if vloss < best[0]:
-            best = (vloss, jax.device_get(state.params))
-
-    return best[1] if best[1] is not None else jax.device_get(state.params), history
+    return _run_epochs(
+        state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,
+        step, multi_step, evaluate,
+        stack_labels=True, vloss_key="enc",
+        ckpt_opt_state=lambda st: (st.opt_state_enc, st.opt_state_aux),
+        resumed=resume is not None,
+    )

@@ -101,33 +101,43 @@ def load_torch_state_dict(params_template, state_dict,
 
     prefix = ("params",) if has_params_key else ()
 
-    def in_filter(path):
+    def leaf_in_filter(path, leaf):
         # match against the same strings checkpoint.partial_load uses for
-        # msgpack checkpoints: 'params/<module path>/{kernel,bias}'
-        full = "/".join(prefix + path)
-        return (filter_substring in full + "/kernel"
-                or filter_substring in full + "/bias")
+        # msgpack checkpoints: 'params/<module path>/{kernel,bias}'. Kernel
+        # and bias are filtered INDEPENDENTLY, mirroring the msgpack
+        # flattened-leaf semantics ('hidden_0/kernel' loads only the kernel).
+        return filter_substring in "/".join(prefix + path) + "/" + leaf
 
     def rebuild(t, path=()):
         if isinstance(t, dict) and "kernel" in t:
-            if filter_substring and not in_filter(path):
+            load = {
+                leaf: not filter_substring or leaf_in_filter(path, leaf)
+                for leaf in ("kernel", "bias")
+            }
+            if not any(load.values()):
                 return t  # outside the filtered region: keep template values
             name = _torch_name(path)
             out = dict(t)
-            if name + ".weight" in sd:
-                w = sd[name + ".weight"].T
-                b = sd[name + ".bias"]
-                if w.shape != t["kernel"].shape or b.shape != t["bias"].shape:
+            src = {"kernel": name + ".weight", "bias": name + ".bias"}
+            missing = [src[leaf] for leaf in src if load[leaf] and src[leaf] not in sd]
+            if missing:
+                if strict or (name + ".weight" in sd or name + ".bias" in sd):
+                    # a half-present Dense is an error even lenient: silently
+                    # pairing a loaded weight with a template bias (or vice
+                    # versa) would produce a frankenmodel
+                    raise KeyError(f"checkpoint is missing {missing[0]}")
+                return out
+            for leaf in ("kernel", "bias"):
+                if not load[leaf]:
+                    continue
+                v = sd[src[leaf]].T if leaf == "kernel" else sd[src[leaf]]
+                if v.shape != t[leaf].shape:
                     raise ValueError(
-                        f"shape mismatch for {name}: checkpoint "
-                        f"{w.shape}/{b.shape} vs model "
-                        f"{t['kernel'].shape}/{t['bias'].shape}"
+                        f"shape mismatch for {src[leaf]}: checkpoint "
+                        f"{v.shape} vs model {t[leaf].shape}"
                     )
-                out["kernel"] = jnp.asarray(w, t["kernel"].dtype)
-                out["bias"] = jnp.asarray(b, t["bias"].dtype)
-                consumed.update({name + ".weight", name + ".bias"})
-            elif strict:
-                raise KeyError(f"checkpoint is missing {name}.weight")
+                out[leaf] = jnp.asarray(v, t[leaf].dtype)
+                consumed.add(src[leaf])
             return out
         if isinstance(t, dict):
             return {k: rebuild(v, path + (k,)) for k, v in t.items()}
@@ -140,11 +150,32 @@ def load_torch_state_dict(params_template, state_dict,
         # in-region entry the template never consumed means the donor's
         # filtered submodule is structurally bigger (e.g. more hidden
         # layers) — a half-transfer the reference's strict load would catch.
+        filt_parts = [q for q in filter_substring.strip("/").split("/") if q]
+        leaf_only = {"kernel": ".weight", "bias": ".bias"}.get(
+            filt_parts[-1] if filt_parts else "")
         frag = _torch_name(tuple(
-            q for q in filter_substring.strip("/").split("/")
-            if q and q not in ("params", "kernel", "bias")
+            q for q in filt_parts if q not in ("params", "kernel", "bias")
         ))
-        leftovers = {k for k in leftovers if frag and frag in k}
+        frag_parts = frag.split(".") if frag else []
+
+        def in_region(key):
+            # anchor the fragment on dot-separated name components — a bare
+            # index fragment like '0' (from 'layers_0') must match the
+            # component '0', not any digit 0 anywhere in the key
+            base = key[: -len(".weight")] if key.endswith(".weight") else \
+                key[: -len(".bias")] if key.endswith(".bias") else key
+            kparts = base.split(".")
+            hit = not frag_parts or any(
+                kparts[i : i + len(frag_parts)] == frag_parts
+                for i in range(len(kparts) - len(frag_parts) + 1)
+            )
+            if hit and leaf_only:
+                # a leaf-specific filter ('.../kernel') deliberately leaves
+                # the sibling leaf unconsumed
+                hit = key.endswith(leaf_only)
+            return hit
+
+        leftovers = {k for k in leftovers if in_region(k)}
     if strict and leftovers:
         raise KeyError(
             f"checkpoint entries not consumed by the model: {sorted(leftovers)[:6]}"

@@ -69,3 +69,70 @@ def test_gather_metrics_single_process_shape():
     assert out["loss"].shape == (1,)
     np.testing.assert_allclose(out["loss"][0], 2.5)
     assert out["n"][0] == 7
+
+
+def test_two_process_training(tmp_path):
+    """Launch a REAL 2-process jax.distributed runtime (4 virtual CPU devices
+    per process, 8 global) and run a short mesh-sharded multihost training:
+    exercises distribute_batch's per-host slicing (both batch_dim=0 and the
+    stacked batch_dim=1 path via steps_per_dispatch=2), gather_metrics across
+    hosts, and the process-0 checkpoint/log guards — then checks loss parity
+    against the identical single-process 8-device run."""
+    import json
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coordinator = f"127.0.0.1:{port}"
+
+    import os
+
+    env = {**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(root / "tests" / "_multihost_worker.py"),
+             coordinator, str(rank), str(tmp_path)],
+            env=env, cwd=root, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for rank in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}\n{err[-4000:]}"
+
+    r0 = json.loads((tmp_path / "result_0.json").read_text())
+    r1 = json.loads((tmp_path / "result_1.json").read_text())
+
+    # every host computed identical metrics
+    for h0, h1 in zip(r0["history"], r1["history"]):
+        assert abs(h0["valid_elbo"] - h1["valid_elbo"]) < 1e-4
+        assert abs(h0["train_elbo"] - h1["train_elbo"]) < 1e-4
+
+    # gather_metrics returned both hosts' rows, in process order, everywhere
+    assert r0["gathered_rank"] == [0.0, 1.0] == r1["gathered_rank"]
+    assert r0["gathered_tag"] == [10.0, 20.0] == r1["gathered_tag"]
+
+    # rank 0 wrote exactly the expected artifacts (shared dir; rank 1's view
+    # is identical because only process 0 writes)
+    assert len(r0["checkpoints"]) == 2, r0["checkpoints"]
+    assert r0["checkpoints"] == r1["checkpoints"]
+    assert set(r0["logs"]) == {"output_batch.log", "output_epoch.log"}
+
+    # loss parity with the identical single-process 8-device mesh run
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mh_worker", root / "tests" / "_multihost_worker.py")
+    worker = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(worker)
+    _, hist = worker.run_training(make_mesh(8), tmp_path / "single")
+    assert len(hist) == len(r0["history"])
+    for h_single, h_multi in zip(hist, r0["history"]):
+        assert abs(h_single["valid"]["elbo"] - h_multi["valid_elbo"]) < 1e-3
+        assert abs(h_single["train"]["elbo"] - h_multi["train_elbo"]) < 1e-3

@@ -290,3 +290,55 @@ def test_freeze_substring_keeps_params_fixed():
     enc_after = np.asarray(
         jax.tree.leaves(state.params["params"]["enc_dec_clf"]["encoder"])[0])
     assert not np.array_equal(enc_before, enc_after)  # the rest still trains
+
+
+def test_multi_step_dispatch_composes_with_mesh():
+    """K-step scanned dispatch over a mesh-sharded (K, B, F) stack must match
+    K sequential mesh-sharded steps bitwise — steps_per_dispatch and
+    --data-parallel are no longer mutually exclusive."""
+    from dvae_tpu.parallel.distributed import distribute_batch
+    from dvae_tpu.train.steps import (
+        adam, init_train_state, make_multi_train_step, make_train_step,
+    )
+
+    mesh = make_mesh(8)
+    model = VAE(x_dim=64, z_dim=8, h_dim=(16,))
+    rng = np.random.default_rng(2)
+    xs = np.abs(rng.standard_normal((4, 16, 64))).astype(np.float32) + 0.1
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(xs[0]),
+    )
+    tx = adam(1e-3)
+    s_seq = replicate(init_train_state(model, params, tx), mesh)
+    s_multi = replicate(init_train_state(model, params, tx), mesh)
+
+    key = jax.random.PRNGKey(7)
+    keys = jax.random.split(key, 4)
+    step = make_train_step(model, tx, conditional=False)
+    for k in range(4):
+        x_sh = distribute_batch(xs[k], mesh)
+        s_seq, _ = step(s_seq, x_sh, keys[k])
+
+    multi = make_multi_train_step(model, tx, conditional=False)
+    xs_sh = distribute_batch(xs, mesh, batch_dim=1)  # shard B, not the scan axis
+    s_multi, _ = multi(s_multi, xs_sh, key)
+
+    assert int(s_multi.step) == int(s_seq.step) == 4
+    for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_multi.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_vae_steps_per_dispatch_with_mesh(tmp_path, subset_dir):
+    """The epoch driver runs scanned multi-step dispatch over a data mesh."""
+    mesh = make_mesh(8)
+    train = FrameDataset(SUBSET_H5, "train")
+    valid = FrameDataset(SUBSET_H5, "validation")
+    cfg = LoopConfig(batch_size=64, start_epoch=1, end_epoch=3,
+                     log_interval=1, steps_per_dispatch=4)
+    model = VAE(x_dim=513, z_dim=16, h_dim=(32, 32))
+    params, history = fit_vae(model, train, valid, tmp_path, "M1", False, cfg,
+                              mesh=mesh)
+    assert len(history) == 2
+    assert all(np.isfinite(h["valid"]["elbo"]) for h in history)
+    assert (tmp_path / "output_epoch.log").read_text().count("Validation") == 2
