@@ -27,6 +27,7 @@ import numpy as np
 from dvae_tpu.data.datasets import FrameDataset
 from dvae_tpu.data.io import read_wav
 from dvae_tpu.enhance.mcem import McemConfig, run_mcem
+from dvae_tpu.eval.pesq_native import pesq_wb
 from dvae_tpu.eval.si_sdr import si_sdr_leroux
 from dvae_tpu.eval.stoi import stoi
 from dvae_tpu.models import VAE
@@ -123,6 +124,7 @@ def main():
             "wf_median": float(np.median(wf)),
             "si_sdr": si_sdr_leroux(s_hat, s_clean),
             "estoi": stoi(s_clean, s_hat, 16000),
+            "pesq": pesq_wb(s_clean, s_hat, 16000),
         })
     ours = {k: float(np.mean([r[k] for r in ours_rows])) for k in ours_rows[0]}
     ours.update({"cost_first": float(res.cost[0]), "cost_last": float(res.cost[-1]),
@@ -159,6 +161,7 @@ def main():
             "wf_median": float(np.median(wf_mag)),
             "si_sdr": si_sdr_leroux(s_hat_ref, s_clean),
             "estoi": stoi(s_clean, s_hat_ref, 16000),
+            "pesq": pesq_wb(s_clean, s_hat_ref, 16000),
         })
     ref = {k: float(np.mean([r[k] for r in ref_rows])) for k in ref_rows[0]}
     # our batched cost is a masked mean over ALL valid cells (long utterances
@@ -171,7 +174,7 @@ def main():
     print(f"(means over {b} utterance(s); niter={args.niter}, identical weights)")
     print(f"{'':<12}{'ours':>12}{'reference':>12}")
     for k in ("cost_first", "cost_last", "wf_mean", "wf_median", "si_sdr",
-              "estoi", "seconds"):
+              "estoi", "pesq", "seconds"):
         print(f"{k:<12}{ours[k]:>12.4f}{ref[k]:>12.4f}")
     if args.out:
         with open(args.out, "w") as f:

@@ -107,5 +107,6 @@ def test_parity_harness_smoke(tmp_path):
     for side in ("ours", "reference"):
         assert np.isfinite(data[side]["cost_last"])
         assert np.isfinite(data[side]["si_sdr"])
+        assert 1.0 <= data[side]["pesq"] <= 4.65
     assert len(data["per_utterance"]["ours"]) == 2
     assert len(data["per_utterance"]["reference"]) == 2
