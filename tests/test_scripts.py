@@ -91,6 +91,25 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
     figs = list(out_dir.rglob("*_fig.png"))
     assert len(figs) == 6, figs
 
+    # 4. classifier metric sweep with per-utterance mask figures
+    r = _run([str(SCRIPTS / "run_metrics_classif.py"), "--dataset-size", "subset",
+              "--data-root", str(data_root / "data"),
+              "--classifier-dir", str(tmp_path / "classif"),
+              "--with-figures", "--platform", "cpu"], cwd=data_root)
+    assert "f1" in r.stdout
+    masks = list((tmp_path / "classif").rglob("*_hard_mask.png"))
+    assert len(masks) == 3, masks
+
+    # 5. reconstruction analysis figures from the trained checkpoint
+    ckpt = sorted(model_dir.glob("M1_epoch_*.msgpack"))[-1]
+    fig_dir = tmp_path / "recon"
+    _run([str(SCRIPTS / "reconstruct_ntcd_M1.py"), "--dataset-size", "subset",
+          "--data-root", str(data_root / "data"), "--checkpoint", str(ckpt),
+          "--max-utts", "2", "--output-dir", str(fig_dir),
+          "--platform", "cpu"], cwd=data_root)
+    recons = list(fig_dir.glob("*_recon.png"))
+    assert len(recons) >= 2, recons
+
 
 def test_parity_harness_smoke(tmp_path):
     """scripts/parity_vs_reference.py at a tiny budget: trains, runs BOTH
@@ -110,3 +129,49 @@ def test_parity_harness_smoke(tmp_path):
         assert 1.0 <= data[side]["pesq"] <= 4.65
     assert len(data["per_utterance"]["ours"]) == 2
     assert len(data["per_utterance"]["reference"]) == 2
+
+
+def test_m2_info_chain(tmp_path, subset_dir):
+    """Flagship-family end-to-end: build the vad frame h5 with our own
+    builder (the subset only ships ibm at frame level), adversarially train
+    the disentangled M2-info model, enhance with oracle labels (MCEM_M2v3
+    semantics, suffix _oracle_y), and score the suffixed outputs."""
+    # writable processed/ntcd_timit with the reference subset's children
+    # symlinked in (the builder writes the frame h5 at its top level)
+    root = tmp_path / "data" / "subset"
+    proc_nt = root / "processed" / "ntcd_timit"
+    proc_nt.mkdir(parents=True)
+    for child in (subset_dir / "processed" / "ntcd_timit").iterdir():
+        (proc_nt / child.name).symlink_to(child)
+    (root / "raw").symlink_to(subset_dir / "raw")
+    data_root = tmp_path / "data"
+
+    _run([str(SCRIPTS / "create_train_set.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--platform", "cpu"], cwd=tmp_path)
+    assert (proc_nt / "Clean_vad_labels_upsampled.h5").exists()
+
+    models = tmp_path / "models"
+    _run([str(SCRIPTS / "training_M2_info_vad.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--end-epoch", "3",
+          "--platform", "cpu"], cwd=tmp_path)
+    model_dir = next(d for d in models.iterdir() if d.is_dir())
+    assert len(list(model_dir.glob("*.msgpack"))) == 2
+
+    out_dir = tmp_path / "enhanced"
+    _run([str(SCRIPTS / "evaluate_ntcd_M2_info_vad.py"), "--dataset-size",
+          "subset", "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--model-dir", str(model_dir),
+          "--niter", "3", "--snr", "-5", "--batch-size", "6",
+          "--y-source", "oracle", "--output-dir", str(out_dir),
+          "--platform", "cpu"], cwd=tmp_path)
+    wavs = list(out_dir.rglob("*_s_est_oracle_y.wav"))
+    assert len(wavs) == 6, wavs
+
+    r = _run([str(SCRIPTS / "run_metrics.py"), "--dataset-size", "subset",
+              "--data-root", str(data_root), "--model-output-dir", str(out_dir),
+              "--snr", "-5", "--suffix", "_oracle_y", "--platform", "cpu"],
+             cwd=tmp_path)
+    assert "si_sdr" in r.stdout and "pesq" in r.stdout
+    assert (out_dir / "stats.json").exists()
