@@ -175,3 +175,21 @@ def test_m2_info_chain(tmp_path, subset_dir):
              cwd=tmp_path)
     assert "si_sdr" in r.stdout and "pesq" in r.stdout
     assert (out_dir / "stats.json").exists()
+
+    # M2 leg on the same vad frame h5: the conditional CVAE trains with y in
+    # the encoder AND decoder, and enhancement runs the MCEM y_mode="enc_dec"
+    # configuration (distinct engine path from M2-info's dec_only)
+    _run([str(SCRIPTS / "training_M2.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--end-epoch", "3",
+          "--platform", "cpu"], cwd=tmp_path)
+    m2_dir = next(d for d in models.iterdir()
+                  if d.is_dir() and d.name.startswith("ntcd_M2_VAD"))
+    out2 = tmp_path / "enhanced_m2"
+    _run([str(SCRIPTS / "evaluate_ntcd_M2.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--model-dir", str(m2_dir),
+          "--niter", "3", "--snr", "-5", "--batch-size", "6",
+          "--y-source", "oracle", "--output-dir", str(out2),
+          "--platform", "cpu"], cwd=tmp_path)
+    assert len(list(out2.rglob("*_s_est.wav"))) == 6
