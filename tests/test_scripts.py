@@ -72,6 +72,25 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
               "--platform", "cpu"], cwd=data_root)
     assert "done: 0 utterances" in r.stdout
 
+    # mesh-sharded enhancement through the real CLI (8 virtual CPU devices
+    # from conftest's XLA_FLAGS reach the subprocess via the environment);
+    # batch 6 over an 8-device mesh exercises the silent-utterance padding
+    dp_dir = tmp_path / "enhanced_dp"
+    _run([str(SCRIPTS / "evaluate_ntcd_M1.py"), "--dataset-size", "subset",
+          "--data-root", str(data_root / "data"), "--model-dir", str(model_dir),
+          "--niter", "3", "--snr", "-5", "--batch-size", "6",
+          "--data-parallel", "--output-dir", str(dp_dir),
+          "--platform", "cpu"], cwd=data_root)
+    dp_wavs = sorted(dp_dir.rglob("*_s_est.wav"))
+    assert len(dp_wavs) == 6
+    # same utterances, same model, different chain RNG consumption order is
+    # avoided (same key per batch): outputs must be finite and non-silent
+    for w in dp_wavs:
+        from dvae_tpu.data.io import read_wav as _rw
+
+        s, _ = _rw(w)
+        assert np.isfinite(s).all() and np.abs(s).max() > 0
+
     # 3. metrics over the enhanced outputs, with per-utterance figures and
     # the in-sweep classifier-F1 columns (reference run_metrics.py:144-236)
     classif = tmp_path / "classif" / "test" / "34M"
