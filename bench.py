@@ -56,12 +56,67 @@ def measure_device_time(enh, batch, reps: int = 6) -> float:
     return (time.perf_counter() - t0) / reps
 
 
+def bench_training(batch: int, steps_per_dispatch: int) -> None:
+    """Training-throughput mode: M1 ELBO steps on synthetic DEVICE-RESIDENT
+    frames, K steps per device dispatch — the chip's step-throughput
+    capability. Real epoch loops on this host additionally pay per-batch
+    host->device feeding over the tunnel (the 527k frames/s epoch-loop
+    number in README); on a locally-attached TPU the two converge."""
+    from dvae_tpu.train.steps import adam, init_train_state, make_multi_train_step
+
+    model = VAE()
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        np.abs(rng.standard_normal((steps_per_dispatch, batch, 513))).astype(np.float32)
+        + 0.1
+    )
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)),
+    )
+    tx = adam(1e-4)
+    state = init_train_state(model, params, tx)
+    multi = make_multi_train_step(model, tx, conditional=False)
+    state, m = multi(state, xs, jax.random.PRNGKey(2))  # compile + warm
+    jax.block_until_ready(m["elbo"])
+
+    best = float("inf")
+    for r in range(8):
+        t0 = time.perf_counter()
+        for i in range(4):
+            state, m = multi(state, xs, jax.random.PRNGKey(10 * r + i))
+        jax.block_until_ready(m["elbo"])
+        best = min(best, time.perf_counter() - t0)
+    frames_per_sec = 4 * steps_per_dispatch * batch / best
+    print(
+        json.dumps(
+            {
+                "metric": "m1_training_throughput",
+                "value": round(frames_per_sec, 0),
+                "unit": "frames/sec/chip (batch=%d, steps_per_dispatch=%d)"
+                % (batch, steps_per_dispatch),
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of one measured "
                          "stream into DIR (view with TensorBoard/Perfetto)")
+    ap.add_argument("--training", action="store_true",
+                    help="benchmark the M1 training step instead of "
+                         "enhancement (reproduces the README training "
+                         "numbers; the driver never passes this)")
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--steps-per-dispatch", type=int, default=16)
     args = ap.parse_args()
+
+    if args.training:
+        bench_training(args.batch_size, args.steps_per_dispatch)
+        return
 
     model = VAE()
     params = model.init(
