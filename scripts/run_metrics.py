@@ -113,6 +113,7 @@ def main():
     rows, snrs, noises, speakers, stationarities = [], [], [], [], []
     missing = 0
     missing_classif = 0
+    classif_index = None  # built lazily on first use (one tree walk)
 
     for noisy_rel, clean_rel in items:
         est_path = os.path.join(
@@ -136,21 +137,41 @@ def main():
 
         y_hat_hard = None
         if args.classifier_dir:
-            # classifier-F1 inside the sweep (reference run_metrics.py:144-169)
-            import glob
-
+            # classifier-F1 inside the sweep (reference run_metrics.py:144-169).
+            # NOTE a deliberate label fix: the reference passes its arguments
+            # to f1_loss(y_hat_hard, y) in (y, y_hat) order (:169), so its
+            # printed "precision" is actually recall and vice versa; we pass
+            # them correctly — see MIGRATING.md. Accuracy/F1 are symmetric
+            # and comparable either way.
             from dvae_tpu.enhance.evaluate import load_classifier_labels
 
-            cand = glob.glob(os.path.join(args.classifier_dir, "**", speaker,
-                                          utt + "_y_hat_hard.*"), recursive=True)
+            if classif_index is None:  # one tree walk, not one per utterance
+                import glob
+
+                classif_index = {}
+                for pat in ("*_y_hat_hard.pt", "*_y_hat_hard.npy"):
+                    for path in glob.glob(os.path.join(args.classifier_dir,
+                                                       "**", pat),
+                                          recursive=True):
+                        spk_dir = os.path.basename(os.path.dirname(path))
+                        base = os.path.basename(path).split("_y_hat_hard")[0]
+                        classif_index.setdefault((spk_dir, base), path)
+            cand = classif_index.get((speaker, utt))
             if cand:
-                y_hat_hard = load_classifier_labels(cand[0])
+                y_hat_hard = load_classifier_labels(cand)
             else:
                 missing_classif += 1
 
         row = [si_sdr_leroux(s_hat_t, s_t), stoi(s_t, s_hat_t, fs, extended=True)]
         if use_pesq:
-            row.append(pesq_fn(fs, s_t, s_hat_t, "wb"))
+            try:
+                row.append(pesq_fn(fs, s_t, s_hat_t, "wb"))
+            except ValueError as e:
+                # one degenerate utterance (e.g. truncated wav shorter than a
+                # PESQ frame after the edge trims) must not abort the sweep;
+                # NaN rows are excluded per-metric by compute_stats
+                print(f"note: pesq skipped for {noisy_rel}: {e}")
+                row.append(np.nan)
         y_oracle = None
         if args.classifier_dir or args.with_figures:
             from dvae_tpu.enhance.evaluate import load_oracle_labels

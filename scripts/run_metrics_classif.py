@@ -61,6 +61,9 @@ def main():
         y = load_oracle_labels(lab_path)
         y_hat = load_classifier_labels(cand[0])
         n = min(len(y), len(y_hat))
+        # arguments in f1_loss's declared (y_hat, y) order — the reference
+        # passes them swapped (run_metrics_classif.py:136), so its printed
+        # precision/recall are exchanged; see MIGRATING.md
         acc, prec, rec, f1 = f1_loss(jnp.asarray(y_hat[:n].ravel()),
                                      jnp.asarray(y[:n].ravel()))
         rows.append([float(acc), float(prec), float(rec), float(f1)])

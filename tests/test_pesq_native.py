@@ -112,3 +112,10 @@ def test_dispatcher_uses_native_without_wheel():
     assert abs(pesq_mod.pesq(16000, x, x, "wb") - 4.644) < 0.01
     with pytest.raises(RuntimeError, match="narrowband"):
         pesq_mod.pesq(16000, x, x, "nb")
+
+
+def test_short_signal_raises_value_error():
+    """run_metrics catches exactly ValueError to NaN-out one utterance
+    without aborting the sweep — keep the contract."""
+    with pytest.raises(ValueError, match="too short"):
+        pesq_wb(np.zeros(100), np.zeros(100))
