@@ -27,6 +27,29 @@ def load_oracle_labels(label_h5_path) -> np.ndarray:
     return np.ascontiguousarray(y.T, dtype=np.float32)
 
 
+def find_classifier_labels(classifier_dir, speaker, utt) -> np.ndarray:
+    """Locate and load ``<utt>_y_hat_hard.{pt,npy}`` for a speaker.
+
+    Tries the reference's direct layout ``<dir>/<spk>/<utt>_y_hat_hard.pt``
+    (evaluate_ntcd_M2.py:85,180-189) first, then .npy, then a recursive
+    search for either extension under any split subdirectory."""
+    import glob
+    import os
+
+    for ext in (".pt", ".npy"):
+        direct = os.path.join(classifier_dir, speaker, f"{utt}_y_hat_hard{ext}")
+        if os.path.exists(direct):
+            return load_classifier_labels(direct)
+    hits = glob.glob(os.path.join(classifier_dir, "**", speaker,
+                                  utt + "_y_hat_hard.*"), recursive=True)
+    if hits:
+        return load_classifier_labels(hits[0])
+    raise FileNotFoundError(
+        f"no {utt}_y_hat_hard.pt/.npy for speaker {speaker} under "
+        f"{classifier_dir}"
+    )
+
+
 def load_classifier_labels(pt_or_npy_path) -> np.ndarray:
     """Pre-computed video-classifier outputs: torch ``_y_hat_hard.pt`` tensors
     (evaluate_ntcd_M2.py:180-189) or .npy arrays."""

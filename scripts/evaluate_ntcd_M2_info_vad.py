@@ -36,7 +36,7 @@ def main():
     import numpy as np
 
     from dvae_tpu.enhance.evaluate import (evaluate_sweep,
-                                           load_classifier_labels,
+                                           find_classifier_labels,
                                            load_oracle_labels)
     from dvae_tpu.enhance.mcem import McemConfig
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
@@ -59,8 +59,7 @@ def main():
         if args.y_source == "classifier":
             base = os.path.splitext(os.path.basename(noisy_rel))[0]
             spk = noisy_rel.split("/")[-2]
-            return load_classifier_labels(
-                os.path.join(args.classifier_dir, spk, base + "_y_hat_hard.pt"))
+            return find_classifier_labels(args.classifier_dir, spk, base)
         n = load_oracle_labels(os.path.join(proc, clean_rel)).shape[0]
         return np.full((n, 1), 1.0 if args.y_source == "ones" else 0.0, dtype=np.float32)
 

@@ -170,3 +170,23 @@ def test_preprocess_ntcd_matlab_matches_reference():
         got = preprocess_ntcd_matlab(mats, frame, 67, 67, y_hat_hard=vad)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=0)  # 0-255 pixel scale
+
+
+def test_find_classifier_labels_layouts(tmp_path):
+    """Both classifier-output layouts resolve: the reference's direct
+    <dir>/<spk>/<utt>_y_hat_hard.pt and split subdirs, .pt or .npy."""
+    import pytest
+
+    from dvae_tpu.enhance.evaluate import find_classifier_labels
+
+    d = tmp_path / "classif"
+    (d / "34M").mkdir(parents=True)
+    np.save(d / "34M" / "sa1_y_hat_hard.npy", np.ones(7, np.float32))
+    assert find_classifier_labels(d, "34M", "sa1").shape == (7, 1)
+
+    (d / "test" / "09F").mkdir(parents=True)
+    np.save(d / "test" / "09F" / "sa2_y_hat_hard.npy", np.zeros(5, np.float32))
+    assert find_classifier_labels(d, "09F", "sa2").shape == (5, 1)
+
+    with pytest.raises(FileNotFoundError, match="nope"):
+        find_classifier_labels(d, "09F", "nope")
