@@ -95,6 +95,30 @@ def _oracle_estoi(x, y, fs):
     return float(np.mean(scores))
 
 
+def _oracle_stoi(x, y, fs):
+    """Plain STOI (Taal 2011): per-band clipped correlation over segments."""
+    if fs != 10000:
+        x = resample_poly(np.asarray(x, np.float64), 10000, fs)
+        y = resample_poly(np.asarray(y, np.float64), 10000, fs)
+    x, y = _oracle_silent_removal(x, y)
+    X = _oracle_octave_bands(np.abs(scipy.fft.rfft(_oracle_frames(x), 512)) ** 2)
+    Y = _oracle_octave_bands(np.abs(scipy.fft.rfft(_oracle_frames(y), 512)) ** 2)
+    N = 30
+    eps = np.finfo(np.float64).eps
+    clip = 10 ** (15.0 / 20.0)  # -beta dB
+    scores = []
+    for m in range(N, X.shape[0] + 1):
+        xs, ys = X[m - N : m], Y[m - N : m]  # (30, 15)
+        alpha = np.linalg.norm(xs, axis=0) / (np.linalg.norm(ys, axis=0) + eps)
+        ys = np.minimum(ys * alpha[None, :], xs * (1 + clip))
+        for b in range(15):
+            xb = xs[:, b] - xs[:, b].mean()
+            yb = ys[:, b] - ys[:, b].mean()
+            scores.append(np.sum(xb * yb)
+                          / (np.linalg.norm(xb) * np.linalg.norm(yb) + eps))
+    return float(np.mean(scores))
+
+
 def _speechlike(n=40000, seed=0):
     rng = np.random.default_rng(seed)
     t = np.arange(n) / 16000.0
@@ -114,6 +138,18 @@ def test_estoi_matches_independent_oracle_synthetic():
         y = x + noise * 10 ** (-snr / 20.0)
         ours = stoi(x, y, 16000, extended=True)
         oracle = _oracle_estoi(x, y, 16000)
+        assert abs(ours - oracle) < 1e-6, (snr, ours, oracle)
+
+
+def test_plain_stoi_matches_independent_oracle():
+    x = _speechlike()
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal(x.size)
+    noise *= np.linalg.norm(x) / np.linalg.norm(noise)
+    for snr in (-5.0, 5.0, 15.0):
+        y = x + noise * 10 ** (-snr / 20.0)
+        ours = stoi(x, y, 16000, extended=False)
+        oracle = _oracle_stoi(x, y, 16000)
         assert abs(ours - oracle) < 1e-6, (snr, ours, oracle)
 
 
