@@ -86,7 +86,11 @@ def batch_utterances(ds, indices, stft_cfg: StftConfig, pad_to_multiple: int = 6
     yb = np.zeros((len(indices), n_max), np.float32)
     mb = np.zeros((len(indices), n_max), np.float32)
     for j, (w, l, n) in enumerate(zip(wavs, labels, frames)):
-        xb[j, : len(w)] = w[:t_pad]
+        # a wav can be LONGER than t_pad when its labels trim the frame
+        # count below what its sample count implies (video-trim semantics,
+        # cf. pipeline._prepare): the excess samples are unused anyway
+        t_use = min(len(w), t_pad)
+        xb[j, :t_use] = w[:t_use]
         yb[j, :n] = l[:n]
         mb[j, :n] = 1.0
 

@@ -342,3 +342,72 @@ def test_fit_vae_steps_per_dispatch_with_mesh(tmp_path, subset_dir):
     assert len(history) == 2
     assert all(np.isfinite(h["valid"]["elbo"]) for h in history)
     assert (tmp_path / "output_epoch.log").read_text().count("Validation") == 2
+
+
+def test_lstm_vad_step_learns_and_masks_padding():
+    """The sequence-training step (train/sequence.py): loss decreases on a
+    separable toy problem, and padded frames are excluded — metrics are
+    identical whether an utterance arrives exact-length or zero-padded."""
+    from dvae_tpu.models import LSTMVad
+    from dvae_tpu.train.sequence import make_lstm_vad_eval, make_lstm_vad_step
+    from dvae_tpu.train.steps import adam, init_train_state
+
+    rng = np.random.default_rng(0)
+    B, T, F = 4, 24, 32
+    y = (rng.uniform(size=(B, T)) > 0.5).astype(np.float32)
+    x = rng.standard_normal((B, T, F)).astype(np.float32) * 0.1
+    x[..., 0] += 3.0 * y  # feature 0 carries the label
+    mask = np.ones((B, T), np.float32)
+
+    model = LSTMVad(x_dim=F, hidden=16, num_layers=1)
+    params = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))
+    tx = adam(1e-2)
+    state = init_train_state(model, params, tx)
+    step = make_lstm_vad_step(model, tx)
+
+    first = None
+    for _ in range(30):
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask))
+        first = first if first is not None else float(m["bce"])
+    assert float(m["bce"]) < first * 0.5, (first, float(m["bce"]))
+    assert float(m["f1"]) > 0.8
+
+    # padding invariance: extra zero frames with mask=0 must not change
+    # the masked metrics
+    evaluate = make_lstm_vad_eval(model)
+    base = evaluate(state.params, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask))
+    pad = 8
+    xp = np.concatenate([x, np.zeros((B, pad, F), np.float32)], axis=1)
+    yp = np.concatenate([y, np.zeros((B, pad), np.float32)], axis=1)
+    mp = np.concatenate([mask, np.zeros((B, pad), np.float32)], axis=1)
+    padded = evaluate(state.params, jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mp))
+    assert abs(float(base["bce"]) - float(padded["bce"])) < 1e-5
+    assert abs(float(base["f1"]) - float(padded["f1"])) < 1e-5
+
+
+def test_batch_utterances_labels_shorter_than_audio():
+    """Labels that trim the frame count far below the wav's own frames
+    (video-trim semantics) must not crash the batcher (regression: the
+    sample-fill slice used len(w) on the left and t_pad on the right)."""
+    from dvae_tpu.ops.stft import StftConfig
+    from dvae_tpu.train.sequence import batch_utterances
+
+    class TinyDs:
+        def __init__(self):
+            rng = np.random.default_rng(1)
+            self.items = [
+                (rng.standard_normal(120_000).astype(np.float32),  # long wav
+                 np.ones(3, np.float32)),                           # 3 frames
+                (rng.standard_normal(16_000).astype(np.float32),
+                 np.ones(40, np.float32)),
+            ]
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    cfg = StftConfig(center=False)
+    x, y, m = batch_utterances(TinyDs(), [0, 1], cfg)
+    assert x.shape[0] == 2 and x.shape[1] == y.shape[1] == m.shape[1]
+    assert float(m[0].sum()) == 3.0
+    assert float(m[1].sum()) == 40.0
+    assert np.isfinite(np.asarray(x)).all()
