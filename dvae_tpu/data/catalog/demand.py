@@ -30,7 +30,10 @@ FOLDER_NAMES = {
 
 
 def noise_list(input_noise_dir, dataset_type="train"):
-    """{noise_type -> relative wav path} for the split's environments."""
+    """{noise_type -> {sample_id -> relative wav path}} for the split's
+    environments — the reference's exact return shape
+    (demand_database.py:61-70: sample_id is the int of all digits in the
+    relative path, e.g. ``DWASHING/ch01.wav`` -> 1)."""
     if dataset_type not in FOLDER_NAMES:
         raise NotImplementedError(f"DEMAND {dataset_type} split not defined")
     folders = FOLDER_NAMES[dataset_type]
@@ -40,8 +43,9 @@ def noise_list(input_noise_dir, dataset_type="train"):
     for p in paths:
         for key, folder in folders.items():
             if folder in p:
-                out.setdefault(key, []).append(p)
-    return {k: sorted(v) for k, v in out.items()}
+                sample_id = int("".join(filter(str.isdigit, p)) or 0)
+                out.setdefault(key, {})[sample_id] = p
+    return out
 
 
 def preprocess_noise(noise_audio: np.ndarray, fs_noise: int, fs: int) -> np.ndarray:

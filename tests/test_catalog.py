@@ -2,8 +2,10 @@
 outputs on the shipped subset tree (oracle = the reference module itself,
 importable as it only uses stdlib)."""
 
+import os
 import sys
 
+import numpy as np
 import pytest
 
 from dvae_tpu.data.catalog import ntcd_timit as ours
@@ -72,3 +74,103 @@ def test_kaldi_list_shapes(tmp_path):
                    "ntcd_timit/kaldi_fMLLR/train/09F/b.ark"]
     assert scp == ["ntcd_timit/kaldi_fMLLR/train/09F/a.scp"]
     assert kaldi_list(str(tmp_path), "test") == ([], [])
+
+
+def _load_reference_noise_module(name):
+    """Import a reference noise catalog with its unavailable deps stubbed
+    (librosa.core.resample is never called by the path functions; get_key
+    comes from our own parity implementation)."""
+    import importlib.util
+    import pathlib
+    import sys
+    import types
+
+    ref = pathlib.Path(f"/root/reference/packages/dataset/{name}.py")
+    if not ref.exists():
+        pytest.skip("reference checkout not available")
+    if "librosa" not in sys.modules or not hasattr(sys.modules.get("librosa"), "core"):
+        lib = types.ModuleType("librosa")
+        core = types.ModuleType("librosa.core")
+        core.resample = lambda *a, **k: (_ for _ in ()).throw(RuntimeError)
+        lib.core = core
+        sys.modules["librosa"] = lib
+        sys.modules["librosa.core"] = core
+    from dvae_tpu.utils import get_key
+
+    for modname in ("packages", "packages.utils", "python", "python.utils"):
+        m = types.ModuleType(modname)
+        m.get_key = get_key
+        sys.modules.setdefault(modname, m)
+    spec = importlib.util.spec_from_file_location(f"ref_{name}", ref)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _fake_qut_tree(root):
+    for sub, f in (("cafe", "CAFE-CAFE-1.wav"), ("car", "CAR-WINDOWNB-1.wav"),
+                   ("home", "HOME-KITCHEN-1.wav"), ("street", "STREET-CITY-1.wav"),
+                   ("cafe", "CAFE-FOODCOURTB-2.wav")):
+        d = root / sub
+        d.mkdir(exist_ok=True)
+        (d / f).write_bytes(b"")
+
+
+def test_qut_noise_list_matches_reference(tmp_path):
+    from dvae_tpu.data.catalog import qut
+
+    ref = _load_reference_noise_module("qut_database")
+    _fake_qut_tree(tmp_path)
+    want = ref.noise_list(str(tmp_path) + "/", "test")
+    got = qut.noise_list(str(tmp_path), "test")
+    assert set(got) == set(want) == {"cafe", "car", "home", "street"}
+    for k in got:
+        assert os.path.basename(got[k]) == os.path.basename(want[k])
+
+
+def test_qut_preprocess_noise_semantics():
+    """First channel, polyphase resample, car trim window — and unlike the
+    reference (qut_database.py:75-77, which leaves noise_audio_resamp
+    unbound when fs == fs_noise), the no-resample path works."""
+    from dvae_tpu.data.catalog import qut
+
+    rng = np.random.default_rng(0)
+    stereo = rng.standard_normal((32000, 2)).astype(np.float32)
+    out = qut.preprocess_noise(stereo, "cafe", 32000, 16000)
+    assert out.ndim == 1 and abs(len(out) - 16000) <= 1
+
+    mono = rng.standard_normal(16000 * 60 * 50).astype(np.float32)
+    car = qut.preprocess_noise(mono, "car", 16000, 16000)
+    assert len(car) == int(43 * 60 * 16000) - int(1.5 * 60 * 16000)
+    np.testing.assert_array_equal(car[:8], mono[int(1.5 * 60 * 16000):][:8])
+
+
+def test_qut_noise_segment_crops_speech_length():
+    from dvae_tpu.data.catalog import qut
+
+    noises = {"cafe": np.arange(10_000, dtype=np.float32)}
+    speech = np.zeros(400)
+    seg = qut.noise_segment(noises, "cafe", speech, rng=np.random.default_rng(3))
+    assert len(seg) == 400
+    assert float(seg[1] - seg[0]) == 1.0  # contiguous crop
+    with pytest.raises(KeyError):
+        qut.noise_segment(noises, "disco", speech)
+
+
+def test_demand_noise_list_matches_reference(tmp_path):
+    from dvae_tpu.data.catalog import demand
+
+    ref = _load_reference_noise_module("demand_database")
+    for folder in ("DWASHING", "NRIVER", "OOFFICE", "TMETRO", "NFIELD"):
+        d = tmp_path / folder
+        d.mkdir()
+        (d / "ch01.wav").write_bytes(b"")
+        (d / "ch02.wav").write_bytes(b"")
+    want = ref.noise_list(str(tmp_path) + "/", "train")
+    got = demand.noise_list(str(tmp_path), "train")
+    assert set(got) == set(want) == {"domestic", "nature", "office",
+                                     "transportation"}
+    for k in got:
+        assert set(got[k]) == set(want[k])  # same sample ids
+        for sid in got[k]:
+            assert os.path.basename(got[k][sid]) == os.path.basename(want[k][sid])
