@@ -98,6 +98,15 @@ def main():
                     (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)), y),
                     (None, None, y_hat),
                 ]
+                # the reference also panels the soft posterior
+                # (run_metrics_classif.py:204-216) — included when the
+                # classifier shipped *_y_hat_soft artifacts
+                soft_cand = glob.glob(
+                    os.path.splitext(cand[0])[0].replace(
+                        "_y_hat_hard", "_y_hat_soft") + ".*")
+                if soft_cand:
+                    sig_items.append(
+                        (None, None, load_classifier_labels(soft_cand[0])))
                 fig = display_multiple_signals(sig_items, fs=fs)
                 fig.suptitle(
                     f"Input SNR = {args.snr} dB \n"
