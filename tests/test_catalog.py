@@ -88,12 +88,12 @@ def _load_reference_noise_module(name):
     ref = pathlib.Path(f"/root/reference/packages/dataset/{name}.py")
     if not ref.exists():
         pytest.skip("reference checkout not available")
-    if "librosa" not in sys.modules or not hasattr(sys.modules.get("librosa"), "core"):
-        lib = types.ModuleType("librosa")
+    lib = sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+    if not hasattr(lib, "core"):  # augment, never clobber: test_targets'
+        # oracle loader shares this stub with its own `util` attribute
         core = types.ModuleType("librosa.core")
         core.resample = lambda *a, **k: (_ for _ in ()).throw(RuntimeError)
         lib.core = core
-        sys.modules["librosa"] = lib
         sys.modules["librosa.core"] = core
     from dvae_tpu.utils import get_key
 

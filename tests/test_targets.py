@@ -71,10 +71,10 @@ def _load_reference_target_module():
     ref_path = pathlib.Path("/root/reference/packages/processing/target.py")
     if not ref_path.exists():
         pytest.skip("reference checkout not available")
-    if "librosa" not in sys.modules:
-        stub = types.ModuleType("librosa")
+    stub = sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+    if not hasattr(stub, "util"):  # augment, never clobber: other oracle
+        # loaders (test_catalog) share this stub with their own attributes
         stub.util = types.SimpleNamespace()
-        sys.modules["librosa"] = stub
     spec = importlib.util.spec_from_file_location("ref_target", ref_path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
