@@ -7,7 +7,10 @@ evaluate_ntcd_M1.py:57-65) on the shipped NTCD-TIMIT subset utterances
 (~5.1 s of 16 kHz audio each).
 
 Baseline: the reference's torch-CPU MCEM on this container measures
-45.2 s/utterance for the identical budget and utterance (one process; the
+45.2 s/utterance for the same niter and utterance (one process; note its
+MCEM_M1 effectively runs ~30% more MH steps than the nominal budgets due
+to a positional-argument quirk — see McemConfig's docstring — so the
+per-utterance ratio slightly favors the reference if anything; the
 reference shards utterances over n_GPUs*2 processes — per-device throughput
 is what we compare). Measured with scripts/parity_vs_reference.py, which runs
 the reference engine from /root/reference with identical weights.

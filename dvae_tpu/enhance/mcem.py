@@ -64,7 +64,21 @@ def make_mlp_decoder(mats, fast: bool = True) -> Callable:
 
 @dataclasses.dataclass(frozen=True)
 class McemConfig:
-    """Budgets mirror the reference defaults (evaluate_ntcd_M1.py:57-65)."""
+    """Budgets mirror the reference's NOMINAL defaults (evaluate_ntcd_M1.py:
+    57-65: E-step 10 samples + 30 burn-in, WF 25 + 75).
+
+    Reference quirk (M1 only): ``MCEM_M1.E_step``/``compute_WF`` call
+    ``sample_posterior(self.Z, self.nsamples_E_step, self.burnin_E_step)``
+    against the signature ``sample_posterior(self, Z, y, nsamples, burnin)``
+    (mcem.py:207 vs :297/:314) — the first budget lands in the unused ``y``
+    slot, so the reference M1 EFFECTIVELY runs E-step nsamples=30/burnin=30
+    and WF nsamples=75/burnin=30 regardless of its settings (burn-in is
+    pinned to the default 30 and cannot be configured at all). The M2
+    variants pass ``self.y`` and honor their budgets (mcem.py:468,486,...).
+    ``m1_reference_effective()`` builds the budget set that reproduces the
+    reference M1's actual behavior (scripts/evaluate_ntcd_M1.py
+    --m1-reference-budgets; the parity harness compares at these).
+    """
 
     niter: int = 100
     nsamples_e_step: int = 10
@@ -80,6 +94,13 @@ class McemConfig:
     # the EM averages over (25 WF samples); parity is validated at the
     # PESQ/STOI level like everything else stochastic here.
     fast_decoder: bool = True
+    @classmethod
+    def m1_reference_effective(cls, niter: int = 100, **kw) -> "McemConfig":
+        """Budgets matching what the reference's MCEM_M1 ACTUALLY runs (see
+        the class docstring): E-step 30/30, WF 75/30."""
+        return cls(niter=niter, nsamples_e_step=30, burnin_e_step=30,
+                   nsamples_wf=75, burnin_wf=30, **kw)
+
     # Keep the chain's loop-invariant stats (|X|^2, Vb) and the emitted Vs
     # samples in HBM as bf16, computing in f32 (loads upconvert in
     # registers). The whole engine is HBM-bandwidth-bound on exactly these

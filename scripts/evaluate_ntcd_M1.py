@@ -20,6 +20,13 @@ def main():
     ap.add_argument("--z-dim", type=int, default=16)
     ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
     ap.add_argument("--niter", type=int, default=100)
+    ap.add_argument("--m1-reference-budgets", action="store_true",
+                    help="use the MH budgets the reference's MCEM_M1 "
+                         "ACTUALLY runs (E-step 30/30, WF 75/30) rather "
+                         "than its nominal settings — its E_step passes the "
+                         "budgets positionally into an unused y parameter "
+                         "(reference mcem.py:207,297,314); see "
+                         "McemConfig.m1_reference_effective")
     ap.add_argument("--nmf-rank", type=int, default=10)
     ap.add_argument("--snr", default="10", help="SNR filter ('all' = every SNR)")
     ap.add_argument("--batch-size", type=int, default=16)
@@ -48,7 +55,11 @@ def main():
     print(f"loaded {path}")
 
     enh = Enhancer(model, params,
-                   EnhancerConfig(mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)),
+                   EnhancerConfig(mcem=(
+                       McemConfig.m1_reference_effective(
+                           niter=args.niter, nmf_rank=args.nmf_rank)
+                       if args.m1_reference_budgets else
+                       McemConfig(niter=args.niter, nmf_rank=args.nmf_rank))),
                    mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
     # at a read-only corpus); layout mirrors the reference's

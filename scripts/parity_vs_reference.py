@@ -111,8 +111,12 @@ def main():
     z0 = z0.reshape(b, n_max, -1)
     dec = lambda zz: model.apply(params, zz, method="decode")
     t0 = time.perf_counter()
+    # matched EFFECTIVE budgets: the reference's MCEM_M1 swallows its first
+    # budget argument into an unused y parameter (reference mcem.py:207 vs
+    # :297/:314), so it actually runs E-step 30/30 and WF 75/30 no matter
+    # what it is constructed with — compare against exactly that
     res = run_mcem(dec, x2, z0, jnp.asarray(mask), jax.random.PRNGKey(5),
-                   McemConfig(niter=args.niter))
+                   McemConfig.m1_reference_effective(niter=args.niter))
     jax.block_until_ready(res.wfs)
     ours_time = time.perf_counter() - t0
     ours_rows = []
