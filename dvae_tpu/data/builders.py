@@ -287,7 +287,9 @@ def build_qut_test_set(input_speech_dir, noise_dir, output_dir, dataset_type="te
     def process(i):
         in_rel, out_rel = clean_in[i], clean_out[i]
         speech, fs = read_wav(os.path.join(input_speech_dir, in_rel))
-        speech = speech / np.max(np.abs(speech))
+        peak = np.max(np.abs(speech))
+        if peak > 0:  # a digitally-silent wav must not become all-NaN
+            speech = speech / peak
         ntype = noise_types[noise_index[i] % len(noise_types)]
         if ntype not in noise_audios:
             raise KeyError(

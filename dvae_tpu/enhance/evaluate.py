@@ -27,32 +27,41 @@ def load_oracle_labels(label_h5_path) -> np.ndarray:
     return np.ascontiguousarray(y.T, dtype=np.float32)
 
 
-def find_classifier_labels(classifier_dir, speaker, utt) -> np.ndarray:
+def find_classifier_labels(classifier_dir, speaker, utt,
+                           y_dim: int | None = None) -> np.ndarray:
     """Locate and load ``<utt>_y_hat_hard.{pt,npy}`` for a speaker.
 
     Tries the reference's direct layout ``<dir>/<spk>/<utt>_y_hat_hard.pt``
     (evaluate_ntcd_M2.py:85,180-189) first, then .npy, then a recursive
-    search for either extension under any split subdirectory."""
+    search for either extension under any split subdirectory. ``y_dim``
+    resolves 2-D orientation exactly (see load_classifier_labels)."""
     import glob
     import os
 
     for ext in (".pt", ".npy"):
         direct = os.path.join(classifier_dir, speaker, f"{utt}_y_hat_hard{ext}")
         if os.path.exists(direct):
-            return load_classifier_labels(direct)
+            return load_classifier_labels(direct, y_dim)
     hits = glob.glob(os.path.join(classifier_dir, "**", speaker,
                                   utt + "_y_hat_hard.*"), recursive=True)
     if hits:
-        return load_classifier_labels(hits[0])
+        return load_classifier_labels(hits[0], y_dim)
     raise FileNotFoundError(
         f"no {utt}_y_hat_hard.pt/.npy for speaker {speaker} under "
         f"{classifier_dir}"
     )
 
 
-def load_classifier_labels(pt_or_npy_path) -> np.ndarray:
+def load_classifier_labels(pt_or_npy_path, y_dim: int | None = None) -> np.ndarray:
     """Pre-computed video-classifier outputs: torch ``_y_hat_hard.pt`` tensors
-    (evaluate_ntcd_M2.py:180-189) or .npy arrays."""
+    (evaluate_ntcd_M2.py:180-189) or .npy arrays, returned as
+    ``(n_frames, y_dim)``.
+
+    Orientation: pass ``y_dim`` (1 for VAD, 513 for IBM masks) to resolve it
+    exactly — without the hint, a 2-D array is assumed frames-last when its
+    first dim is smaller (correct for VAD's ``(1, frames)``, but an
+    IBM-style ``(frames, 513)`` file with fewer than 513 frames would be
+    transposed wrongly)."""
     p = str(pt_or_npy_path)
     if p.endswith(".pt"):
         import torch
@@ -63,7 +72,12 @@ def load_classifier_labels(pt_or_npy_path) -> np.ndarray:
         y = np.load(p)
     y = np.asarray(y, dtype=np.float32)
     if y.ndim == 1:
-        y = y[:, None]
+        return y[:, None]
+    if 1 in y.shape:
+        return y.reshape(-1, 1)
+    if y_dim is not None:
+        if y.shape[-1] != y_dim and y.shape[0] == y_dim:
+            y = y.T
     elif y.shape[0] < y.shape[1]:
         y = y.T
     return y
@@ -152,8 +166,10 @@ def evaluate_sweep(
     for chunk, out in zip(chunks, enhancer.enhance_stream(batches(), key=key)):
         for (noisy_rel, clean_rel, out_base), (s_hat, n_hat) in zip(chunk, out):
             out_base.parent.mkdir(parents=True, exist_ok=True)
-            write_wav(out_base.parent / (out_base.name + f"_s_est{suffix}.wav"), s_hat, 16000)
-            write_wav(out_base.parent / (out_base.name + f"_n_est{suffix}.wav"), n_hat, 16000)
+            fs_out = enhancer.cfg.stft.fs  # not hardcoded: the Enhancer's
+            # analysis rate is a public knob and the wav header must agree
+            write_wav(out_base.parent / (out_base.name + f"_s_est{suffix}.wav"), s_hat, fs_out)
+            write_wav(out_base.parent / (out_base.name + f"_n_est{suffix}.wav"), n_hat, fs_out)
             n_done += 1
         log(f"enhanced {n_done}/{len(todo)}")
     return n_done

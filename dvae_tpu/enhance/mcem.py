@@ -197,7 +197,7 @@ def run_mcem(
     y: jnp.ndarray | None = None,
     nmf_init: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
     decoder_mats=None,
-    use_pallas: bool | None = None,
+    use_pallas: bool = False,
     pallas_interpret: bool = False,
 ) -> McemResult:
     """Run the full MCEM algorithm over a padded utterance batch.
@@ -214,10 +214,13 @@ def run_mcem(
         nmf_init: optional (W, H, g) to override the random NMF init
             (reproducibility / tests).
         decoder_mats: raw decoder weights (pallas_mcem.extract_decoder_mlp);
-            when given and on TPU, the MH chains run as fused Pallas kernels
-            with all state resident in VMEM (pallas_mcem.run_mh_chain).
-        use_pallas: force (True) / forbid (False) the kernel path;
-            None = auto (TPU and decoder_mats available).
+            enables the bf16 fast decoder, and (opt-in) the Pallas chain
+            kernel with all state resident in VMEM (pallas_mcem.run_mh_chain).
+        use_pallas: True runs the kernel path (TPU, or with
+            ``pallas_interpret`` for CPU tests). Default False — the kernel
+            measured SLOWER than the XLA scan at this model size (numbers in
+            pallas_mcem's docstring), so like ops.pallas_stft it is opt-in;
+            passing decoder_mats alone only activates the fast decoder.
         pallas_interpret: run the kernel through the Pallas interpreter
             (CPU correctness tests).
     """
@@ -250,8 +253,8 @@ def run_mcem(
 
     kernel_path = (
         decoder_mats is not None
-        and use_pallas is not False
-        and (use_pallas or pallas_interpret or _on_tpu())
+        and bool(use_pallas)
+        and (pallas_interpret or _on_tpu())
     )
     if kernel_path:
         from dvae_tpu.enhance.pallas_mcem import run_mh_chain

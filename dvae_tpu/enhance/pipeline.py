@@ -35,6 +35,7 @@ from dvae_tpu.ops.stft import (
     StftConfig,
     istft_realimag_masked,
     n_stft_frames,
+    samples_for_frames,
     stft_realimag,
 )
 
@@ -180,15 +181,18 @@ class Enhancer:
         device program on pre-uploaded inputs (tunnel-independent number)."""
         cfg = self.cfg
         b = len(wavs)
-        frames = [n_stft_frames(len(w), cfg.stft) for w in wavs]
+        # n_stft_frames is <= 0 for wavs shorter than one analysis frame
+        # (center=False needs ~nfft samples); such a wav still occupies one
+        # zero-padded frame here — without the clamp the negative count
+        # becomes a wraparound mask slice marking padding as valid
+        frames = [max(1, n_stft_frames(len(w), cfg.stft)) for w in wavs]
         if max_frames is not None:
-            frames = [min(f, int(mf)) for f, mf in zip(frames, max_frames)]
+            frames = [max(1, min(f, int(mf)))
+                      for f, mf in zip(frames, max_frames)]
         n_max = max(frames)
         n_pad = -(-n_max // cfg.frame_bucket) * cfg.frame_bucket
         # samples needed so that the padded batch yields >= n_pad frames
-        t_pad = (n_pad - 1) * cfg.stft.hop + cfg.stft.nfft
-        if cfg.stft.center:
-            t_pad = max(t_pad - 2 * (cfg.stft.nfft // 2), 1)
+        t_pad = samples_for_frames(n_pad, cfg.stft)
 
         x = np.zeros((b, t_pad), dtype=np.float32)
         mask = np.zeros((b, n_pad), dtype=np.float32)
@@ -246,9 +250,7 @@ class Enhancer:
         )
         if cfg.noise_from_partition:
             # coverage: samples synthesizable from each utterance's frames
-            # (centered ISTFT trims nfft//2 from each end of the OLA output)
-            tail = cfg.stft.nfft - (2 * (cfg.stft.nfft // 2) if cfg.stft.center else 0)
-            cover = [(fi - 1) * cfg.stft.hop + tail for fi in frames[:n_real]]
+            cover = [samples_for_frames(fi, cfg.stft) for fi in frames[:n_real]]
             return out_dev, (
                 [len(w) for w in wavs[:n_real]],
                 [np.asarray(w, np.float32) for w in wavs[:n_real]],

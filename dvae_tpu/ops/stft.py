@@ -104,11 +104,27 @@ def padded_length(n_samples: int, cfg: StftConfig) -> int:
 
 def n_stft_frames(n_samples: int, cfg: StftConfig) -> int:
     """Number of STFT frames the reference (librosa) produces for a signal of
-    ``n_samples`` samples **before** end-padding."""
+    ``n_samples`` samples **before** end-padding.
+
+    NOTE: <= 0 for signals shorter than one analysis frame (center=False
+    needs ~nfft samples); batching callers clamp to 1 (a sub-frame wav still
+    occupies one zero-padded frame)."""
     t = padded_length(n_samples, cfg)
     if cfg.center:
         t = t + 2 * (cfg.nfft // 2)
     return 1 + (t - cfg.nfft) // cfg.hop
+
+
+def samples_for_frames(n_frames: int, cfg: StftConfig) -> int:
+    """Inverse of the framing: samples needed so a signal yields (or, for
+    the ISTFT, samples synthesizable from) ``n_frames`` frames — the centered
+    transform trims nfft//2 from each end. Shared by the enhancement batch
+    assembly, its coverage accounting, and the sequence-training batcher
+    (previously three hand-maintained copies of this arithmetic)."""
+    t = (n_frames - 1) * cfg.hop + cfg.nfft
+    if cfg.center:
+        t = max(t - 2 * (cfg.nfft // 2), 1)
+    return t
 
 
 @functools.lru_cache(maxsize=None)

@@ -73,14 +73,14 @@ def batch_utterances(ds, indices, stft_cfg: StftConfig, pad_to_multiple: int = 6
         w, y = ds[i]
         wavs.append(w)
         labels.append(np.asarray(y).reshape(-1))
-    from dvae_tpu.ops.stft import n_stft_frames
+    from dvae_tpu.ops.stft import n_stft_frames, samples_for_frames
 
-    frames = [min(n_stft_frames(len(w), stft_cfg), len(l))
+    # clamp like pipeline._prepare: a sub-frame-length wav still occupies
+    # one zero-padded frame (n_stft_frames goes <= 0 below ~nfft samples)
+    frames = [max(1, min(n_stft_frames(len(w), stft_cfg), len(l)))
               for w, l in zip(wavs, labels)]
     n_max = -(-max(frames) // pad_to_multiple) * pad_to_multiple
-    t_pad = (n_max - 1) * stft_cfg.hop + stft_cfg.nfft
-    if stft_cfg.center:
-        t_pad = max(t_pad - 2 * (stft_cfg.nfft // 2), 1)
+    t_pad = samples_for_frames(n_max, stft_cfg)
 
     xb = np.zeros((len(indices), t_pad), np.float32)
     yb = np.zeros((len(indices), n_max), np.float32)

@@ -222,3 +222,36 @@ def test_enhance_stream_respects_max_device_batch(subset_dir, m1):
         for (s, n), x in zip(out, wavs):
             resid = np.abs((s + n) - x)[: len(x) - 1024]
             assert np.median(resid) < 5e-3
+
+
+def test_enhance_batch_subframe_wav():
+    """A wav shorter than one analysis frame must not corrupt the batch
+    (regression: n_stft_frames goes <= 0 below ~nfft samples and the
+    negative count became a wraparound mask slice marking padding valid)."""
+    import jax
+
+    from dvae_tpu.enhance.mcem import McemConfig
+    from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
+    from dvae_tpu.models import VAE
+
+    model = VAE(x_dim=513, z_dim=8, h_dim=(16,))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)),
+    )
+    enh = Enhancer(model, params, EnhancerConfig(
+        mcem=McemConfig(niter=2, nsamples_e_step=2, burnin_e_step=2,
+                        nsamples_wf=2, burnin_wf=2)))
+    rng = np.random.default_rng(0)
+    wavs = [
+        (0.1 * rng.standard_normal(500)).astype(np.float32),     # sub-frame
+        (0.1 * rng.standard_normal(12000)).astype(np.float32),
+    ]
+    out = enh.enhance_batch(wavs, key=jax.random.PRNGKey(2))
+    assert len(out) == 2
+    for (s, n), w in zip(out, wavs):
+        assert len(s) == len(w) and len(n) == len(w)
+        assert np.isfinite(s).all() and np.isfinite(n).all()
+    # Wiener partition still holds on the normal utterance
+    s1, n1 = out[1]
+    np.testing.assert_allclose(s1 + n1, wavs[1], atol=2e-4)
