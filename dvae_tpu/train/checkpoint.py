@@ -114,6 +114,11 @@ def best_checkpoint(model_dir, prefix: str | None = None) -> pathlib.Path:
     Considers our ``.msgpack`` checkpoints and the reference's ``.pt`` ones
     alike (same ``<prefix>_epoch_{e}_vloss_{v}`` naming scheme), so a
     --model-dir full of reference-trained checkpoints works unchanged."""
+    if model_dir is None:
+        raise SystemExit(
+            "no checkpoint source: pass --checkpoint <file> or "
+            "--model-dir <dir of <prefix>_epoch_*_vloss_* checkpoints>"
+        )
     model_dir = pathlib.Path(model_dir)
     cands = []
     for p in list(model_dir.glob("*.msgpack")) + list(model_dir.glob("*.pt")):

@@ -23,7 +23,8 @@ def main():
 
     from dvae_tpu.data.builders import build_qut_test_set
 
-    noise_dir = args.noise_dir or os.path.join("data/complete/processed", "qut_noise")
+    noise_dir = args.noise_dir or os.path.join(
+        args.data_root, "complete", "processed", "qut_noise")
     out_dir = os.path.join(processed_dir(args), "ntcd_timit", "qutnoise_databases")
     snrs = build_qut_test_set(raw_dir(args), noise_dir, out_dir,
                               dataset_type=args.split, snrs=tuple(args.snrs),

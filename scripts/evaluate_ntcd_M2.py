@@ -29,6 +29,8 @@ def main():
                     help="dir with *_y_hat_hard.pt when --y-source classifier")
     ap.add_argument("--output-dir", default=None)
     args = ap.parse_args()
+    if args.y_source == "classifier" and not args.classifier_dir:
+        ap.error("--y-source classifier requires --classifier-dir")
     maybe_force_platform(args)
 
     import jax

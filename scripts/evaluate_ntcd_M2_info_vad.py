@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--classifier-dir", default=None)
     ap.add_argument("--output-dir", default=None)
     args = ap.parse_args()
+    if args.y_source == "classifier" and not args.classifier_dir:
+        ap.error("--y-source classifier requires --classifier-dir")
+    if args.labels != "vad_labels":
+        # the disentangled model is y_dim=1 (VAD); IBM label h5s would feed
+        # (n, 513) labels into it after the ~minutes-long cold compile
+        ap.error("the M2-info model is VAD-conditioned; use --labels vad_labels")
     maybe_force_platform(args)
 
     import jax

@@ -15,7 +15,7 @@ import json
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 import jax
 
@@ -53,6 +53,8 @@ def train_small_m1(epochs: int):
         for x, _ in ds.batches(128, rng):
             key, sk = jax.random.split(key)
             state, metrics = step(state, x, sk)
+    if epochs < 1:
+        raise SystemExit("--epochs must be >= 1 (the comparison needs a trained model)")
     print(f"trained M1 {epochs} epochs, final batch ELBO {float(metrics['elbo']):.2f}")
     return model, state.params
 

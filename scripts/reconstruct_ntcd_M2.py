@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--output-dir", default="figures/reconstruct_ntcd_M2")
     ap.add_argument("--max-utts", type=int, default=10)
     args = ap.parse_args()
+    if args.y_source == "classifier" and not args.classifier_dir:
+        ap.error("--y-source classifier requires --classifier-dir")
     maybe_force_platform(args)
 
     import jax
@@ -29,7 +31,7 @@ def main():
 
     from dvae_tpu.data.catalog import ntcd_timit
     from dvae_tpu.data.io import read_wav
-    from dvae_tpu.enhance.evaluate import load_classifier_labels, load_oracle_labels
+    from dvae_tpu.enhance.evaluate import find_classifier_labels, load_oracle_labels
     from dvae_tpu.eval import reconstruct as rec
     from dvae_tpu.models import CVAE
     from dvae_tpu.train import checkpoint as ckpt
@@ -61,8 +63,7 @@ def main():
         else:
             base = os.path.splitext(os.path.basename(noisy_rel))[0]
             spk = noisy_rel.split("/")[-2]
-            y = load_classifier_labels(
-                os.path.join(args.classifier_dir, spk, base + "_y_hat_hard.pt"))
+            y = find_classifier_labels(args.classifier_dir, spk, base, y_dim)
         n = min(len(y), x2.shape[0])
         for tag, y_var in rec.label_variants(y[:n]).items():
             r = rec.reconstruct(model, params, x2[:n], y_var)

@@ -13,7 +13,21 @@ from _lib import add_common, make_mesh_if, maybe_force_platform, processed_dir
 
 
 def main():
-    ap = add_common(argparse.ArgumentParser(description=__doc__), training=True)
+    # NOT add_common(training=True): the sequence loop has its own batch knob
+    # (--seq-batch-size) and no frame-level z/h dims — exposing the frame-MLP
+    # training flags here would be accepted-and-ignored dead knobs
+    ap = add_common(argparse.ArgumentParser(description=__doc__))
+    ap.add_argument("--learning-rate", type=float, default=1e-4)
+    ap.add_argument("--start-epoch", type=int, default=1)
+    ap.add_argument("--end-epoch", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--run-name", default=None,
+                    help="override the auto model dir name")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard sequence batches over all visible devices")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join a multi-process JAX runtime before building "
+                         "the mesh; implies --data-parallel")
     ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--num-layers", type=int, default=2)
     ap.add_argument("--seq-batch-size", type=int, default=16)
@@ -81,8 +95,9 @@ def main():
             return distribute_batch(batch, mesh)
         return batch
 
-    model_dir = os.path.join(args.models_root,
-                             f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}")
+    model_dir = os.path.join(
+        args.models_root,
+        args.run_name or f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}")
     rng = np.random.default_rng(args.seed)
     for epoch in range(args.start_epoch, args.end_epoch):
         order = rng.permutation(len(train_ds))
