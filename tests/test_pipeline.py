@@ -255,3 +255,59 @@ def test_enhance_batch_subframe_wav():
     # Wiener partition still holds on the normal utterance
     s1, n1 = out[1]
     np.testing.assert_allclose(s1 + n1, wavs[1], atol=2e-4)
+
+
+def test_enhancer_shape_fuzz():
+    """Randomized sweep over batch sizes, utterance lengths (incl. 1-frame
+    and bucket-boundary lengths), y modes and wire dtypes: every config must
+    produce finite, length-exact outputs and (float32 wire) satisfy the
+    Wiener partition identity. Guards the padding/masking/bucketing edge
+    cases as a family rather than one-by-one."""
+    import jax
+
+    from dvae_tpu.enhance.mcem import McemConfig
+    from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
+    from dvae_tpu.models import CVAE, CVAE_v2, VAE
+
+    rng = np.random.default_rng(42)
+    tiny = McemConfig(niter=1, nsamples_e_step=1, burnin_e_step=1,
+                      nsamples_wf=1, burnin_wf=1)
+
+    def lengths(batch):
+        pool = [500, 1024, 4000, 16639, 16640, 16641, 24000]
+        return [int(pool[rng.integers(len(pool))]) for _ in range(batch)]
+
+    for y_mode, wire in (("none", "int16"), ("none", "float32"),
+                         ("dec_only", "int16"), ("enc_dec", "float32")):
+        if y_mode == "none":
+            model = VAE(x_dim=513, z_dim=4, h_dim=(8,))
+            params = model.init(
+                {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+                jnp.ones((2, 513)))
+        else:
+            # model family must match the y plumbing (MCEM_M2 vs M2v2/v3):
+            # enc_dec = CVAE (encoder sees [x;y]); dec_only = CVAE_v2
+            # (label-free encoder)
+            cls = CVAE if y_mode == "enc_dec" else CVAE_v2
+            model = cls(x_dim=513, y_dim=1, z_dim=4, h_dim=(8,))
+            params = model.init(
+                {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+                jnp.ones((2, 513)), jnp.ones((2, 1)))
+        enh = Enhancer(model, params, EnhancerConfig(
+            mcem=tiny, y_mode=y_mode, wire_dtype=wire))
+        for batch in (1, 3):
+            ls = lengths(batch)
+            wavs = [(0.1 * rng.standard_normal(l)).astype(np.float32) for l in ls]
+            ys = None
+            if y_mode != "none":
+                from dvae_tpu.ops.stft import n_stft_frames
+
+                ys = [np.ones((max(1, n_stft_frames(l, enh.cfg.stft)), 1),
+                              np.float32) for l in ls]
+            out = enh.enhance_batch(wavs, ys=ys, key=jax.random.PRNGKey(batch))
+            assert len(out) == batch
+            for (s, n), w in zip(out, wavs):
+                assert len(s) == len(w) and len(n) == len(w)
+                assert np.isfinite(s).all() and np.isfinite(n).all()
+                if wire == "float32" and len(w) >= 4000:
+                    np.testing.assert_allclose(s + n, w, atol=3e-4)
