@@ -129,6 +129,14 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
     recons = list(fig_dir.glob("*_recon.png"))
     assert len(recons) >= 2, recons
 
+    # 6. the QUT-mixture reconstruct variant on the shipped _s/_x/_n triplets
+    qut_fig = tmp_path / "recon_qut"
+    _run([str(SCRIPTS / "reconstruct_M1.py"), "--dataset-size", "subset",
+          "--data-root", str(data_root / "data"), "--checkpoint", str(ckpt),
+          "--max-utts", "2", "--output-dir", str(qut_fig),
+          "--platform", "cpu"], cwd=data_root)
+    assert len(list(qut_fig.glob("*.png"))) >= 2
+
 
 def test_parity_harness_smoke(tmp_path):
     """scripts/parity_vs_reference.py at a tiny budget: trains, runs BOTH
