@@ -4,12 +4,13 @@ PESQ (ITU-T P.862) and POLQA (P.863) are licensed algorithms the reference
 consumes through external packages — ``pesq`` from PyPI (run_metrics.py:23)
 and the proprietary ``uhh_sp.evaluation.polqa`` (run_metrics.py:24).
 
-* Wideband PESQ is always available: if the licensed ``pesq`` wheel is
-  importable it is preferred (bit-conformant to ITU); otherwise the native
-  implementation in :mod:`dvae_tpu.eval.pesq_native` scores the pair (same
-  pipeline structure, not bit-conformant — see its module docstring).
-* Narrowband PESQ and POLQA remain gated on their packages: calls raise a
-  clear error and the metric sweeps skip the column (run_metrics 'n/a').
+* PESQ (wideband AND narrowband) is always available: if the licensed
+  ``pesq`` wheel is importable it is preferred (bit-conformant to ITU);
+  otherwise the native implementation in :mod:`dvae_tpu.eval.pesq_native`
+  scores the pair (same pipeline structure with the P.862.2/'wb' or
+  P.862.1/'nb' mapping; not bit-conformant — see its module docstring).
+* POLQA remains gated on its proprietary package: calls raise a clear
+  error and the metric sweeps skip the column (run_metrics 'n/a').
 """
 
 from __future__ import annotations
@@ -33,22 +34,19 @@ def pesq_available() -> bool:
 
 
 def pesq(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:
-    """Wideband PESQ MOS-LQO (run_metrics.py:137: ``pesq(fs, s, s_hat, 'wb')``).
+    """PESQ MOS-LQO (run_metrics.py:137: ``pesq(fs, s, s_hat, 'wb')``).
 
-    Prefers the licensed wheel; falls back to the native P.862.2
-    implementation. Narrowband mode needs the wheel.
+    Prefers the licensed wheel; falls back to the native implementation
+    (P.862.2 mapping for 'wb', P.862.1 for 'nb').
     """
+    if mode not in ("wb", "nb"):
+        raise ValueError(f"unknown PESQ mode {mode!r} (use 'wb' or 'nb')")
     try:
         from pesq import pesq as _pesq
     except ImportError:
-        if mode != "wb":
-            raise RuntimeError(
-                "narrowband PESQ requires the licensed `pesq` package; only "
-                "the native wideband ('wb') implementation is available here"
-            ) from None
-        from dvae_tpu.eval.pesq_native import pesq_wb
+        from dvae_tpu.eval.pesq_native import pesq_nb, pesq_wb
 
-        return pesq_wb(ref, deg, fs)
+        return (pesq_wb if mode == "wb" else pesq_nb)(ref, deg, fs)
     return _pesq(fs, ref, deg, mode)
 
 

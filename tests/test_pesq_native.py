@@ -110,8 +110,25 @@ def test_dispatcher_uses_native_without_wheel():
     assert pesq_mod.pesq_available()
     x = _speechlike()
     assert abs(pesq_mod.pesq(16000, x, x, "wb") - 4.644) < 0.01
-    with pytest.raises(RuntimeError, match="narrowband"):
-        pesq_mod.pesq(16000, x, x, "nb")
+    # narrowband routes to the native P.862.1 scorer (max 4.549)
+    assert abs(pesq_mod.pesq(16000, x, x, "nb") - 4.549) < 0.01
+    with pytest.raises(ValueError, match="mode"):
+        pesq_mod.pesq(16000, x, x, "ultra")
+
+
+def test_narrowband_mode():
+    """P.862.1 mapping anchors at the published maximum and stays monotone
+    in SNR; resampling from 16 kHz input is internal."""
+    from dvae_tpu.eval.pesq_native import pesq_nb
+
+    x = _speechlike()
+    assert abs(pesq_nb(x, x, 16000) - 4.549) < 0.01
+    rng = np.random.default_rng(6)
+    noise = rng.standard_normal(x.size)
+    noise *= np.linalg.norm(x) / np.linalg.norm(noise)
+    scores = [pesq_nb(x, x + noise * 10 ** (-snr / 20.0), 16000)
+              for snr in (0.0, 15.0, 30.0)]
+    assert scores[0] < scores[1] < scores[2], scores
 
 
 def test_short_signal_raises_value_error():
