@@ -1,0 +1,70 @@
+"""Shared test helpers (importable because pytest puts the tests dir on
+sys.path; NOT collected — leading underscore)."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+import sys
+import types
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+def load_reference_module(relpath: str):
+    """Import a /root/reference module by file path with its unavailable
+    dependencies stubbed, for use as a parity oracle.
+
+    One shared installer for every oracle loader (the per-test stub installers
+    used to clobber each other's attributes — commit b4d57bf):
+
+    * ``librosa`` / ``librosa.core``: attribute-augmented stub (the oracle
+      code paths under test never call into librosa).
+    * ``packages``: registered with ``__path__`` pointing INTO the reference
+      tree, so it stays a real package — ``packages.utils``/``packages.dataset``
+      keep importing the reference's own stdlib-only modules (a plain
+      attribute stub here would shadow them and break
+      ``from packages.dataset import ...`` elsewhere).
+    * ``python`` / ``python.utils``: the reference's stale package name;
+      provides our parity ``get_key``.
+    """
+    ref = REFERENCE / relpath
+    if not ref.exists():
+        pytest.skip("reference checkout not available")
+
+    lib = sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+    if not hasattr(lib, "util"):
+        lib.util = types.SimpleNamespace()
+    if not hasattr(lib, "core"):
+        core = types.ModuleType("librosa.core")
+        core.resample = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("librosa stub: resample must not be called"))
+        lib.core = core
+        sys.modules["librosa.core"] = core
+
+    if "packages" not in sys.modules:
+        pkg = types.ModuleType("packages")
+        pkg.__path__ = [str(REFERENCE / "packages")]
+        sys.modules["packages"] = pkg
+
+    from dvae_tpu.utils import get_key
+
+    for modname in ("python", "python.utils"):
+        m = sys.modules.setdefault(modname, types.ModuleType(modname))
+        if not hasattr(m, "get_key"):
+            m.get_key = get_key
+
+    name = "ref_" + pathlib.Path(relpath).stem
+    spec = importlib.util.spec_from_file_location(name, ref)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# NOTE deliberately NOT shared here: the _speechlike generators in
+# test_pesq_native.py and test_stoi_vectors.py look near-identical but their
+# exact outputs are hashed into frozen score vectors and golden pins —
+# consolidating them behind one parameterization risks silently shifting
+# those pinned values. Keep each test's generator with its pins.

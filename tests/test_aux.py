@@ -192,29 +192,21 @@ def test_find_classifier_labels_layouts(tmp_path):
         find_classifier_labels(d, "09F", "nope")
 
 
-def test_load_classifier_labels_orientation():
+def test_load_classifier_labels_orientation(tmp_path):
     """The y_dim hint resolves 2-D orientation exactly: an IBM-style
     (frames, 513) file with fewer than 513 frames must NOT be transposed
     (the hint-free heuristic would flip it)."""
-    import pytest
-
     from dvae_tpu.enhance.evaluate import load_classifier_labels
 
-    d = pytest.importorskip("tempfile").mkdtemp()
-    import os
-
-    frames_major = np.zeros((250, 513), np.float32)
-    p1 = os.path.join(d, "a_y_hat_hard.npy")
-    np.save(p1, frames_major)
+    p1 = tmp_path / "a_y_hat_hard.npy"
+    np.save(p1, np.zeros((250, 513), np.float32))  # frames-major
     assert load_classifier_labels(p1, y_dim=513).shape == (250, 513)
 
-    freq_major = np.zeros((513, 250), np.float32)
-    p2 = os.path.join(d, "b_y_hat_hard.npy")
-    np.save(p2, freq_major)
+    p2 = tmp_path / "b_y_hat_hard.npy"
+    np.save(p2, np.zeros((513, 250), np.float32))  # freq-major
     assert load_classifier_labels(p2, y_dim=513).shape == (250, 513)
 
-    vad_row = np.zeros((1, 99), np.float32)
-    p3 = os.path.join(d, "c_y_hat_hard.npy")
-    np.save(p3, vad_row)
+    p3 = tmp_path / "c_y_hat_hard.npy"
+    np.save(p3, np.zeros((1, 99), np.float32))
     assert load_classifier_labels(p3, y_dim=1).shape == (99, 1)
     assert load_classifier_labels(p3).shape == (99, 1)  # heuristic path

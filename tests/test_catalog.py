@@ -77,34 +77,12 @@ def test_kaldi_list_shapes(tmp_path):
 
 
 def _load_reference_noise_module(name):
-    """Import a reference noise catalog with its unavailable deps stubbed
-    (librosa.core.resample is never called by the path functions; get_key
-    comes from our own parity implementation)."""
-    import importlib.util
-    import pathlib
-    import sys
-    import types
+    """A reference noise catalog as an oracle (shared stub installer in
+    _helpers keeps 'packages' a real package and never clobbers librosa
+    attributes other oracle loaders rely on)."""
+    from _helpers import load_reference_module
 
-    ref = pathlib.Path(f"/root/reference/packages/dataset/{name}.py")
-    if not ref.exists():
-        pytest.skip("reference checkout not available")
-    lib = sys.modules.setdefault("librosa", types.ModuleType("librosa"))
-    if not hasattr(lib, "core"):  # augment, never clobber: test_targets'
-        # oracle loader shares this stub with its own `util` attribute
-        core = types.ModuleType("librosa.core")
-        core.resample = lambda *a, **k: (_ for _ in ()).throw(RuntimeError)
-        lib.core = core
-        sys.modules["librosa.core"] = core
-    from dvae_tpu.utils import get_key
-
-    for modname in ("packages", "packages.utils", "python", "python.utils"):
-        m = types.ModuleType(modname)
-        m.get_key = get_key
-        sys.modules.setdefault(modname, m)
-    spec = importlib.util.spec_from_file_location(f"ref_{name}", ref)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    return load_reference_module(f"packages/dataset/{name}.py")
 
 
 def _fake_qut_tree(root):
@@ -139,10 +117,13 @@ def test_qut_preprocess_noise_semantics():
     out = qut.preprocess_noise(stereo, "cafe", 32000, 16000)
     assert out.ndim == 1 and abs(len(out) - 16000) <= 1
 
-    mono = rng.standard_normal(16000 * 60 * 50).astype(np.float32)
-    car = qut.preprocess_noise(mono, "car", 16000, 16000)
-    assert len(car) == int(43 * 60 * 16000) - int(1.5 * 60 * 16000)
-    np.testing.assert_array_equal(car[:8], mono[int(1.5 * 60 * 16000):][:8])
+    # the trim window scales with fs — test at 1 kHz so the fixture is
+    # ~2.6M samples instead of 48M (same code path, same assertions)
+    fs_small = 1000
+    mono = np.arange(fs_small * 60 * 50, dtype=np.float32)
+    car = qut.preprocess_noise(mono, "car", fs_small, fs_small)
+    assert len(car) == int(43 * 60 * fs_small) - int(1.5 * 60 * fs_small)
+    np.testing.assert_array_equal(car[:8], mono[int(1.5 * 60 * fs_small):][:8])
 
 
 def test_qut_noise_segment_crops_speech_length():

@@ -85,7 +85,10 @@ def test_two_process_training(tmp_path):
     import sys
 
     root = pathlib.Path(__file__).resolve().parent.parent
+    # SO_REUSEADDR narrows (but can't eliminate) the pick-port/bind TOCTOU
+    # window between closing this probe socket and the coordinator binding
     s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
@@ -102,7 +105,15 @@ def test_two_process_training(tmp_path):
             stderr=subprocess.PIPE, text=True)
         for rank in (0, 1)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    try:
+        outs = [p.communicate(timeout=600) for p in procs]
+    finally:
+        # a worker that died early leaves its peer blocked on the
+        # coordinator; never leak it past the test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-2000:]}\n{err[-4000:]}"
 

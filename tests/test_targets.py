@@ -57,28 +57,11 @@ def test_vad_shapes_and_range():
 
 
 def _load_reference_target_module():
-    """Import /root/reference/packages/processing/target.py as an oracle.
+    """The reference target.py as an oracle (librosa is only used by its VAD
+    path, not the legacy threshold-IBM family under test)."""
+    from _helpers import load_reference_module
 
-    The module imports librosa at top level (used only by the VAD path, not
-    the legacy threshold-IBM family), and librosa is not in this environment
-    — inject a stub so the import succeeds.
-    """
-    import importlib.util
-    import pathlib
-    import sys
-    import types
-
-    ref_path = pathlib.Path("/root/reference/packages/processing/target.py")
-    if not ref_path.exists():
-        pytest.skip("reference checkout not available")
-    stub = sys.modules.setdefault("librosa", types.ModuleType("librosa"))
-    if not hasattr(stub, "util"):  # augment, never clobber: other oracle
-        # loaders (test_catalog) share this stub with their own attributes
-        stub.util = types.SimpleNamespace()
-    spec = importlib.util.spec_from_file_location("ref_target", ref_path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    return load_reference_module("packages/processing/target.py")
 
 
 def test_voiced_unvoiced_split_parity():
@@ -103,9 +86,11 @@ def test_noise_aware_ibm_parity():
     N = (rng.standard_normal((11, 513)) + 1j * rng.standard_normal((11, 513)))
     want_s, want_n = ref.noise_aware_IBM(X, N)
     got_s, got_n = noise_aware_ibm(jnp.asarray(X), jnp.asarray(N))
-    # float32 |X|^2 vs the oracle's float64: allow rare borderline flips
-    assert np.mean(np.asarray(got_s) != want_s) < 1e-4
-    assert np.mean(np.asarray(got_n) != want_n) < 1e-4
+    # float32 |X|^2 vs the oracle's float64: allow a few borderline flips
+    # (absolute count — a fraction-based bound of 1e-4 on 5643 cells would
+    # actually allow zero)
+    assert np.sum(np.asarray(got_s) != want_s) <= 3
+    assert np.sum(np.asarray(got_n) != want_n) <= 3
 
 
 def test_threshold_ibm_parity():
@@ -117,7 +102,7 @@ def test_threshold_ibm_parity():
         rng.choice([0.05, 1.0, 20.0], size=(9, 1))
     want = ref.threshold_IBM(X)
     got = threshold_ibm(jnp.asarray(X))
-    assert np.mean(np.asarray(got) != want) < 1e-4
+    assert np.sum(np.asarray(got) != want) <= 3  # borderline float32 flips
 
 
 def test_noise_robust_ibm_is_gated():
