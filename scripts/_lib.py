@@ -23,6 +23,10 @@ def add_common(ap: argparse.ArgumentParser, training: bool = False):
     ap.add_argument("--models-root", default="models")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) before first use")
+    ap.add_argument("--no-jit-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache "
+                         "(default ~/.cache/dvae_tpu/jit; cold compiles of "
+                         "the big programs cost minutes, warm loads seconds)")
     if training:
         ap.add_argument("--batch-size", type=int, default=128)
         ap.add_argument("--learning-rate", type=float, default=1e-4)
@@ -49,11 +53,31 @@ def add_common(ap: argparse.ArgumentParser, training: bool = False):
     return ap
 
 
+def enable_jit_cache(cache_dir: str | None = None):
+    """Persistent XLA compilation cache, keyed by HLO hash.
+
+    Cold jit of the big programs costs minutes (remote-attached TPU: the
+    MCEM scan measured 173.6 s cold vs 9.4 s from a warm cache in a fresh
+    process — 18x), and every CLI invocation is a fresh process. Respects an
+    externally-set JAX_COMPILATION_CACHE_DIR; defaults to
+    ``~/.cache/dvae_tpu/jit``. Safe across code changes (HLO-hash keys)."""
+    import os
+
+    import jax
+
+    cache = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+             or os.path.join(os.path.expanduser("~"), ".cache", "dvae_tpu", "jit"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def maybe_force_platform(args):
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if not getattr(args, "no_jit_cache", False):
+        enable_jit_cache()
     if getattr(args, "multihost", False):
         # must run BEFORE anything initializes the XLA backend (model init,
         # jax.devices(), ...) — scripts call this right after arg parsing
