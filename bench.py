@@ -42,21 +42,28 @@ N_STREAMS = 8   # windows sampled; best one is reported (see below)
 
 
 def measure_device_time(enh, batch, reps: int = 6) -> float:
-    """Per-batch device-module seconds with inputs already resident on the
-    device: enqueue ``reps`` core programs back-to-back and block once, so
-    the tunnel contributes only the (async) enqueues and one result fetch.
-    Unlike the wall-clock stream number this is stable run-to-run (~2%),
-    making regressions detectable despite the link's 3x bandwidth swings."""
+    """Per-batch device seconds with inputs already resident on the device:
+    time each dispatch individually and *fetch a small output* (the cost
+    vector) before stopping the clock, then report the min. The fetch is the
+    point — the axon tunnel has been observed to collapse back-to-back
+    enqueues of the same executable into no-ops (~1.5 ms reported for a
+    350 ms program when K dispatches were enqueued and blocked once), and a
+    host read of the result cannot be faked. The number includes one small
+    fetch RTT (~25 ms) on top of pure device time; it is stable run-to-run
+    (<1% spread measured), making regressions detectable despite the link's
+    3x bandwidth swings."""
     xw, x_scale, mask, y, n_pad, _ = enh._prepare(batch, None, None)
     dev = jax.devices()[0]
     args = [jax.device_put(a, dev) for a in (xw, x_scale, mask)]
     y_d = jax.device_put(y, dev) if y is not None else None
     run = lambda k: enh._core(enh.params, *args, y_d, k, n_frames=n_pad)
-    jax.block_until_ready(run(jax.random.PRNGKey(999)))  # warm this shape
-    t0 = time.perf_counter()
-    outs = [run(jax.random.PRNGKey(1000 + r)) for r in range(reps)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / reps
+    np.asarray(run(jax.random.PRNGKey(999))[-1])  # warm this shape
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(jax.random.PRNGKey(1000 + r))[-1])  # fetch forces completion
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_training(batch: int, steps_per_dispatch: int) -> None:
