@@ -74,6 +74,14 @@ def main():
                     help="number of subset noisy utterances to compare "
                          "(ours runs them as ONE masked batch; the torch "
                          "reference loops per utterance)")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="MH-chain seeds per engine. With N>1 each engine "
+                         "runs N times (ours: N PRNGKeys; reference: "
+                         "np/torch re-seeded per run) and the table shows "
+                         "mean +/- sd across seeds — the direct test of "
+                         "whether a cross-engine delta is seed noise "
+                         "(distributions overlap) or engine bias (they "
+                         "separate)")
     ap.add_argument("--out", default=None, help="optional JSON output path")
     args = ap.parse_args()
 
@@ -112,29 +120,33 @@ def main():
     _, z0, _ = model.apply(params, x2.reshape(-1, 513), method="encode", sample=False)
     z0 = z0.reshape(b, n_max, -1)
     dec = lambda zz: model.apply(params, zz, method="decode")
-    t0 = time.perf_counter()
-    # matched EFFECTIVE budgets: the reference's MCEM_M1 swallows its first
-    # budget argument into an unused y parameter (reference mcem.py:207 vs
-    # :297/:314), so it actually runs E-step 30/30 and WF 75/30 no matter
-    # what it is constructed with — compare against exactly that
-    res = run_mcem(dec, x2, z0, jnp.asarray(mask), jax.random.PRNGKey(5),
-                   McemConfig.m1_reference_effective(niter=args.niter))
-    jax.block_until_ready(res.wfs)
-    ours_time = time.perf_counter() - t0
-    ours_rows = []
-    for i, (X, x_noisy, s_clean) in enumerate(zip(Xs, xs, cleans)):
-        wf = np.asarray(res.wfs[i, : X.shape[0]])
-        s_hat = istft_np(wf * X, length=len(x_noisy)).astype(np.float64)
-        ours_rows.append({
-            "wf_mean": float(wf.mean()),
-            "wf_median": float(np.median(wf)),
-            "si_sdr": si_sdr_leroux(s_hat, s_clean),
-            "estoi": stoi(s_clean, s_hat, 16000),
-            "pesq": pesq_wb(s_clean, s_hat, 16000),
-        })
-    ours = {k: float(np.mean([r[k] for r in ours_rows])) for k in ours_rows[0]}
-    ours.update({"cost_first": float(res.cost[0]), "cost_last": float(res.cost[-1]),
-                 "seconds": ours_time})
+
+    def run_ours(seed: int):
+        t0 = time.perf_counter()
+        # matched EFFECTIVE budgets: the reference's MCEM_M1 swallows its
+        # first budget argument into an unused y parameter (reference
+        # mcem.py:207 vs :297/:314), so it actually runs E-step 30/30 and
+        # WF 75/30 no matter what it is constructed with — compare against
+        # exactly that
+        res = run_mcem(dec, x2, z0, jnp.asarray(mask), jax.random.PRNGKey(5 + seed),
+                       McemConfig.m1_reference_effective(niter=args.niter))
+        jax.block_until_ready(res.wfs)
+        elapsed = time.perf_counter() - t0
+        rows = []
+        for i, (X, x_noisy, s_clean) in enumerate(zip(Xs, xs, cleans)):
+            wf = np.asarray(res.wfs[i, : X.shape[0]])
+            s_hat = istft_np(wf * X, length=len(x_noisy)).astype(np.float64)
+            rows.append({
+                "wf_mean": float(wf.mean()),
+                "wf_median": float(np.median(wf)),
+                "si_sdr": si_sdr_leroux(s_hat, s_clean),
+                "estoi": stoi(s_clean, s_hat, 16000),
+                "pesq": pesq_wb(s_clean, s_hat, 16000),
+            })
+        agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        agg.update({"cost_first": float(res.cost[0]),
+                    "cost_last": float(res.cost[-1]), "seconds": elapsed})
+        return agg, rows
 
     # ---- reference engine (torch, CPU), one utterance at a time -----------
     sys.path.insert(0, "/root/reference")
@@ -149,44 +161,71 @@ def main():
     for q in ref_model.parameters():
         q.requires_grad = False
 
-    ref_rows, cost_first, cost_last, ref_time = [], [], [], 0.0
-    for X, x_noisy, s_clean in zip(Xs, xs, cleans):
-        S_ref = np.asarray(stft(jnp.asarray(s_clean, jnp.float32))).T
-        n = min(S_ref.shape[1], X.shape[0])
-        mcem = MCEM_M1(niter=args.niter)
-        mcem.init_parameters(X=X[:n].T, S=S_ref[:, :n], vae=ref_model,
-                             nmf_rank=10, eps=1e-8, device="cpu")
-        t0 = time.perf_counter()
-        cost = mcem.run()
-        ref_time += time.perf_counter() - t0
-        wf_mag = np.abs(mcem.S_hat) / np.maximum(np.abs(X[:n].T), 1e-12)
-        s_hat_ref = istft_np(mcem.S_hat.T, length=len(x_noisy)).astype(np.float64)
-        cost_first.append(float(cost[0])); cost_last.append(float(cost[-1]))
-        ref_rows.append({
-            "wf_mean": float(wf_mag.mean()),
-            "wf_median": float(np.median(wf_mag)),
-            "si_sdr": si_sdr_leroux(s_hat_ref, s_clean),
-            "estoi": stoi(s_clean, s_hat_ref, 16000),
-            "pesq": pesq_wb(s_clean, s_hat_ref, 16000),
-        })
-    ref = {k: float(np.mean([r[k] for r in ref_rows])) for k in ref_rows[0]}
     # our batched cost is a masked mean over ALL valid cells (long utterances
     # weigh more); weight the per-utterance reference costs the same way
     frames = np.asarray([X.shape[0] for X in Xs], np.float64)
     wavg = lambda v: float(np.average(np.asarray(v), weights=frames))
-    ref.update({"cost_first": wavg(cost_first),
-                "cost_last": wavg(cost_last), "seconds": ref_time})
 
-    print(f"(means over {b} utterance(s); niter={args.niter}, identical weights)")
-    print(f"{'':<12}{'ours':>12}{'reference':>12}")
-    for k in ("cost_first", "cost_last", "wf_mean", "wf_median", "si_sdr",
-              "estoi", "pesq", "seconds"):
-        print(f"{k:<12}{ours[k]:>12.4f}{ref[k]:>12.4f}")
+    def run_ref(seed: int):
+        # the reference pins np/torch seeds once at import (mcem.py:1-5);
+        # re-seed per run so each seed gives an independent NMF init + chain
+        np.random.seed(seed)
+        torch.manual_seed(seed)
+        rows, cost_first, cost_last, elapsed = [], [], [], 0.0
+        for X, x_noisy, s_clean in zip(Xs, xs, cleans):
+            S_ref = np.asarray(stft(jnp.asarray(s_clean, jnp.float32))).T
+            n = min(S_ref.shape[1], X.shape[0])
+            mcem = MCEM_M1(niter=args.niter)
+            mcem.init_parameters(X=X[:n].T, S=S_ref[:, :n], vae=ref_model,
+                                 nmf_rank=10, eps=1e-8, device="cpu")
+            t0 = time.perf_counter()
+            cost = mcem.run()
+            elapsed += time.perf_counter() - t0
+            wf_mag = np.abs(mcem.S_hat) / np.maximum(np.abs(X[:n].T), 1e-12)
+            s_hat_ref = istft_np(mcem.S_hat.T, length=len(x_noisy)).astype(np.float64)
+            cost_first.append(float(cost[0])); cost_last.append(float(cost[-1]))
+            rows.append({
+                "wf_mean": float(wf_mag.mean()),
+                "wf_median": float(np.median(wf_mag)),
+                "si_sdr": si_sdr_leroux(s_hat_ref, s_clean),
+                "estoi": stoi(s_clean, s_hat_ref, 16000),
+                "pesq": pesq_wb(s_clean, s_hat_ref, 16000),
+            })
+        agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        agg.update({"cost_first": wavg(cost_first),
+                    "cost_last": wavg(cost_last), "seconds": elapsed})
+        return agg, rows
+
+    keys = ("cost_first", "cost_last", "wf_mean", "wf_median", "si_sdr",
+            "estoi", "pesq", "seconds")
+    ours_runs = [run_ours(s) for s in range(args.seeds)]
+    ref_runs = [run_ref(s) for s in range(args.seeds)]
+    ours, ours_rows = ours_runs[0]
+    ref, ref_rows = ref_runs[0]
+
+    if args.seeds == 1:
+        print(f"(means over {b} utterance(s); niter={args.niter}, identical weights)")
+        print(f"{'':<12}{'ours':>12}{'reference':>12}")
+        for k in keys:
+            print(f"{k:<12}{ours[k]:>12.4f}{ref[k]:>12.4f}")
+    else:
+        stat = lambda runs, k: (np.mean([a[k] for a, _ in runs]),
+                                np.std([a[k] for a, _ in runs], ddof=1))
+        print(f"(means over {b} utterance(s) x {args.seeds} seeds; "
+              f"niter={args.niter}, identical weights; +/- is sd across seeds)")
+        print(f"{'':<12}{'ours':>22}{'reference':>22}")
+        for k in keys:
+            om, os_ = stat(ours_runs, k)
+            rm, rs = stat(ref_runs, k)
+            print(f"{k:<12}{om:>14.4f} +/-{os_:>6.4f}{rm:>14.4f} +/-{rs:>6.4f}")
     if args.out:
+        payload = {"ours": ours, "reference": ref,
+                   "per_utterance": {"ours": ours_rows, "reference": ref_rows}}
+        if args.seeds > 1:
+            payload["per_seed"] = {"ours": [a for a, _ in ours_runs],
+                                   "reference": [a for a, _ in ref_runs]}
         with open(args.out, "w") as f:
-            json.dump({"ours": ours, "reference": ref,
-                       "per_utterance": {"ours": ours_rows, "reference": ref_rows}},
-                      f, indent=1)
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
