@@ -168,8 +168,12 @@ def evaluate_sweep(
             out_base.parent.mkdir(parents=True, exist_ok=True)
             fs_out = enhancer.cfg.stft.fs  # not hardcoded: the Enhancer's
             # analysis rate is a public knob and the wav header must agree
-            write_wav(out_base.parent / (out_base.name + f"_s_est{suffix}.wav"), s_hat, fs_out)
+            # n_est first: resume-by-skip keys on _s_est existing, so the
+            # skip marker must be the LAST file written — a kill between the
+            # two writes then re-does the utterance instead of leaving a
+            # permanently n_est-less pair behind
             write_wav(out_base.parent / (out_base.name + f"_n_est{suffix}.wav"), n_hat, fs_out)
+            write_wav(out_base.parent / (out_base.name + f"_s_est{suffix}.wav"), s_hat, fs_out)
             n_done += 1
         log(f"enhanced {n_done}/{len(todo)}")
     return n_done

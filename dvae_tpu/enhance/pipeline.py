@@ -40,11 +40,15 @@ from dvae_tpu.ops.stft import (
 )
 
 
-def _quantize_pcm16(x):
-    """Per-utterance symmetric PCM16 quantization: (B, T) f32 -> (int16, scale)."""
-    peak = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-9)
-    scale = peak / 32767.0
-    q = jnp.clip(jnp.round(x / scale[:, None]), -32768, 32767).astype(jnp.int16)
+def _quantize_pcm16(x, xp=jnp):
+    """Per-utterance symmetric PCM16 quantization: (B, T) f32 -> (int16, scale).
+
+    One formula for BOTH wire directions (xp=jnp on device for outputs,
+    xp=np on host for inputs) so the encode and decode sides of the wire
+    format cannot drift apart."""
+    peak = xp.maximum(xp.max(xp.abs(x), axis=-1), 1e-9)
+    scale = (peak / 32767.0).astype(xp.float32)
+    q = xp.clip(xp.round(x / scale[:, None]), -32768, 32767).astype(xp.int16)
     return q, scale
 
 
@@ -205,9 +209,7 @@ class Enhancer:
             x[i, :t_use] = np.asarray(w[:t_use], dtype=np.float32)
             mask[i, : frames[i]] = 1.0
         if cfg.wire_dtype == "int16":
-            peak = np.maximum(np.abs(x).max(axis=-1), 1e-9)
-            x_scale = (peak / 32767.0).astype(np.float32)
-            xw = np.clip(np.round(x / x_scale[:, None]), -32768, 32767).astype(np.int16)
+            xw, x_scale = _quantize_pcm16(x, xp=np)
         else:
             x_scale = np.ones((b,), np.float32)
             xw = x
@@ -310,6 +312,8 @@ class Enhancer:
             list of (s_hat, n_hat) float32 waveforms, each len(wavs[i]).
         """
         mdb = self.cfg.max_device_batch
+        if len(wavs) == 0:
+            return []
         if len(wavs) <= mdb:
             return self._collect(self._dispatch(wavs, ys, key, max_frames))
         # oversized request: split into sub-dispatches, enqueue all before
@@ -352,6 +356,12 @@ class Enhancer:
             # enhance_batch); sub-batches of one input batch share an index
             # so results regroup below
             for i, (wavs, ys, max_frames) in enumerate(batches):
+                if len(wavs) == 0:
+                    # an empty input batch still owes the caller one (empty)
+                    # result list — a no-dispatch sentinel keeps the
+                    # one-yield-per-batch contract (and zip alignment) intact
+                    yield (i, 0, True, None, None, None)
+                    continue
                 sl = lambda seq, a, b: None if seq is None else seq[a:b]
                 for j, a in enumerate(range(0, len(wavs), mdb)):
                     last = a + mdb >= len(wavs)
@@ -362,15 +372,16 @@ class Enhancer:
 
         def emit(i, handle, last):
             nonlocal acc
-            acc.extend(self._collect(handle))
+            if handle is not None:
+                acc.extend(self._collect(handle))
             if last:
                 out, acc = acc, []
                 return out
             return None
 
-        pending = collections.deque()  # (batch_index, handle, last)
+        pending = collections.deque()  # (batch_index, handle_or_None, last)
         for i, j, last, wavs, ys, max_frames in sub_batches():
-            handle = self._dispatch(
+            handle = None if wavs is None else self._dispatch(
                 wavs, ys, jax.random.fold_in(jax.random.fold_in(key, i), j),
                 max_frames,
             )

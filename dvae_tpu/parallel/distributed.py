@@ -63,21 +63,30 @@ def distributed_init(
     except Exception as e:
         if explicit or num_processes not in (None, 1):
             raise  # a requested multi-process setup failing is an error
-        if "before any JAX" in str(e) and _cluster_env_hinted():
-            # the backend was already up when we got here AND the
-            # environment looks like a real cluster job — an ordering bug in
-            # the caller, NOT "no cluster detected"; reporting it as the
-            # latter would send the user chasing cluster config instead of
-            # the real cause. (Without cluster hints the same jax error just
-            # means "plain single process that already used JAX" — stay
-            # single-process like any other nothing-to-detect case.)
-            raise RuntimeError(
-                "distributed_init() ran after the XLA backend was already "
-                "initialized — call it (or pass --multihost, which does) "
-                "before any JAX operation, including jax.devices()/model "
-                "init"
-            ) from e
-        return False  # nothing to auto-detect: stay single-process
+        if "before any JAX" in str(e):
+            if _cluster_env_hinted():
+                # the backend was already up when we got here AND the
+                # environment looks like a real cluster job — an ordering bug
+                # in the caller, NOT "no cluster detected"; reporting it as
+                # the latter would send the user chasing cluster config
+                # instead of the real cause.
+                raise RuntimeError(
+                    "distributed_init() ran after the XLA backend was "
+                    "already initialized — call it (or pass --multihost, "
+                    "which does) before any JAX operation, including "
+                    "jax.devices()/model init"
+                ) from e
+            # without cluster hints the same jax error just means "plain
+            # single process that already used JAX" — stay single-process
+            return False
+        if isinstance(e, ValueError) and "coordinator_address" in str(e):
+            return False  # nothing to auto-detect: stay single-process
+        # Any OTHER failure means auto-detection FOUND a cluster (e.g. TPU
+        # pod metadata — which _cluster_env_hinted deliberately can't see)
+        # but joining it failed (unreachable coordinator, timeout, ...).
+        # Swallowing that as "no cluster detected" would bury the real
+        # cause, so surface it.
+        raise
     return jax.process_count() > 1
 
 

@@ -97,6 +97,29 @@ def test_utils():
     assert count_parameters({"w": np.zeros((3, 4)), "b": np.zeros(4)}) == 16
 
 
+def test_profiling_timer_and_annotation():
+    """Span timers accumulate per-name totals/counts across uses, report in
+    descending-total order, and TraceAnnotation works outside a capture."""
+    import time
+
+    from dvae_tpu.utils.profiling import Timer, trace_annotation
+
+    t = Timer()
+    for _ in range(3):
+        with t.span("a"):
+            pass
+    with t.span("b"):
+        time.sleep(0.01)
+    assert t.counts == {"a": 3, "b": 1}
+    assert t.totals["b"] >= 0.01 > t.totals["a"]
+    lines = []
+    t.report(out=lines.append)
+    assert [ln.split()[0] for ln in lines] == ["b", "a"]
+    assert "x3" in lines[1]
+    with trace_annotation("unit-test"):  # no active trace: must be a no-op
+        jnp.ones(()).block_until_ready()
+
+
 def test_stoi_sanity():
     rng = np.random.default_rng(5)
     t = np.arange(32000) / 16000

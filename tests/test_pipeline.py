@@ -52,6 +52,21 @@ def test_enhance_batch_contracts(subset_dir, m1):
     assert np.isfinite(enh.last_cost).all()
 
 
+def test_empty_batches_keep_stream_alignment(subset_dir, m1):
+    """An empty input batch yields an empty result list (never silently
+    dropped — downstream zip(batches, results) must stay aligned), both in
+    enhance_batch and mid-stream."""
+    model, params = m1
+    x1, _ = _wavs(subset_dir)
+    enh = Enhancer(model, params, EnhancerConfig(mcem=QUICK_MCEM))
+    assert enh.enhance_batch([], key=jax.random.PRNGKey(0)) == []
+    stream = [([x1], None, None), ([], None, None), ([x1[:40000]], None, None)]
+    outs = list(enh.enhance_stream(stream, key=jax.random.PRNGKey(0)))
+    assert [len(o) for o in outs] == [1, 0, 1]
+    assert outs[0][0][0].shape == x1.shape
+    assert outs[2][0][0].shape == x1[:40000].shape
+
+
 def test_enhance_single_equals_batch_member_count(subset_dir, m1):
     """Ragged batch: both lengths processed under one compile bucket."""
     model, params = m1
