@@ -58,7 +58,7 @@ _ZWICKER = 0.23
 # CAL absorbs the difference between the ITU loudness tables and the
 # analytic Bark/threshold derivation: chosen once so white-noise degradation
 # of speech-like signals tracks published wideband PESQ behavior (measured
-# curve: 1.08 @ 0 dB SNR, 1.28 @ 10, 1.85 @ 20, 3.69 @ 30, 4.49 @ 40;
+# curve: 1.08 @ 0 dB SNR, 1.29 @ 10, 1.87 @ 20, 3.71 @ 30, 4.49 @ 40;
 # tests/test_pesq_native.py pins it)
 CAL = 0.6
 
@@ -242,8 +242,12 @@ def _score(ref, deg, fs: int, mode_name: str) -> float:
     h = np.where(h < 3.0, 0.0, np.minimum(h, 12.0))
     dist_a = dist * h
 
-    w = np.sqrt(mode.band_mat.sum(axis=1))  # ∝ band widths in bins
-    w /= w.sum()
+    # Uniform band weights: P.862 weights each band by its width on the
+    # (modified) Bark scale, and _get_mode constructs the bands uniform in
+    # Bark width by design — so the faithful weighting here IS uniform.
+    # (band_mat rows mean-pool their bins, so they all sum to 1; weighting
+    # by bin counts instead would double-count the Hz->Bark warping.)
+    w = np.full(mode.nb, 1.0 / mode.nb)
     frame_d = np.sqrt(np.sum(w[None, :] * dist ** 2, axis=1) * mode.nb)
     frame_da = np.sum(w[None, :] * np.abs(dist_a), axis=1) * np.sqrt(mode.nb)
 
@@ -259,7 +263,13 @@ def _score(ref, deg, fs: int, mode_name: str) -> float:
         if fd.size <= win:
             chunks = [fd]
         else:
-            chunks = [fd[i : i + win] for i in range(0, fd.size - win + 1, hop)]
+            starts = list(range(0, fd.size - win + 1, hop))
+            if starts[-1] + win < fd.size:
+                # tail frames past the last aligned window still count
+                # (P.862 covers the whole utterance with its split-second
+                # intervals): one extra full window anchored at the end
+                starts.append(fd.size - win)
+            chunks = [fd[i : i + win] for i in starts]
         l6 = np.array([np.mean(c ** 6.0) ** (1.0 / 6.0) for c in chunks])
         return float(np.sqrt(np.mean(l6 ** 2)))
 

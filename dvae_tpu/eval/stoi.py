@@ -14,11 +14,21 @@ this module reimplements the algorithm with pystoi-compatible conventions
 15 third-octave bands from 150 Hz, 40 dB silent-frame removal, N=30 frame
 segments, beta = -15 dB clipping for plain STOI).
 
-Validation: tests/test_stoi_vectors.py cross-checks this implementation
-against a second, independently-coded oracle written straight from the
-published algorithm (agreement < 1e-6 on synthetic and corpus signals) and
-pins frozen score vectors; it also auto-compares against pystoi whenever
-that package is importable.
+One convention genuinely differs between pystoi and the published MATLAB:
+the framing fencepost. pystoi frames with ``range(0, len(x) - 256, 128)``
+(exclusive stop — utils.stft / remove_silent_frames), which DROPS the frame
+starting exactly at ``len(x) - 256``; the MATLAB reference's
+``1:K:length(x)-N+1`` includes it. After silent-frame removal the signal
+length always lands on that boundary, so pystoi analyzes exactly one fewer
+frame than the published algorithm on every input. ``compat="pystoi"``
+(default — it is what the reference's metric sweep actually ran) replicates
+the dropped frame; ``compat="matlab"`` follows the published papers.
+
+Validation: tests/test_stoi_vectors.py cross-checks compat="matlab" against
+a second, independently-coded oracle written straight from the published
+algorithm (agreement < 1e-6 on synthetic and corpus signals), pins frozen
+score vectors for both conventions, and auto-compares compat="pystoi"
+against pystoi whenever that package is importable.
 """
 
 from __future__ import annotations
@@ -54,15 +64,24 @@ def _third_octave_matrix():
     return obm
 
 
-def _frames(x, window):
-    n = 1 + (len(x) - N_FRAME) // HOP
+def _n_frames(length: int, compat: str) -> int:
+    stop = length - N_FRAME
+    if compat == "matlab":
+        return 1 + stop // HOP if stop >= 0 else 0
+    # pystoi: len(range(0, stop, HOP)) — an exactly-aligned final frame
+    # (stop % HOP == 0) is excluded by the exclusive stop
+    return max(0, -(-stop // HOP))
+
+
+def _frames(x, window, compat):
+    n = _n_frames(len(x), compat)
     idx = np.arange(n)[:, None] * HOP + np.arange(N_FRAME)[None, :]
     return x[idx] * window
 
 
-def _remove_silent_frames(x, y, window):
-    xf = _frames(x, window)
-    yf = _frames(y, window)
+def _remove_silent_frames(x, y, window, compat):
+    xf = _frames(x, window, compat)
+    yf = _frames(y, window, compat)
     energies = 20 * np.log10(np.linalg.norm(xf, axis=1) + EPS)
     keep = energies > np.max(energies) - DYN_RANGE
     xf, yf = xf[keep], yf[keep]
@@ -76,14 +95,22 @@ def _remove_silent_frames(x, y, window):
     return xs, ys
 
 
-def _band_spectrogram(x, window):
-    xf = _frames(x, window)
+def _band_spectrogram(x, window, compat):
+    xf = _frames(x, window, compat)
     spec = np.abs(np.fft.rfft(xf, NFFT, axis=1)) ** 2  # (frames, bins)
     return np.sqrt(spec @ _third_octave_matrix().T)  # (frames, bands)
 
 
-def stoi(x, y, fs_signal: int, extended: bool = True) -> float:
-    """Intelligibility of degraded ``y`` against clean ``x`` in [~0, 1]."""
+def stoi(x, y, fs_signal: int, extended: bool = True,
+         compat: str = "pystoi") -> float:
+    """Intelligibility of degraded ``y`` against clean ``x`` in [~0, 1].
+
+    ``compat`` picks the framing fencepost (see module docstring):
+    "pystoi" (default) matches what the reference's sweep ran; "matlab"
+    matches the published algorithm (one more analysis frame).
+    """
+    if compat not in ("pystoi", "matlab"):
+        raise ValueError(f"bad compat {compat!r} (use 'pystoi' or 'matlab')")
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if len(x) != len(y):
@@ -93,8 +120,11 @@ def stoi(x, y, fs_signal: int, extended: bool = True) -> float:
         y = resample_poly(y, FS, fs_signal)
 
     window = np.hanning(N_FRAME + 2)[1:-1]
-    x, y = _remove_silent_frames(x, y, window)
-    if len(x) < N_FRAME + (N_SEG - 1) * HOP:
+    x, y = _remove_silent_frames(x, y, window, compat)
+
+    X = _band_spectrogram(x, window, compat)  # (frames, bands)
+    Y = _band_spectrogram(y, window, compat)
+    if X.shape[0] < N_SEG:
         # pystoi warns and returns 1e-5 here; raising would abort a whole
         # metrics sweep on one pathological (mostly-silent) utterance
         import warnings
@@ -102,9 +132,6 @@ def stoi(x, y, fs_signal: int, extended: bool = True) -> float:
         warnings.warn("signal too short after silent-frame removal; "
                       "returning 1e-5 (pystoi convention)")
         return 1e-5
-
-    X = _band_spectrogram(x, window)  # (frames, bands)
-    Y = _band_spectrogram(y, window)
     m = X.shape[0] - N_SEG + 1
 
     if extended:

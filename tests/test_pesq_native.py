@@ -45,9 +45,9 @@ def test_identical_signals_score_maximum():
 def test_golden_wavs_pinned(subset_dir):
     clean, fs = read_wav(f"{BASE}/Clean/test/34M/sa1.wav")
     pins = {
-        f"{BASE}/Noisy/Babble/-5/test/34M/sa1.wav": 1.162,
-        f"{G}/{M1}/ntcd_timit/Clean/test/34M/sa1_s_est.wav": 1.163,
-        f"{G}/{M2}/ntcd_timit/Clean/test/34M/sa1_s_est.wav": 1.547,
+        f"{BASE}/Noisy/Babble/-5/test/34M/sa1.wav": 1.176,
+        f"{G}/{M1}/ntcd_timit/Clean/test/34M/sa1_s_est.wav": 1.168,
+        f"{G}/{M2}/ntcd_timit/Clean/test/34M/sa1_s_est.wav": 1.578,
     }
     for path, want in pins.items():
         deg, _ = read_wav(path)

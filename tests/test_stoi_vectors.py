@@ -136,7 +136,7 @@ def test_estoi_matches_independent_oracle_synthetic():
     noise *= np.linalg.norm(x) / np.linalg.norm(noise)
     for snr in (-5.0, 0.0, 5.0, 15.0):
         y = x + noise * 10 ** (-snr / 20.0)
-        ours = stoi(x, y, 16000, extended=True)
+        ours = stoi(x, y, 16000, extended=True, compat="matlab")
         oracle = _oracle_estoi(x, y, 16000)
         assert abs(ours - oracle) < 1e-6, (snr, ours, oracle)
 
@@ -148,7 +148,7 @@ def test_plain_stoi_matches_independent_oracle():
     noise *= np.linalg.norm(x) / np.linalg.norm(noise)
     for snr in (-5.0, 5.0, 15.0):
         y = x + noise * 10 ** (-snr / 20.0)
-        ours = stoi(x, y, 16000, extended=False)
+        ours = stoi(x, y, 16000, extended=False, compat="matlab")
         oracle = _oracle_stoi(x, y, 16000)
         assert abs(ours - oracle) < 1e-6, (snr, ours, oracle)
 
@@ -159,27 +159,54 @@ def test_estoi_matches_independent_oracle_corpus(subset_dir):
         clean, fs = read_wav(base / f"Clean/test/34M/{utt}.wav")
         noisy, _ = read_wav(base / f"Noisy/Babble/-5/test/34M/{utt}.wav")
         n = min(len(clean), len(noisy))
-        ours = stoi(clean[:n], noisy[:n], fs, extended=True)
+        ours = stoi(clean[:n], noisy[:n], fs, extended=True, compat="matlab")
         oracle = _oracle_estoi(clean[:n], noisy[:n], fs)
         assert abs(ours - oracle) < 1e-6, (utt, ours, oracle)
 
 
 def test_estoi_frozen_vectors():
-    """Oracle scores frozen at vendor time (2026-08-17, this machine).
-    Regenerate deliberately, never by copying a failing value."""
+    """Scores frozen at vendor time (2026-08-17, this machine), one set per
+    framing convention (module docstring of eval/stoi.py). The "matlab"
+    values equal the independent oracle's; the "pystoi" values differ by the
+    one dropped frame. Regenerate deliberately, never by copying a failing
+    value."""
     x = _speechlike()
     rng = np.random.default_rng(1)
     noise = rng.standard_normal(x.size)
     noise *= np.linalg.norm(x) / np.linalg.norm(noise)
     expected = {
-        -5.0: 0.425392,
-        0.0: 0.566645,
-        5.0: 0.696383,
-        15.0: 0.834985,
+        -5.0: {"matlab": 0.425392, "pystoi": 0.425111},
+        0.0: {"matlab": 0.566645, "pystoi": 0.566252},
+        5.0: {"matlab": 0.696383, "pystoi": 0.695825},
+        15.0: {"matlab": 0.834985, "pystoi": 0.834224},
     }
-    for snr, want in expected.items():
-        got = stoi(x, x + noise * 10 ** (-snr / 20.0), 16000, extended=True)
-        assert abs(got - want) < 1e-3, (snr, got, want)
+    for snr, wants in expected.items():
+        y = x + noise * 10 ** (-snr / 20.0)
+        for compat, want in wants.items():
+            got = stoi(x, y, 16000, extended=True, compat=compat)
+            assert abs(got - want) < 1e-3, (snr, compat, got, want)
+
+
+def test_framing_fencepost_between_conventions():
+    """pystoi's exclusive-stop framing analyzes exactly one fewer frame than
+    the published MATLAB algorithm whenever (len - 256) % 128 == 0 — which
+    silent-frame removal makes true for every real call."""
+    from dvae_tpu.eval.stoi import _n_frames
+
+    assert _n_frames(256 + 10 * 128, "matlab") == 11
+    assert _n_frames(256 + 10 * 128, "pystoi") == 10
+    # non-aligned lengths agree
+    assert _n_frames(256 + 10 * 128 + 1, "matlab") == 11
+    assert _n_frames(256 + 10 * 128 + 1, "pystoi") == 11
+    # degenerate: shorter than one frame
+    assert _n_frames(200, "matlab") == 0 and _n_frames(200, "pystoi") == 0
+    assert _n_frames(256, "matlab") == 1 and _n_frames(256, "pystoi") == 0
+    # default is the reference's convention (pystoi)
+    x = _speechlike()
+    rng = np.random.default_rng(7)
+    y = x + 0.5 * rng.standard_normal(x.size)
+    assert stoi(x, y, 16000) == stoi(x, y, 16000, compat="pystoi")
+    assert stoi(x, y, 16000) != stoi(x, y, 16000, compat="matlab")
 
 
 def test_against_pystoi_if_available():
