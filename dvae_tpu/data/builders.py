@@ -45,6 +45,15 @@ VISUAL_FPS_IN = 30.0
 VISUAL_FPS_OUT = 62.5  # = 1/(wlen_sec*hop_percent), create_video_train_files.py:57-58
 
 
+def _empirical_std(sq_sum, mean, n):
+    """Bessel-corrected std from accumulated sums: all three reference
+    builders use sqrt((sq_sum - n*mean^2)/(n-1)) with an explicit 'NB:
+    compute the empirical std (!= regular std)' comment
+    (create_train_set.py:204-207, create_audio_train_set.py:366-367,
+    create_video_train_files.py:356-358)."""
+    return np.sqrt(np.maximum(sq_sum - n * mean**2, 0.0) / (n - 1))
+
+
 def _read_mat_frames(path) -> np.ndarray:
     """NTCD .mat files are HDF5 (matlab v7.3); single dataset of DCT frames."""
     with h5py.File(path, "r") as f:
@@ -111,7 +120,7 @@ def build_video_files(input_dir, output_dir, dataset_types=("train", "validation
 
     if stats_n:
         mean = stats_sum / stats_n
-        std = np.sqrt(stats_sq / stats_n - mean**2)
+        std = _empirical_std(stats_sq, mean, stats_n)
         stats_path = pathlib.Path(output_dir) / "ntcd_timit/matlab_raw/ntcd_timit_upsampled_statistics.h5"
         stats_path.parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(stats_path, "w") as f:
@@ -148,32 +157,51 @@ def build_audio_train_set(input_dir, output_dir, dataset_types=("train", "valida
         with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(process_clean, zip(clean_in, clean_out)))
 
-        # noisy copies + train statistics of the log power spectrogram
-        pairs = catalog.ntcd_timit.noisy_speech_dict(input_dir + "/", dataset_type, dataset_size)
+        # noisy copies + train statistics of the log power spectrogram.
+        # The reference iterates (noisy -> clean) pairs so it can locate the
+        # clean utterance's upsampled video and trim the spectrogram to the
+        # video frame count before accumulating (create_audio_train_set.py:
+        # 333-338, :259-271), copying each noisy wav via the
+        # noisy_speech_dict output mapping (:215-221).
+        out_map = catalog.ntcd_timit.noisy_speech_dict(input_dir + "/", dataset_type, dataset_size)
+        nc_pairs = catalog.ntcd_timit.noisy_clean_pair_dict(input_dir + "/", dataset_type, dataset_size)
         n_tot, s_tot, sq_tot = 0, 0.0, 0.0
 
         def process_noisy(pair):
-            in_rel, out_rel = pair
-            src = os.path.join(input_dir, in_rel)
+            noisy_rel, clean_rel = pair
+            src = os.path.join(input_dir, noisy_rel)
             if not os.path.exists(src):
                 return None
-            dst = pathlib.Path(output_dir) / out_rel
+            dst = pathlib.Path(output_dir) / out_map[noisy_rel]
             dst.parent.mkdir(parents=True, exist_ok=True)
             shutil.copyfile(src, dst)
             if dataset_type != "train":
                 return None
-            x, _ = read_wav(dst)
+            x, fs = read_wav(dst)
+            if fs != DEFAULT_STFT.fs:  # reference create_audio_train_set.py:233
+                raise ValueError(f"Unexpected sampling rate {fs} in {src}")
             peak = np.max(np.abs(x))
             if peak > 0:
                 x = x / peak
-            # the reference computes these stats with center=True (torch
-            # default in stft_pytorch, data_handling-style loaders)
-            p = np.asarray(stft(jnp.asarray(x, jnp.float32), StftConfig(center=True)))
+            # the reference's SETTINGS pass center=False + pad_at_end to
+            # stft_pytorch here (create_audio_train_set.py:49-52,:245) —
+            # exactly DEFAULT_STFT's parametrization
+            p = np.asarray(stft(jnp.asarray(x, jnp.float32), DEFAULT_STFT))
             logp = np.log(np.abs(p) ** 2 + eps)
-            return logp.shape[0], logp.sum(axis=0), (logp**2).sum(axis=0)
+            # trim to the upsampled video frame count (reference :259-271)
+            vid_rel = pathlib.Path(
+                clean_rel.replace("Clean", "matlab_raw")
+            ).with_suffix("")
+            vid_path = pathlib.Path(output_dir) / vid_rel.parent / (
+                vid_rel.name + "_upsampled.h5"
+            )
+            with h5py.File(vid_path, "r") as f:  # missing video = hard error,
+                n_video = f["X"].shape[-1]       # as in the reference
+            return (logp[: n_video].shape[0], logp[:n_video].sum(axis=0),
+                    (logp[:n_video] ** 2).sum(axis=0))
 
         with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
-            for r in ex.map(process_noisy, pairs.items()):
+            for r in ex.map(process_noisy, nc_pairs.items()):
                 if r is not None:
                     n, s, sq = r
                     n_tot += n
@@ -182,7 +210,7 @@ def build_audio_train_set(input_dir, output_dir, dataset_types=("train", "valida
 
         if dataset_type == "train" and n_tot:
             mean = s_tot / n_tot
-            std = np.sqrt(sq_tot / n_tot - mean**2)
+            std = _empirical_std(sq_tot, mean, n_tot)
             stats = pathlib.Path(output_dir) / "ntcd_timit/Noisy/ntcd_timit_log_power_spec_upsampled_statistics.h5"
             stats.parent.mkdir(parents=True, exist_ok=True)
             with h5py.File(stats, "w") as f:
@@ -250,7 +278,7 @@ def build_frame_dataset(input_dir, output_dir, labels="vad_labels",
                     sq_sum = sq_sum + (spec.astype(np.float64) ** 2).sum(axis=1)
             if split == "train" and n_sum:
                 mean = s_sum / n_sum
-                std = np.sqrt(sq_sum / n_sum - mean**2)
+                std = _empirical_std(sq_sum, mean, n_sum)
                 f.create_dataset("X_train_mean", data=mean[:, None].astype(np.float32))
                 f.create_dataset("X_train_std", data=std[:, None].astype(np.float32))
     return out_path
@@ -269,6 +297,11 @@ def build_qut_test_set(input_speech_dir, noise_dir, output_dir, dataset_type="te
     for k, p in noise_paths.items():
         if os.path.exists(p):
             audio, fs_noise = read_wav(p)
+            if fs_noise != FS:  # reference create_test_set.py:159-160
+                raise ValueError(
+                    f"Unexpected sampling rate {fs_noise} in {p} (want {FS}); "
+                    "preprocess the noise first (qut.preprocess_noise)"
+                )
             noise_audios[k] = audio
     if not noise_audios:
         raise FileNotFoundError(f"no preprocessed QUT noise under {noise_dir}")
@@ -287,6 +320,8 @@ def build_qut_test_set(input_speech_dir, noise_dir, output_dir, dataset_type="te
     def process(i):
         in_rel, out_rel = clean_in[i], clean_out[i]
         speech, fs = read_wav(os.path.join(input_speech_dir, in_rel))
+        if fs != FS:  # reference create_test_set.py:98-99
+            raise ValueError(f"Unexpected sampling rate {fs} in {in_rel}")
         peak = np.max(np.abs(speech))
         if peak > 0:  # a digitally-silent wav must not become all-NaN
             speech = speech / peak

@@ -130,14 +130,22 @@ def magnitude_spectrum_approximation_loss(x, s, y_hat):
 # ---------------------------------------------------------------------------
 
 
-def f1_loss(y_hat_hard, y, eps: float = 1e-8):
-    """(accuracy, precision, recall, F1) of hard binary predictions."""
+def f1_loss(y_hat_hard, y, eps: float = 1e-8, mask=None):
+    """(accuracy, precision, recall, F1) of hard binary predictions.
+
+    ``mask`` (same shape, optional) excludes positions from ALL four
+    counts — needed for padded sequence batches, where an unmasked
+    computation would score every padded position as a true negative and
+    inflate accuracy (the reference instead slices each utterance to its
+    true length before counting, train_audio_net.py:246-252).
+    """
     y_pred = y_hat_hard.reshape(-1)
     y_true = y.reshape(-1)
-    tp = jnp.sum(y_true * y_pred)
-    tn = jnp.sum((1 - y_true) * (1 - y_pred))
-    fp = jnp.sum((1 - y_true) * y_pred)
-    fn = jnp.sum(y_true * (1 - y_pred))
+    m = jnp.ones_like(y_true) if mask is None else mask.reshape(-1)
+    tp = jnp.sum(m * y_true * y_pred)
+    tn = jnp.sum(m * (1 - y_true) * (1 - y_pred))
+    fp = jnp.sum(m * (1 - y_true) * y_pred)
+    fn = jnp.sum(m * y_true * (1 - y_pred))
     accuracy = (tp + tn) / (tp + tn + fp + fn + eps)
     precision = tp / (tp + fp + eps)
     recall = tp / (tp + fn + eps)

@@ -18,6 +18,7 @@ import json
 import pathlib
 
 import jax
+import jax.numpy as jnp
 from flax import serialization, traverse_util
 
 
@@ -87,13 +88,31 @@ def partial_load(path, params_template, key_substring: str):
         return load_torch_state_dict(
             params_template, str(path), filter_substring=key_substring
         )
-    loaded = load_checkpoint(path, params_template)
-    flat_new = traverse_util.flatten_dict(loaded)
+    # Flatten the raw msgpack tree and merge only the filtered region —
+    # NOT a full strict from_state_dict first, which would reject a donor
+    # checkpoint whose structure differs OUTSIDE the filtered region (e.g.
+    # transferring 'classifier' from a model with different encoder dims),
+    # a case the .pt branch above already tolerates.
+    raw = serialization.msgpack_restore(path.read_bytes())
+    flat_new = traverse_util.flatten_dict(raw.get("params", raw))
     flat_old = traverse_util.flatten_dict(params_template)
-    merged = {
-        k: (flat_new[k] if key_substring in "/".join(map(str, k)) else v)
-        for k, v in flat_old.items()
-    }
+    merged = {}
+    for k, v in flat_old.items():
+        if key_substring in "/".join(map(str, k)):
+            if k not in flat_new:
+                raise KeyError(
+                    f"{path} has no entry {'/'.join(map(str, k))} matching "
+                    f"filter {key_substring!r}"
+                )
+            arr = jnp.asarray(flat_new[k])
+            if arr.shape != jnp.shape(v):
+                raise ValueError(
+                    f"shape mismatch for {'/'.join(map(str, k))}: checkpoint "
+                    f"{arr.shape} vs template {jnp.shape(v)}"
+                )
+            merged[k] = arr
+        else:
+            merged[k] = v
     return traverse_util.unflatten_dict(merged)
 
 

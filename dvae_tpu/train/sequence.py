@@ -41,7 +41,10 @@ def make_lstm_vad_step(model, tx: optax.GradientTransformation, eps: float = 1e-
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         hard = (p > 0.5).astype(jnp.float32) * mask
-        acc, prec, rec, f1 = f1_loss(hard.ravel(), (y * mask).ravel())
+        # mask excludes padded frames from the counts (not just zeroes
+        # them): unmasked they would all score as true negatives and
+        # inflate accuracy relative to the reference's per-length slicing
+        acc, prec, rec, f1 = f1_loss(hard, y * mask, mask=mask)
         return TrainState(params, opt_state, state.step + 1), {
             "bce": loss, "accuracy": acc, "precision": prec, "recall": rec, "f1": f1}
 
@@ -58,7 +61,7 @@ def make_lstm_vad_eval(model, eps: float = 1e-8) -> Callable:
         bce = -(y * jnp.log(p + eps) + (1 - y) * jnp.log(1 - p + eps))
         loss = jnp.sum(bce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         hard = (p > 0.5).astype(jnp.float32) * mask
-        acc, prec, rec, f1 = f1_loss(hard.ravel(), (y * mask).ravel())
+        acc, prec, rec, f1 = f1_loss(hard, y * mask, mask=mask)
         return {"bce": loss, "accuracy": acc, "precision": prec,
                 "recall": rec, "f1": f1}
 

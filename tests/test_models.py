@@ -146,6 +146,31 @@ def test_f1_loss():
     assert abs(float(rec) - 2 / 3) < 1e-6
 
 
+def test_f1_loss_mask_excludes_padding():
+    """mask must exclude padded positions from ALL four counts — unmasked,
+    padding scores as true negatives and inflates accuracy (the reference
+    instead slices each utterance to its true length before counting,
+    train_audio_net.py:246-252)."""
+    rng = np.random.default_rng(7)
+    y = (rng.uniform(size=(3, 10)) > 0.5).astype(np.float32)
+    yh = (rng.uniform(size=(3, 10)) > 0.5).astype(np.float32)
+    lengths = [10, 6, 3]
+    mask = np.zeros((3, 10), np.float32)
+    for i, L in enumerate(lengths):
+        mask[i, :L] = 1.0
+    got = losses.f1_loss(jnp.asarray(yh * mask), jnp.asarray(y * mask),
+                         mask=jnp.asarray(mask))
+    # oracle: concatenate the per-length slices, then count
+    ys = np.concatenate([y[i, :L] for i, L in enumerate(lengths)])
+    yhs = np.concatenate([yh[i, :L] for i, L in enumerate(lengths)])
+    want = losses.f1_loss(jnp.asarray(yhs), jnp.asarray(ys))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(float(g), float(w), atol=1e-6)
+    # and the unmasked computation on zero-padded inputs really does differ
+    padded = losses.f1_loss(jnp.asarray(yh * mask), jnp.asarray(y * mask))
+    assert float(padded[0]) > float(got[0])  # accuracy inflated by padding
+
+
 def test_u_loss_runs():
     rng = np.random.default_rng(3)
     x = jnp.asarray(np.abs(rng.standard_normal((8, 513))) + 0.1, dtype=jnp.float32)

@@ -138,6 +138,50 @@ def test_checkpoint_partial_load(tmp_path):
     assert set(sub.keys()) == {"encoder", "decoder", "classifier"}
 
 
+def test_partial_load_tolerates_donor_structure_outside_filter(tmp_path):
+    """A donor checkpoint whose tree differs OUTSIDE the filtered region
+    (e.g. a classifier trained inside a different architecture) must still
+    transfer — the reference's filtered state_dict update never validates
+    the rest of the donor (training_M2_info_vad_pretrain.py:103-113)."""
+    import numpy as np
+
+    model = DisentangledVAE()
+    x, y = jnp.ones((4, 513)), jnp.ones((4, 1))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    p1 = init_params(model, rngs, x, y)
+    p2 = init_params(model, {"params": jax.random.PRNGKey(9),
+                             "sample": jax.random.PRNGKey(8)}, x, y)
+    # donor: classifier only, plus a module the template doesn't have
+    donor = {"params": {
+        "enc_dec_clf": {"classifier": p1["params"]["enc_dec_clf"]["classifier"]},
+        "stranger": {"kernel": jnp.zeros((3, 3))},
+    }}
+    ckpt.save_checkpoint(tmp_path, "donor_epoch_001_vloss_9.99", donor)
+    merged = ckpt.partial_load(tmp_path / "donor_epoch_001_vloss_9.99.msgpack",
+                               p2, "enc_dec_clf/classifier")
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["enc_dec_clf"]["classifier"]["output_layer"]["kernel"]),
+        np.asarray(p1["params"]["enc_dec_clf"]["classifier"]["output_layer"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["enc_dec_clf"]["encoder"]["sample"]["mu"]["kernel"]),
+        np.asarray(p2["params"]["enc_dec_clf"]["encoder"]["sample"]["mu"]["kernel"]))
+
+    # filter matching template entries the donor lacks -> descriptive KeyError
+    import pytest
+
+    with pytest.raises(KeyError, match="no entry"):
+        ckpt.partial_load(tmp_path / "donor_epoch_001_vloss_9.99.msgpack",
+                          p2, "enc_dec_clf/encoder")
+    # shape mismatch INSIDE the filtered region -> descriptive ValueError
+    bad = {"params": {"enc_dec_clf": {"classifier": jax.tree.map(
+        lambda a: jnp.zeros(a.shape + (2,)),
+        p1["params"]["enc_dec_clf"]["classifier"])}}}
+    ckpt.save_checkpoint(tmp_path, "bad_epoch_001_vloss_9.99", bad)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        ckpt.partial_load(tmp_path / "bad_epoch_001_vloss_9.99.msgpack",
+                          p2, "enc_dec_clf/classifier")
+
+
 def test_fit_vae_resume_restores_optimizer_state(tmp_path, subset_dir):
     """start_epoch > 1 must continue from the previous epoch's checkpoint
     (params AND Adam state) and produce the same result as an uninterrupted
