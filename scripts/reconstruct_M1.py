@@ -2,8 +2,10 @@
 """M1 encode-decode analysis on QUT-mixture triplets (_s/_n/_x.wav).
 
 Mirrors /root/reference/scripts/reconstruct_M1.py: reconstruct the clean and
-noisy spectrograms through the trained M1 VAE and save comparison figures
-with the oracle VAD overlay."""
+noisy spectrograms through the trained M1 VAE and save the reference's
+two-figure set per utterance (``_s_recon.png`` = clean + two oracle-VAD-
+masked reconstruction rows, ``_x_recon.png`` = mixture / clean+mask /
+noisy-reconstruction+mask — reconstruct_M1.py:188-256)."""
 
 import argparse
 import os
@@ -47,13 +49,19 @@ def main():
     for x_path in triplets:
         base = x_path[: -len("_x.wav")]
         name = os.path.basename(base)
-        for tag, wav_path in (("s", base + "_s.wav"), ("x", x_path)):
-            wav, _ = read_wav(wav_path)
-            S, x2 = rec.power_spec(wav)
-            r = rec.reconstruct(model, params, x2)
-            vad = rec.oracle_vad(wav) if tag == "s" else None
-            out = os.path.join(args.output_dir, f"{name}_{tag}_recon.png")
-            rec.save_reconstruction_figure(out, wav, S, r, vad)
+        s_wav, _ = read_wav(base + "_s.wav")
+        x_wav, _ = read_wav(x_path)
+        S, s2 = rec.power_spec(s_wav)
+        X, x2 = rec.power_spec(x_wav)
+        recon_s = rec.reconstruct(model, params, s2)
+        recon_x = rec.reconstruct(model, params, x2)
+        # the reference reads the oracle VAD from the builder h5
+        # (reconstruct_M1.py:172-177); recomputing it from the clean wav is
+        # value-identical (the h5 was built with the same function and the
+        # threshold is scale-invariant)
+        y = rec.oracle_vad(s_wav)
+        rec.m1_figure_set(os.path.join(args.output_dir, name),
+                          s_wav, x_wav, S, X, recon_s, recon_x, y)
         print(f"reconstructed {name}")
 
 

@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """M2 label-swap disentanglement probe on QUT mixtures.
 
-Mirrors /root/reference/scripts/reconstruct_M2.py: decode each utterance with
-the oracle y, all-ones y and all-zeros y and save the figures — a visual
-check of how much the reconstruction depends on the label."""
+Mirrors /root/reference/scripts/reconstruct_M2.py:204-355: the reference
+four-figure set per utterance — oracle-conditioned clean decode
+(``_s_recon``), then the NOISY spectrogram decoded with oracle / all-ones /
+all-zeros labels (``_x_recon``, ``_x_recon_ones``, ``_x_recon_zeros``),
+each over the mixture and clean-reference rows — a visual check of how
+much the reconstruction depends on the label."""
 
 import argparse
 import os
@@ -51,15 +54,20 @@ def main():
         base = x_path[: -len("_x.wav")]
         name = os.path.basename(base)
         s_wav, _ = read_wav(base + "_s.wav")
+        x_wav, _ = read_wav(x_path)
         S, s2 = rec.power_spec(s_wav)
+        X, x2 = rec.power_spec(x_wav)
         if y_dim == 1:
             y = rec.oracle_vad(s_wav)[:, None]
         else:
             y = np.asarray(clean_speech_ibm(jnp.asarray(S)))
-        for tag, y_var in rec.label_variants(y).items():
-            r = rec.reconstruct(model, params, s2, y_var)
-            out = os.path.join(args.output_dir, f"{name}_s_recon_{tag}.png")
-            rec.save_reconstruction_figure(out, s_wav, S, r, y if tag == "y" else None)
+        recon_s = rec.reconstruct(model, params, s2, y)
+        variants = rec.label_variants(y)
+        recon_x = {tag: rec.reconstruct(model, params, x2, yv)
+                   for tag, yv in variants.items()}
+        rec.m2_figure_set(os.path.join(args.output_dir, name),
+                          s_wav, x_wav, S, X, recon_s,
+                          recon_x["y"], recon_x["ones"], recon_x["zeros"], y)
         print(f"reconstructed {name}")
 
 

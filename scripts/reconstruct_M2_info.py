@@ -1,7 +1,12 @@
 #!/usr/bin/env python
-"""M2-info reconstruction probe on QUT mixtures: decode with the model's OWN
-classifier prediction (y_hat_soft), the oracle y, and the ones/zeros
-ablations. Mirrors /root/reference/scripts/reconstruct_M2_info.py:194-228."""
+"""M2-info reconstruction probe on QUT mixtures.
+
+Mirrors /root/reference/scripts/reconstruct_M2_info.py:194-471: the
+reference six-figure set per utterance — clean decode with the model's OWN
+classifier prediction next to the oracle decode (``_s_recon``), noisy
+decodes with oracle / ŷ_soft / ones / zeros conditioning (``_x_recon``,
+``_x_recon_soft``, ``_x_recon_ones``, ``_x_recon_zeros``), and the
+auxiliary classifier's z-based prediction (``_recon_aux``)."""
 
 import argparse
 import os
@@ -47,16 +52,31 @@ def main():
         base = x_path[: -len("_x.wav")]
         name = os.path.basename(base)
         s_wav, _ = read_wav(base + "_s.wav")
+        x_wav, _ = read_wav(x_path)
         S, s2 = rec.power_spec(s_wav)
-        y_oracle = rec.oracle_vad(s_wav)[:, None]
+        X, x2 = rec.power_spec(x_wav)
+        y = rec.oracle_vad(s_wav)[:, None]
+        # the model's own x->y classification of the CLEAN spectrogram
+        # (reconstruct_M2_info.py:195-200)
         y_hat_soft = np.asarray(model.apply(params, jnp.asarray(s2, jnp.float32),
                                             method="classify_from_x"))
-        variants = {"yhatsoft": y_hat_soft, **rec.label_variants(y_oracle)}
-        for tag, y_var in variants.items():
-            r = rec.reconstruct(model, params, s2, y_var)
-            out = os.path.join(args.output_dir, f"{name}_s_recon_{tag}.png")
-            rec.save_reconstruction_figure(out, s_wav, S, r,
-                                           y_oracle if tag == "y" else None)
+        recon_clean_soft, z = rec.reconstruct(model, params, s2, y_hat_soft,
+                                              return_z=True)
+        recon_clean_oracle = rec.reconstruct(model, params, s2, y)
+        recon_x_oracle = rec.reconstruct(model, params, x2, y)
+        recon_x_soft = rec.reconstruct(model, params, x2, y_hat_soft)
+        recon_x_ones = rec.reconstruct(model, params, x2, np.ones_like(y))
+        recon_x_zeros = rec.reconstruct(model, params, x2, np.zeros_like(y))
+        # auxiliary classifier on the clean-soft encode's latent
+        # (reconstruct_M2_info.py:440-442)
+        yz_soft = np.asarray(model.apply(params, jnp.asarray(z, jnp.float32),
+                                         method="classify_from_z"))
+        rec.m2_info_figure_set(os.path.join(args.output_dir, name),
+                               s_wav, x_wav, S, X,
+                               recon_clean_soft, recon_clean_oracle,
+                               recon_x_oracle, recon_x_soft,
+                               recon_x_ones, recon_x_zeros,
+                               y, y_hat_soft, yz_soft)
         print(f"reconstructed {name}")
 
 

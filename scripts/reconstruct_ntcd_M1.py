@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """M1 encode-decode analysis on NTCD noisy/clean pairs.
 
-Mirrors /root/reference/scripts/reconstruct_ntcd_M1.py: figures
-``<utt>_s_recon.png`` / ``<utt>_x_recon.png`` per pair."""
+Mirrors /root/reference/scripts/reconstruct_ntcd_M1.py:215-281: the
+reference two-figure set per pair (``_s_recon.png`` clean + masked
+reconstruction rows, ``_x_recon.png`` mixture / clean+mask /
+noisy-reconstruction+mask), frames trimmed to the oracle-label length (the
+reference trims to the upsampled-video frame count, which is what the
+label h5 length encodes)."""
 
 import argparse
 import os
@@ -27,6 +31,7 @@ def main():
 
     from dvae_tpu.data.catalog import ntcd_timit
     from dvae_tpu.data.io import read_wav
+    from dvae_tpu.enhance.evaluate import load_oracle_labels
     from dvae_tpu.eval import reconstruct as rec
     from dvae_tpu.models import VAE
     from dvae_tpu.train import checkpoint as ckpt
@@ -52,15 +57,18 @@ def main():
         name = f"{noise}_{snr}_{os.path.splitext(os.path.basename(noisy_rel))[0]}"
         clean_wav_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
         clean_wav_rel = os.path.splitext(clean_wav_rel)[0] + ".wav"
-        for tag, rel in (("s", clean_wav_rel), ("x", noisy_rel)):
-            wav_path = os.path.join(proc, rel)
-            if not os.path.exists(wav_path):
-                continue
-            wav, _ = read_wav(wav_path)
-            S, x2 = rec.power_spec(wav)
-            r = rec.reconstruct(model, params, x2)
-            out = os.path.join(args.output_dir, f"{name}_{tag}_recon.png")
-            rec.save_reconstruction_figure(out, wav, S, r)
+        if not os.path.exists(os.path.join(proc, clean_wav_rel)):
+            continue
+        s_wav, _ = read_wav(os.path.join(proc, clean_wav_rel))
+        x_wav, _ = read_wav(os.path.join(proc, noisy_rel))
+        S, s2 = rec.power_spec(s_wav)
+        X, x2 = rec.power_spec(x_wav)
+        y = load_oracle_labels(os.path.join(proc, clean_rel))
+        n = min(len(y), s2.shape[0], x2.shape[0])
+        recon_s = rec.reconstruct(model, params, s2[:n])
+        recon_x = rec.reconstruct(model, params, x2[:n])
+        rec.m1_figure_set(os.path.join(args.output_dir, name),
+                          s_wav, x_wav, S[:n], X[:n], recon_s, recon_x, y[:n])
         print(f"reconstructed {name}")
 
 

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """M2 label-swap disentanglement probe on NTCD noisy pairs.
 
-Mirrors /root/reference/scripts/reconstruct_ntcd_M2.py (y from the oracle
-label h5s or precomputed classifier .pt outputs)."""
+Mirrors /root/reference/scripts/reconstruct_ntcd_M2.py:242-393 (y from the
+oracle label h5s or precomputed classifier .pt outputs, :194-219): the
+reference four-figure set — ``_s_recon`` (oracle-conditioned clean decode)
+plus ``_x_recon`` / ``_x_recon_ones`` / ``_x_recon_zeros`` noisy decodes
+over mixture + clean-reference rows."""
 
 import argparse
 import os
@@ -56,19 +59,29 @@ def main():
         snr = noisy_rel.split("/")[-4]
         noise = noisy_rel.split("/")[-5]
         name = f"{noise}_{snr}_{os.path.splitext(os.path.basename(noisy_rel))[0]}"
-        wav, _ = read_wav(os.path.join(proc, noisy_rel))
-        S, x2 = rec.power_spec(wav)
+        clean_wav_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
+        clean_wav_rel = os.path.splitext(clean_wav_rel)[0] + ".wav"
+        if not os.path.exists(os.path.join(proc, clean_wav_rel)):
+            continue
+        s_wav, _ = read_wav(os.path.join(proc, clean_wav_rel))
+        x_wav, _ = read_wav(os.path.join(proc, noisy_rel))
+        S, s2 = rec.power_spec(s_wav)
+        X, x2 = rec.power_spec(x_wav)
         if args.y_source == "oracle":
             y = load_oracle_labels(os.path.join(proc, clean_rel))
         else:
             base = os.path.splitext(os.path.basename(noisy_rel))[0]
             spk = noisy_rel.split("/")[-2]
             y = find_classifier_labels(args.classifier_dir, spk, base, y_dim)
-        n = min(len(y), x2.shape[0])
-        for tag, y_var in rec.label_variants(y[:n]).items():
-            r = rec.reconstruct(model, params, x2[:n], y_var)
-            out = os.path.join(args.output_dir, f"{name}_x_recon_{tag}.png")
-            rec.save_reconstruction_figure(out, wav, S[:n], r)
+        n = min(len(y), s2.shape[0], x2.shape[0])
+        y = y[:n]
+        recon_s = rec.reconstruct(model, params, s2[:n], y)
+        variants = rec.label_variants(y)
+        recon_x = {tag: rec.reconstruct(model, params, x2[:n], yv)
+                   for tag, yv in variants.items()}
+        rec.m2_figure_set(os.path.join(args.output_dir, name),
+                          s_wav, x_wav, S[:n], X[:n], recon_s,
+                          recon_x["y"], recon_x["ones"], recon_x["zeros"], y)
         print(f"reconstructed {name}")
 
 

@@ -1,7 +1,13 @@
 #!/usr/bin/env python
-"""M2-info reconstruction probe on NTCD noisy pairs (own-classifier y_hat
-plus oracle/ones/zeros). Mirrors
-/root/reference/scripts/reconstruct_ntcd_M2_info.py:196-247."""
+"""M2-info reconstruction probe on NTCD noisy pairs.
+
+Mirrors /root/reference/scripts/reconstruct_ntcd_M2_info.py:188-490: the
+reference six-figure set per pair — clean decode with the model's OWN
+classifier prediction next to the oracle decode (``_s_recon``), noisy
+decodes with oracle / ŷ_soft / ones / zeros conditioning (``_x_recon``,
+``_x_recon_soft``, ``_x_recon_ones``, ``_x_recon_zeros``), and the
+auxiliary classifier's z-based prediction (``_recon_aux``). Frames trimmed
+to the oracle-label length (= the reference's upsampled-video trim)."""
 
 import argparse
 import os
@@ -51,17 +57,38 @@ def main():
         snr = noisy_rel.split("/")[-4]
         noise = noisy_rel.split("/")[-5]
         name = f"{noise}_{snr}_{os.path.splitext(os.path.basename(noisy_rel))[0]}"
-        wav, _ = read_wav(os.path.join(proc, noisy_rel))
-        S, x2 = rec.power_spec(wav)
-        y_oracle = load_oracle_labels(os.path.join(proc, clean_rel))
-        n = min(len(y_oracle), x2.shape[0])
-        y_hat_soft = np.asarray(model.apply(params, jnp.asarray(x2[:n], jnp.float32),
+        clean_wav_rel = clean_rel.replace("_vad_labels", "").replace("_upsampled", "")
+        clean_wav_rel = os.path.splitext(clean_wav_rel)[0] + ".wav"
+        if not os.path.exists(os.path.join(proc, clean_wav_rel)):
+            continue
+        s_wav, _ = read_wav(os.path.join(proc, clean_wav_rel))
+        x_wav, _ = read_wav(os.path.join(proc, noisy_rel))
+        S, s2 = rec.power_spec(s_wav)
+        X, x2 = rec.power_spec(x_wav)
+        y = load_oracle_labels(os.path.join(proc, clean_rel))
+        n = min(len(y), s2.shape[0], x2.shape[0])
+        y = y[:n]
+        # the model's own x->y classification of the CLEAN spectrogram
+        # (reconstruct_ntcd_M2_info.py:195-197)
+        y_hat_soft = np.asarray(model.apply(params, jnp.asarray(s2[:n], jnp.float32),
                                             method="classify_from_x"))
-        variants = {"yhatsoft": y_hat_soft, **rec.label_variants(y_oracle[:n])}
-        for tag, y_var in variants.items():
-            r = rec.reconstruct(model, params, x2[:n], y_var)
-            out = os.path.join(args.output_dir, f"{name}_x_recon_{tag}.png")
-            rec.save_reconstruction_figure(out, wav, S[:n], r)
+        recon_clean_soft, z = rec.reconstruct(model, params, s2[:n], y_hat_soft,
+                                              return_z=True)
+        recon_clean_oracle = rec.reconstruct(model, params, s2[:n], y)
+        recon_x_oracle = rec.reconstruct(model, params, x2[:n], y)
+        recon_x_soft = rec.reconstruct(model, params, x2[:n], y_hat_soft)
+        recon_x_ones = rec.reconstruct(model, params, x2[:n], np.ones_like(y))
+        recon_x_zeros = rec.reconstruct(model, params, x2[:n], np.zeros_like(y))
+        # auxiliary classifier on the clean-soft encode's latent
+        # (reconstruct_ntcd_M2_info.py:459-461)
+        yz_soft = np.asarray(model.apply(params, jnp.asarray(z, jnp.float32),
+                                         method="classify_from_z"))
+        rec.m2_info_figure_set(os.path.join(args.output_dir, name),
+                               s_wav, x_wav, S[:n], X[:n],
+                               recon_clean_soft, recon_clean_oracle,
+                               recon_x_oracle, recon_x_soft,
+                               recon_x_ones, recon_x_zeros,
+                               y, y_hat_soft, yz_soft)
         print(f"reconstructed {name}")
 
 

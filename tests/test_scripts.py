@@ -126,8 +126,9 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
           "--data-root", str(data_root / "data"), "--checkpoint", str(ckpt),
           "--max-utts", "2", "--output-dir", str(fig_dir),
           "--platform", "cpu"], cwd=data_root)
-    recons = list(fig_dir.glob("*_recon.png"))
-    assert len(recons) >= 2, recons
+    # the reference two-figure set per pair (reconstruct_ntcd_M1.py:239,281)
+    assert len(list(fig_dir.glob("*_s_recon.png"))) >= 2
+    assert len(list(fig_dir.glob("*_x_recon.png"))) >= 2
 
     # 6. the QUT-mixture reconstruct variant on the shipped _s/_x/_n triplets
     qut_fig = tmp_path / "recon_qut"
@@ -135,7 +136,8 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
           "--data-root", str(data_root / "data"), "--checkpoint", str(ckpt),
           "--max-utts", "2", "--output-dir", str(qut_fig),
           "--platform", "cpu"], cwd=data_root)
-    assert len(list(qut_fig.glob("*.png"))) >= 2
+    assert len(list(qut_fig.glob("*_s_recon.png"))) >= 2
+    assert len(list(qut_fig.glob("*_x_recon.png"))) >= 2
 
 
 def test_parity_harness_smoke(tmp_path):
@@ -220,3 +222,25 @@ def test_m2_info_chain(tmp_path, subset_dir):
           "--y-source", "oracle", "--output-dir", str(out2),
           "--platform", "cpu"], cwd=tmp_path)
     assert len(list(out2.rglob("*_s_est.wav"))) == 6
+
+    # reconstruction probes from the trained checkpoints: the M2-info
+    # six-figure set (reconstruct_ntcd_M2_info.py:282-490) and the M2
+    # four-figure label-swap set (reconstruct_ntcd_M2.py:266-393)
+    mi_ckpt = sorted(model_dir.glob("M2_epoch_*.msgpack"))[-1]
+    fig_mi = tmp_path / "fig_mi"
+    _run([str(SCRIPTS / "reconstruct_ntcd_M2_info.py"), "--dataset-size",
+          "subset", "--data-root", str(data_root), "--checkpoint", str(mi_ckpt),
+          "--max-utts", "1", "--output-dir", str(fig_mi),
+          "--platform", "cpu"], cwd=tmp_path)
+    for suffix in ("_s_recon", "_x_recon", "_x_recon_soft", "_x_recon_ones",
+                   "_x_recon_zeros", "_recon_aux"):
+        assert list(fig_mi.glob(f"*{suffix}.png")), suffix
+
+    m2_ckpt = sorted(m2_dir.glob("M2_epoch_*.msgpack"))[-1]
+    fig_m2 = tmp_path / "fig_m2"
+    _run([str(SCRIPTS / "reconstruct_ntcd_M2.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--checkpoint", str(m2_ckpt), "--max-utts", "1",
+          "--output-dir", str(fig_m2), "--platform", "cpu"], cwd=tmp_path)
+    for suffix in ("_s_recon", "_x_recon", "_x_recon_ones", "_x_recon_zeros"):
+        assert list(fig_m2.glob(f"*{suffix}.png")), suffix
