@@ -60,12 +60,15 @@ def oracle_vad(wav: np.ndarray, cfg: StftConfig = StftConfig()):
     return np.asarray(clean_speech_vad(jnp.asarray(wav, jnp.float32), cfg))
 
 
-def save_signal_rows(out_path, rows, cfg: StftConfig = StftConfig()):
+def save_signal_rows(out_path, rows, cfg: StftConfig = StftConfig(),
+                     vmin: float = -40.0, vmax: float = 20.0):
     """Render one figure from a reference-style ``signal_list``: a list of
     (wav-or-None, spectrogram-or-None, mask-or-None) rows
-    (visualization.py:201-269 contract)."""
+    (visualization.py:201-269 contract). Default color limits are the
+    reconstruct scripts' settings (reconstruct_M1.py:74-75)."""
     fig = viz.display_multiple_signals(
-        list(rows), fs=cfg.fs, wlen_sec=cfg.wlen_sec, hop_percent=cfg.hop_percent)
+        list(rows), fs=cfg.fs, wlen_sec=cfg.wlen_sec, hop_percent=cfg.hop_percent,
+        vmin=vmin, vmax=vmax)
     out_path = pathlib.Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(out_path)

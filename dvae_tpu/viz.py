@@ -109,9 +109,11 @@ def display_wav_spectro_mask(x, spec, mask, fs=16000, wlen_sec=64e-3,
 
 
 def display_multiple_signals(signal_list, fs=16000, wlen_sec=64e-3,
-                             hop_percent=0.25, fig=None):
+                             hop_percent=0.25, vmin=-60, vmax=10, fig=None):
     """Grid: one column per signal, rows = (wave, spectrogram, mask)
-    (visualization.py:201-269). Each item: (x, spec, mask-or-None)."""
+    (visualization.py:201-269). Each item: (x, spec, mask-or-None).
+    ``vmin``/``vmax`` are the dB color limits (the reconstruct scripts pass
+    the reference's -40/20, reconstruct_M1.py:74-75)."""
     n = len(signal_list)
     fig = fig or plt.figure(figsize=(8 * n, 12))
     axes = fig.subplots(3, n, squeeze=False)
@@ -121,7 +123,8 @@ def display_multiple_signals(signal_list, fs=16000, wlen_sec=64e-3,
             display_waveplot(x, fs, ax=axes[0][j])
         if spec is not None:
             # amplitude convention for real inputs (see display_wav_spectro_mask)
-            _imshow_spec(axes[1][j], _spec_db(spec, power=False), fs, hop_sec)
+            _imshow_spec(axes[1][j], _spec_db(spec, power=False), fs, hop_sec,
+                         vmin, vmax)
         if mask is not None:
             m = np.asarray(mask)
             if m.ndim == 1 or m.shape[-1] == 1:
