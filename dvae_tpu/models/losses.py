@@ -98,9 +98,12 @@ def U_loss(x, r, mu, log_var, y_hat_soft, eps: float = 1e-8):
     kl = kl_gaussian_standard(mu, log_var)
     L = (recon + kl)[..., None]
     L_soft = jnp.sum(y_hat_soft * L + (1 - y_hat_soft) * L, axis=-1)
+    # clip inside the logs only (same saturation hazard as the BCEs above:
+    # XLA reassociates 1 - y + eps into (1 + eps) - y == 1 - y in float32,
+    # so a saturated y_hat makes 0 * log(0) = nan under jit)
+    yc = jnp.clip(y_hat_soft, eps, 1.0 - max(eps, _SAT))
     H = -jnp.sum(
-        y_hat_soft * jnp.log(y_hat_soft + eps)
-        + (1 - y_hat_soft) * jnp.log(1 - y_hat_soft + eps),
+        y_hat_soft * jnp.log(yc) + (1 - y_hat_soft) * jnp.log(1 - yc),
         axis=-1,
     )
     U = jnp.mean(L_soft + H)

@@ -33,6 +33,8 @@ from dvae_tpu.train.steps import (
     make_adversarial_step,
     make_eval_step,
     make_multi_train_step,
+    make_semisup_eval_step,
+    make_semisup_step,
     make_train_step,
 )
 
@@ -320,6 +322,61 @@ def fit_vae(
         state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,
         run_step, run_multi, run_eval,
         stack_labels=conditional, vloss_key="elbo",
+        ckpt_opt_state=lambda st: st.opt_state,
+        resumed=resume is not None,
+    )
+
+
+def fit_semisup(
+    model,
+    train_ds,
+    valid_ds,
+    model_dir,
+    prefix: str,
+    objective: str,
+    alpha: float,
+    y_cond: str = "soft",
+    cfg: LoopConfig = LoopConfig(),
+    mesh=None,
+):
+    """Train a CVAE_v3 with the semi-supervised U_loss/L_loss objective —
+    the reconstructed trainer behind the reference's shipped
+    ``ntcd_M2v3_VAD_{U,L}loss_alpha_*`` golden checkpoints (see
+    make_semisup_step for the evidence base). Checkpoint vloss is the
+    total loss (objective − α·BCE), matching the vloss forensics.
+    Returns (best_params, history)."""
+    from dvae_tpu.models import init_params as init_all_params
+
+    key = jax.random.PRNGKey(cfg.seed)
+    kp, ks = jax.random.split(key)
+
+    xb, yb = next(train_ds.batches(8))
+    # init_all traces the classifier head too (CVAE_v3.__call__ doesn't)
+    params = init_all_params(model, {"params": kp, "sample": ks}, xb, yb)
+    tx = adam(cfg.learning_rate)
+    state = init_train_state(model, params, tx)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    resume = _resume_checkpoint(model_dir, prefix, cfg.start_epoch)
+    if resume is not None:
+        params, opt_state = ckpt.load_checkpoint(resume, state.params, state.opt_state)
+        state = state._replace(params=params, opt_state=opt_state)
+        if mesh is not None:
+            state = replicate(state, mesh)
+        print(f"resumed from {resume}")
+
+    step = make_semisup_step(model, tx, objective, alpha, y_cond, cfg.eps)
+    multi_step = None
+    if cfg.steps_per_dispatch > 1:
+        multi_step = make_semisup_step(model, tx, objective, alpha, y_cond,
+                                       cfg.eps, multi=True)
+    evaluate = make_semisup_eval_step(model, objective, alpha, y_cond, cfg.eps)
+
+    return _run_epochs(
+        state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,
+        step, multi_step, evaluate,
+        stack_labels=True, vloss_key="loss",
         ckpt_opt_state=lambda st: st.opt_state,
         resumed=resume is not None,
     )

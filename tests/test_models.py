@@ -171,6 +171,26 @@ def test_f1_loss_mask_excludes_padding():
     assert float(padded[0]) > float(got[0])  # accuracy inflated by padding
 
 
+def test_u_loss_finite_at_saturation_under_jit():
+    """A saturated classifier output (exactly 0.0/1.0 in float32) must not
+    NaN the U objective under jit: XLA reassociates the reference's
+    1 - y + eps (utils.py:96) into (1 + eps) - y == 1 - y in float32, so the
+    entropy term hits 0 * log(0) — same hazard as the BCE family, same
+    clip-inside-the-log fix."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.abs(rng.standard_normal((4, 513))) + 0.1, jnp.float32)
+    r = jnp.asarray(np.abs(rng.standard_normal((4, 513))) + 0.1, jnp.float32)
+    mu = jnp.zeros((4, 16))
+    lv = jnp.zeros((4, 16))
+    yh = jnp.asarray([[0.0], [1.0], [0.5], [0.3]], jnp.float32)
+    U, L, recon, kl = jax.jit(losses.U_loss)(x, r, mu, lv, yh)
+    assert np.isfinite(float(U)) and np.isfinite(float(L))
+    # value parity with the un-jitted reference form away from saturation
+    U2, *_ = losses.U_loss(x, r, mu, lv, jnp.full((4, 1), 0.3))
+    U2j, *_ = jax.jit(losses.U_loss)(x, r, mu, lv, jnp.full((4, 1), 0.3))
+    np.testing.assert_allclose(float(U2), float(U2j), rtol=1e-6)
+
+
 def test_u_loss_runs():
     rng = np.random.default_rng(3)
     x = jnp.asarray(np.abs(rng.standard_normal((8, 513))) + 0.1, dtype=jnp.float32)

@@ -69,6 +69,40 @@ def test_adversarial_step_trains_both_players():
     assert float(m["elbo"]) < m0["elbo"]
 
 
+def test_semisup_step_alpha_sign_controls_classifier():
+    """The reconstructed Uloss/Lloss trainer's alpha-sign signature (see
+    make_semisup_step's vloss forensics): alpha<0 trains the classifier
+    TOWARD the labels (BCE falls below chance ~0.69); alpha>0 is
+    adversarial (BCE rises toward log-eps saturation). All metrics stay
+    finite even once the classifier saturates."""
+    from dvae_tpu.models import CVAE_v3
+    from dvae_tpu.train.steps import make_semisup_step
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(np.abs(rng.standard_normal((64, 513))).astype(np.float32) + 0.1)
+    y = jnp.asarray((rng.uniform(size=(64, 1)) > 0.5).astype(np.float32))
+    model = CVAE_v3()
+    finals = {}
+    for alpha in (-10.0, 10.0):
+        params = init_params(model, {"params": jax.random.PRNGKey(0),
+                                     "sample": jax.random.PRNGKey(1)}, x, y)
+        tx = adam(1e-3)
+        from dvae_tpu.train.steps import init_train_state
+
+        state = init_train_state(model, params, tx)
+        step = make_semisup_step(model, tx, "uloss", alpha, "hardlabel")
+        for i in range(30):
+            state, m = step(state, x, y, jax.random.PRNGKey(i))
+            for k, v in m.items():
+                assert np.isfinite(float(v)), (alpha, i, k)
+        finals[alpha] = {k: float(v) for k, v in m.items()}
+    chance = 0.6931
+    assert finals[-10.0]["classif"] < chance * 0.9   # pulled toward labels
+    assert finals[10.0]["classif"] > chance * 1.5    # pushed away (saturating)
+    # the objective itself keeps optimizing in both regimes
+    assert finals[-10.0]["objective"] < 1e5 and finals[10.0]["objective"] < 1e5
+
+
 def test_legacy_aux_coupling_flips_aux_direction():
     """legacy coupling scales the aux grad by (gamma-beta): with beta=10,
     gamma=1 the two modes must push the auxiliary in opposite directions."""
