@@ -397,12 +397,19 @@ def fit_adversarial(
     legacy_aux_coupling: bool = False,
     use_y_hat_soft: bool = False,
     freeze_classifier: bool = False,
+    y_cond: str | None = None,
 ):
     """Train the disentangled M2-info model (two-optimizer adversarial game).
 
-    Checkpoint vloss is the encoder loss, matching
-    training_M2_info_vad.py:280-281. Returns (best_params, history)."""
+    Works for both adversarial layouts: DisentangledVAE (v5) and CVAE_v4
+    (the reference's ntcd_M2v4_* golden families — same four modules in a
+    flat tree, models.py:299-333). ``y_cond`` selects the decoder
+    conditioning label ('ytrue' default / 'soft' / 'yhathard' /
+    'hardlabel' — the v4 golden names' suffixes). Checkpoint vloss is the
+    encoder loss, matching training_M2_info_vad.py:280-281. Returns
+    (best_params, history)."""
     from dvae_tpu.models import init_params as init_all_params
+    from dvae_tpu.train.steps import _adversarial_layout
 
     key = jax.random.PRNGKey(cfg.seed)
     kp, ks = jax.random.split(key)
@@ -427,10 +434,11 @@ def fit_adversarial(
         print(f"resumed from {resume}")
 
     freeze = "classifier" if freeze_classifier else None
+    layout = _adversarial_layout(params)
     step = make_adversarial_step(
         model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
         legacy_aux_coupling=legacy_aux_coupling, use_y_hat_soft=use_y_hat_soft,
-        freeze_substring=freeze,
+        freeze_substring=freeze, y_cond=y_cond, layout=layout,
     )
     multi_step = None
     if cfg.steps_per_dispatch > 1:
@@ -438,10 +446,11 @@ def fit_adversarial(
             model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
             legacy_aux_coupling=legacy_aux_coupling,
             use_y_hat_soft=use_y_hat_soft, multi=True,
-            freeze_substring=freeze,
+            freeze_substring=freeze, y_cond=y_cond, layout=layout,
         )
     evaluate = make_adversarial_eval_step(model, alpha, beta, gamma, cfg.eps,
-                                          use_y_hat_soft=use_y_hat_soft)
+                                          use_y_hat_soft=use_y_hat_soft,
+                                          y_cond=y_cond)
 
     return _run_epochs(
         state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,

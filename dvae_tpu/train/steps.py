@@ -276,12 +276,26 @@ def make_semisup_eval_step(model, objective: str, alpha: float,
 # ---------------------------------------------------------------------------
 
 
+def _adversarial_layout(params) -> str:
+    """'v5' = DisentangledVAE's nested {enc_dec_clf, auxiliary} tree;
+    'v4' = CVAE_v4's flat {encoder, decoder, classifier, auxiliary}
+    (reference models.py:299-333 — the same four modules without the
+    wrapper). Tree structure is static under jit, so branching on it at
+    trace time is free."""
+    return "v5" if "enc_dec_clf" in params["params"] else "v4"
+
+
 def _split_params(params):
+    """(enc-player subtree, aux-player subtree) for either layout."""
     p = params["params"]
-    return p["enc_dec_clf"], p["auxiliary"]
+    if "enc_dec_clf" in p:
+        return p["enc_dec_clf"], p["auxiliary"]
+    return {k: v for k, v in p.items() if k != "auxiliary"}, p["auxiliary"]
 
 
-def _merge_params(enc, aux):
+def _merge_params(enc, aux, layout: str = "v5"):
+    if layout == "v4":
+        return {"params": {**enc, "auxiliary": aux}}
     return {"params": {"enc_dec_clf": enc, "auxiliary": aux}}
 
 
@@ -297,12 +311,19 @@ def make_adversarial_step(
     use_y_hat_soft: bool = False,
     multi: bool = False,
     freeze_substring: str | None = None,
+    y_cond: str | None = None,
+    layout: str = "v5",
 ) -> Callable:
     """Returns jitted ``step(state, x, y, key) -> (state, metrics)``.
 
     ``use_y_hat_soft=True`` feeds the classifier's soft prediction to the
     decoder instead of the true label (the _pretrain variant,
-    training_M2_info_vad_pretrain.py:163).
+    training_M2_info_vad_pretrain.py:163). ``y_cond`` generalizes it:
+    'ytrue' (default) / 'soft' / 'yhathard'-'hardlabel' (stop-grad hard
+    prediction — the v4 golden families' _hardlabel/_yhathard suffixes).
+
+    ``layout`` selects the param-tree shape: 'v5' (DisentangledVAE) or
+    'v4' (CVAE_v4's flat tree) — see _adversarial_layout.
 
     ``multi=True`` returns ``step(state, xs (K,B,F), ys (K,B,Y), key)``
     running K adversarial steps per dispatch via ``lax.scan`` (identical
@@ -313,15 +334,20 @@ def make_adversarial_step(
     reference's no-op freeze (training_M2_info_vad_pretrain.py:142-146).
     """
     aux_scale = (gamma - beta) if legacy_aux_coupling else gamma
+    cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
+    if cond_mode not in ("ytrue", "soft", "yhathard", "hardlabel"):
+        raise ValueError(f"unknown y_cond {cond_mode!r}")
 
     def forward(params, x, y, key):
         y_hat_x = model.apply(params, x, method="classify_from_x")
-        y_cond = y_hat_x if use_y_hat_soft else y
-        r, z, mu, logvar = model.apply(params, x, y_cond, rngs={"sample": key})
+        hard = jax.lax.stop_gradient((y_hat_x > 0.5).astype(jnp.float32))
+        cond = {"ytrue": y, "soft": y_hat_x,
+                "yhathard": hard, "hardlabel": hard}[cond_mode]
+        r, z, mu, logvar = model.apply(params, x, cond, rngs={"sample": key})
         return y_hat_x, r, z, mu, logvar
 
     def enc_loss_fn(enc_params, aux_params, x, y, key):
-        params = _merge_params(enc_params, aux_params)
+        params = _merge_params(enc_params, aux_params, layout)
         y_hat_x, r, z, mu, logvar = forward(params, x, y, key)
         elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
         classif = losses.binary_cross_entropy(y_hat_x, y, eps)
@@ -349,7 +375,7 @@ def make_adversarial_step(
     def aux_loss_fn(aux_params, enc_params, z, y):
         if not aux_scale:  # static skip, same 0*inf hazard as above
             return jnp.zeros(())
-        params = _merge_params(enc_params, aux_params)
+        params = _merge_params(enc_params, aux_params, layout)
         y_hat_z = model.apply(params, jax.lax.stop_gradient(z), method="classify_from_z")
         return aux_scale * losses.binary_cross_entropy(y_hat_z, y, eps)
 
@@ -386,7 +412,8 @@ def make_adversarial_step(
 
         metrics["aux"] = aux_loss
         new_state = AdversarialState(
-            _merge_params(enc_params, aux_params), opt_enc, opt_aux, state.step + 1
+            _merge_params(enc_params, aux_params, layout), opt_enc, opt_aux,
+            state.step + 1
         )
         return new_state, metrics
 
@@ -404,12 +431,17 @@ def make_adversarial_step(
 
 
 def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
-                               use_y_hat_soft: bool = False) -> Callable:
+                               use_y_hat_soft: bool = False,
+                               y_cond: str | None = None) -> Callable:
+    cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
+
     @jax.jit
     def evaluate(params, x, y, key):
         y_hat_x = model.apply(params, x, method="classify_from_x")
-        y_cond = y_hat_x if use_y_hat_soft else y
-        r, z, mu, logvar = model.apply(params, x, y_cond, rngs={"sample": key})
+        hard = (y_hat_x > 0.5).astype(jnp.float32)
+        cond = {"ytrue": y, "soft": y_hat_x,
+                "yhathard": hard, "hardlabel": hard}[cond_mode]
+        r, z, mu, logvar = model.apply(params, x, cond, rngs={"sample": key})
         elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
         classif = losses.binary_cross_entropy(y_hat_x, y, eps)
         y_hat_z = model.apply(params, z, method="classify_from_z")

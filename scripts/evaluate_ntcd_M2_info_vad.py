@@ -27,11 +27,12 @@ def main():
     ap.add_argument("--y-source", default="oracle",
                     choices=["oracle", "classifier", "ones", "zeros"])
     ap.add_argument("--classifier-dir", default=None)
-    ap.add_argument("--model-class", default="v5", choices=["v5", "v3"],
+    ap.add_argument("--model-class", default="v5", choices=["v5", "v4", "v3"],
                     help="v5 = disentangled M2-info checkpoints (default); "
-                    "v3 = bare CVAE_v3 checkpoints (e.g. from "
-                    "training_M2v3_semisup.py) — same MCEM_M2v3 enhancement "
-                    "semantics, no auxiliary in the tree")
+                    "v4 = flat-tree CVAE_v4 (training_M2_info_vad.py "
+                    "--model-variant v4); v3 = bare CVAE_v3 (e.g. from "
+                    "training_M2v3_semisup.py). All share the MCEM_M2v3 "
+                    "enhancement semantics (encoder on x, decoder on [z;y])")
     ap.add_argument("--output-dir", default=None)
     args = ap.parse_args()
     if args.y_source == "classifier" and not args.classifier_dir:
@@ -51,10 +52,11 @@ def main():
                                            load_oracle_labels)
     from dvae_tpu.enhance.mcem import McemConfig
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
-    from dvae_tpu.models import CVAE_v3, DisentangledVAE, init_params
+    from dvae_tpu.models import CVAE_v3, CVAE_v4, DisentangledVAE, init_params
     from dvae_tpu.train import checkpoint as ckpt
 
-    model_cls = DisentangledVAE if args.model_class == "v5" else CVAE_v3
+    model_cls = {"v5": DisentangledVAE, "v4": CVAE_v4,
+                 "v3": CVAE_v3}[args.model_class]
     model = model_cls(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     params_t = init_params(
         model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},

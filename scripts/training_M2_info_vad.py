@@ -19,25 +19,48 @@ def main():
     ap.add_argument("--beta", type=float, default=10.0)
     ap.add_argument("--gamma", type=float, default=1.0)
     ap.add_argument("--legacy-aux-coupling", action="store_true")
+    ap.add_argument("--model-variant", default="v5", choices=["v5", "v4"],
+                    help="v5 = DeepGenerativeModel_v5 (default); v4 = the "
+                    "flat-tree CVAE_v4 behind the reference's shipped "
+                    "ntcd_M2v4_VAD_alpha_*_beta_* golden checkpoints "
+                    "(models.py:299-333; same four modules, no wrapper)")
+    ap.add_argument("--y-cond", default="ytrue",
+                    choices=["ytrue", "soft", "yhathard", "hardlabel"],
+                    help="decoder conditioning label; the v4 golden names' "
+                    "_hardlabel/_yhathard suffixes = hard own-classifier "
+                    "prediction ('soft' = the _pretrain script's forward)")
     args = ap.parse_args()
     maybe_force_platform(args)
 
     from dvae_tpu.data.datasets import FrameDataset
-    from dvae_tpu.models import DisentangledVAE
+    from dvae_tpu.models import CVAE_v4, DisentangledVAE
     from dvae_tpu.train.loop import LoopConfig, fit_adversarial
 
     h5 = frame_h5_path(args)
     train_ds = FrameDataset(h5, "train")
     valid_ds = FrameDataset(h5, "validation")
 
-    model = DisentangledVAE(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    model_cls = DisentangledVAE if args.model_variant == "v5" else CVAE_v4
+    model = model_cls(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     norm = "norm" if args.std_norm else "nonorm"
     hdim = "_".join(f"{h:03d}" for h in args.h_dim)
-    model_name = args.run_name or (
-        f"ntcd_M2_info_VAD_Lenc_aux_v1_alpha_{args.alpha}_beta_{args.beta}"
-        f"_gamma_{args.gamma}_y_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
-        f"_end_epoch_{args.end_epoch:03d}"
-    )
+    if args.model_variant == "v4":
+        # the v4 golden families' grammar: ntcd_M2v4_VAD_alpha_{a}_beta_{b}
+        # [_hardlabel|_yhathard]_nonorm_... (gamma is not in the name)
+        cond_suffix = {"ytrue": "", "soft": "_ysoft", "yhathard": "_yhathard",
+                       "hardlabel": "_hardlabel"}[args.y_cond]
+        default_name = (
+            f"ntcd_M2v4_VAD_alpha_{args.alpha}_beta_{args.beta}{cond_suffix}"
+            f"_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
+            f"_end_epoch_{args.end_epoch:03d}"
+        )
+    else:
+        default_name = (
+            f"ntcd_M2_info_VAD_Lenc_aux_v1_alpha_{args.alpha}_beta_{args.beta}"
+            f"_gamma_{args.gamma}_y_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
+            f"_end_epoch_{args.end_epoch:03d}"
+        )
+    model_name = args.run_name or default_name
     cfg = LoopConfig(
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         start_epoch=args.start_epoch, end_epoch=args.end_epoch,
@@ -49,7 +72,8 @@ def main():
     fit_adversarial(model, train_ds, valid_ds, model_dir, "M2",
                     alpha=args.alpha, beta=args.beta, gamma=args.gamma,
                     cfg=cfg, mesh=make_mesh_if(args),
-                    legacy_aux_coupling=args.legacy_aux_coupling)
+                    legacy_aux_coupling=args.legacy_aux_coupling,
+                    y_cond=args.y_cond)
 
 
 if __name__ == "__main__":

@@ -69,7 +69,44 @@ def test_adversarial_step_trains_both_players():
     assert float(m["elbo"]) < m0["elbo"]
 
 
-def test_semisup_step_alpha_sign_controls_classifier():
+def test_adversarial_step_v4_flat_layout():
+    """The adversarial game also runs on CVAE_v4's flat parameter tree
+    (reference models.py:299-333 — the ntcd_M2v4_* golden families): both
+    player groups train, and the split/merge preserves the tree."""
+    from dvae_tpu.models import CVAE_v4
+    from dvae_tpu.train.steps import _adversarial_layout
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(np.abs(rng.standard_normal((32, 513))).astype(np.float32) + 0.1)
+    y = jnp.asarray((rng.uniform(size=(32, 1)) > 0.5).astype(np.float32))
+    model = CVAE_v4()
+    params = init_params(model, {"params": jax.random.PRNGKey(0),
+                                 "sample": jax.random.PRNGKey(1)}, x, y)
+    layout = _adversarial_layout(params)
+    assert layout == "v4"
+    tx_e, tx_a = adam(1e-3), adam(1e-3)
+    state = init_adversarial_state(params, tx_e, tx_a)
+    step = make_adversarial_step(model, tx_e, tx_a, alpha=10.0, beta=10.0,
+                                 gamma=1.0, y_cond="yhathard", layout=layout)
+    for i in range(10):
+        state, m = step(state, x, y, jax.random.PRNGKey(i))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (i, k)
+    assert set(state.params["params"].keys()) == {
+        "encoder", "decoder", "classifier", "auxiliary"}
+    d_enc = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     params["params"]["encoder"], state.params["params"]["encoder"]))
+    d_aux = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     params["params"]["auxiliary"], state.params["params"]["auxiliary"]))
+    assert d_enc > 0 and d_aux > 0
+    # alpha>0 pushes the x-classifier away from the labels (golden-name
+    # forensics: BCE rises above chance ~0.69 toward saturation; metrics
+    # report alpha*classif)
+    assert float(m["classif"]) > 10.0 * 0.69 * 0.3
     """The reconstructed Uloss/Lloss trainer's alpha-sign signature (see
     make_semisup_step's vloss forensics): alpha<0 trains the classifier
     TOWARD the labels (BCE falls below chance ~0.69); alpha>0 is
