@@ -27,6 +27,11 @@ def main():
                     help="oracle h5 labels, classifier .pt outputs, or constant-label ablations (reference *_oracle_0/1 goldens)")
     ap.add_argument("--classifier-dir", default=None,
                     help="dir with *_y_hat_hard.pt when --y-source classifier")
+    ap.add_argument("--model-variant", default="v1", choices=["v1", "v2"],
+                    help="v1 = DeepGenerativeModel (encoder sees [x;y], "
+                    "MCEM_M2 semantics); v2 = DeepGenerativeModel_v2 "
+                    "(encoder on x only, MCEM_M2v2 semantics mcem.py:504 — "
+                    "the shipped ntcd_M2v2_VAD golden family)")
     ap.add_argument("--output-dir", default=None)
     args = ap.parse_args()
     if args.y_source == "classifier" and not args.classifier_dir:
@@ -42,11 +47,12 @@ def main():
                                            load_oracle_labels)
     from dvae_tpu.enhance.mcem import McemConfig
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
-    from dvae_tpu.models import CVAE
+    from dvae_tpu.models import CVAE, CVAE_v2
     from dvae_tpu.train import checkpoint as ckpt
 
     y_dim = y_dim_for(args.labels)
-    model = CVAE(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    model_cls = CVAE if args.model_variant == "v1" else CVAE_v2
+    model = model_cls(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     params_t = model.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         jnp.ones((4, 513)), jnp.ones((4, y_dim)),
@@ -71,8 +77,9 @@ def main():
     suffix = {"oracle": "", "classifier": "_y_hat_hard",
               "ones": "_oracle_1", "zeros": "_oracle_0"}[args.y_source]
 
+    y_mode = "enc_dec" if args.model_variant == "v1" else "dec_only"
     enh = Enhancer(model, params, EnhancerConfig(
-        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="enc_dec"),
+        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode=y_mode),
         mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
     # at a read-only corpus); layout mirrors the reference's

@@ -12,11 +12,18 @@ from _lib import (add_common, frame_h5_path, make_mesh_if, mangle,
 
 def main():
     ap = add_common(argparse.ArgumentParser(description=__doc__), training=True)
+    ap.add_argument("--model-variant", default="v1", choices=["v1", "v2"],
+                    help="v1 = DeepGenerativeModel (encoder sees [x;y], the "
+                    "reference script's model); v2 = DeepGenerativeModel_v2 "
+                    "(encoder on x only, models.py:220 — the reference's "
+                    "shipped ntcd_M2v2_VAD golden family, whose trainer is "
+                    "not in its repo). Enhance v2 checkpoints with "
+                    "evaluate_ntcd_M2.py --model-variant v2")
     args = ap.parse_args()
     maybe_force_platform(args)
 
     from dvae_tpu.data.datasets import FrameDataset
-    from dvae_tpu.models import CVAE
+    from dvae_tpu.models import CVAE, CVAE_v2
     from dvae_tpu.train.loop import LoopConfig, fit_vae
 
     h5 = frame_h5_path(args)
@@ -24,9 +31,11 @@ def main():
     valid_ds = FrameDataset(h5, "validation")
     y_dim = y_dim_for(args.labels)
 
-    model = CVAE(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    model_cls = CVAE if args.model_variant == "v1" else CVAE_v2
+    model = model_cls(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     lab = "VAD" if args.labels == "vad_labels" else "IBM"
-    model_name = mangle("ntcd_M2", args, extra=lab)
+    prefix = "ntcd_M2" if args.model_variant == "v1" else "ntcd_M2v2"
+    model_name = mangle(prefix, args, extra=lab)
     cfg = LoopConfig(
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         start_epoch=args.start_epoch, end_epoch=args.end_epoch,
