@@ -172,6 +172,13 @@ def build_audio_train_set(input_dir, output_dir, dataset_types=("train", "valida
             src = os.path.join(input_dir, noisy_rel)
             if not os.path.exists(src):
                 return None
+            if noisy_rel not in out_map:
+                # the pair grid spans all SNRs ('-5'..'15') but the copy
+                # grid stops at '10' (reference SNRS :336 vs noisy_speech
+                # :246); a 15 dB corpus wav would KeyError in the
+                # reference's own lookup (create_audio_train_set.py:341) —
+                # skip it instead, matching the copy grid's intent
+                return None
             dst = pathlib.Path(output_dir) / out_map[noisy_rel]
             dst.parent.mkdir(parents=True, exist_ok=True)
             shutil.copyfile(src, dst)

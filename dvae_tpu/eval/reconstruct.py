@@ -60,6 +60,25 @@ def oracle_vad(wav: np.ndarray, cfg: StftConfig = StftConfig()):
     return np.asarray(clean_speech_vad(jnp.asarray(wav, jnp.float32), cfg))
 
 
+def ntcd_pair_wavs(proc: str, noisy_rel: str, clean_rel: str,
+                   labels: str = "vad_labels"):
+    """(clean wav path, noisy wav path) for a proc_noisy_clean_pair_dict
+    entry, or None when either wav is absent — the pair grid spans SNRs
+    ('-5'..'15') that the processed Noisy tree may not contain (the copy
+    grid stops at '10', catalog SNRS vs SNRS_NOISY_SPEECH), and a
+    missing-file skip keeps the sweep going like the resume-by-skip
+    enhancement path does."""
+    import os
+
+    clean_wav_rel = clean_rel.replace("_" + labels, "").replace("_upsampled", "")
+    clean_wav_rel = os.path.splitext(clean_wav_rel)[0] + ".wav"
+    s_path = os.path.join(proc, clean_wav_rel)
+    x_path = os.path.join(proc, noisy_rel)
+    if not (os.path.exists(s_path) and os.path.exists(x_path)):
+        return None
+    return s_path, x_path
+
+
 def save_signal_rows(out_path, rows, cfg: StftConfig = StftConfig(),
                      vmin: float = -40.0, vmax: float = 20.0):
     """Render one figure from a reference-style ``signal_list``: a list of

@@ -168,6 +168,41 @@ def init_train_state(model, params, tx: optax.GradientTransformation) -> TrainSt
 # ---------------------------------------------------------------------------
 
 
+def _semisup_loss_fn(model, objective: str, alpha: float, y_cond: str,
+                     eps: float):
+    """The ONE semisup loss, shared by the train and eval steps so train
+    and validation losses (and the vloss that names/picks checkpoints)
+    cannot diverge. Returns ``(params, x, y, key) -> (loss, metrics)``."""
+    if objective not in ("uloss", "lloss"):
+        raise ValueError(f"objective must be uloss|lloss, got {objective!r}")
+    if y_cond not in ("soft", "yhathard", "hardlabel", "ytrue"):
+        raise ValueError(f"unknown y_cond {y_cond!r}")
+
+    def loss_fn(params, x, y, key):
+        y_hat_soft = model.apply(params, x, method="classify")
+        hard = jax.lax.stop_gradient((y_hat_soft > 0.5).astype(jnp.float32))
+        cond = {"soft": y_hat_soft, "yhathard": hard,
+                "hardlabel": hard, "ytrue": y}[y_cond]
+        r, mu, logvar = model.apply(params, x, cond, rngs={"sample": key})
+        if objective == "uloss":
+            marg = hard if y_cond == "hardlabel" else y_hat_soft
+            total, L, recon, kl = losses.U_loss(x, r, mu, logvar, marg, eps)
+        else:
+            Lp, recon_p, kl_p = losses.L_loss(x, r, mu, logvar, eps)
+            total = jnp.mean(Lp)
+            L, recon, kl = total, jnp.mean(recon_p), jnp.mean(kl_p)
+        classif = losses.binary_cross_entropy(y_hat_soft, y, eps)
+        # zero-weighted terms dropped STATICALLY (0 * inf = nan at BCE
+        # saturation — see make_adversarial_step)
+        loss = total
+        if alpha:
+            loss = loss - alpha * classif
+        return loss, {"loss": loss, "objective": total, "l": L,
+                      "recon": recon, "kl": kl, "classif": classif}
+
+    return loss_fn
+
+
 def make_semisup_step(model, tx: optax.GradientTransformation, objective: str,
                       alpha: float, y_cond: str = "soft", eps: float = 1e-8,
                       multi: bool = False) -> Callable:
@@ -197,32 +232,7 @@ def make_semisup_step(model, tx: optax.GradientTransformation, objective: str,
     evidence; both harden the classifier output, differing in whether the
     U marginalization hardens too.
     """
-    if objective not in ("uloss", "lloss"):
-        raise ValueError(f"objective must be uloss|lloss, got {objective!r}")
-    if y_cond not in ("soft", "yhathard", "hardlabel", "ytrue"):
-        raise ValueError(f"unknown y_cond {y_cond!r}")
-
-    def loss_fn(params, x, y, key):
-        y_hat_soft = model.apply(params, x, method="classify")
-        hard = jax.lax.stop_gradient((y_hat_soft > 0.5).astype(jnp.float32))
-        cond = {"soft": y_hat_soft, "yhathard": hard,
-                "hardlabel": hard, "ytrue": y}[y_cond]
-        r, mu, logvar = model.apply(params, x, cond, rngs={"sample": key})
-        if objective == "uloss":
-            marg = hard if y_cond == "hardlabel" else y_hat_soft
-            total, L, recon, kl = losses.U_loss(x, r, mu, logvar, marg, eps)
-        else:
-            Lp, recon_p, kl_p = losses.L_loss(x, r, mu, logvar, eps)
-            total = jnp.mean(Lp)
-            L, recon, kl = total, jnp.mean(recon_p), jnp.mean(kl_p)
-        classif = losses.binary_cross_entropy(y_hat_soft, y, eps)
-        # zero-weighted terms dropped STATICALLY (0 * inf = nan at BCE
-        # saturation — see make_adversarial_step)
-        loss = total
-        if alpha:
-            loss = loss - alpha * classif
-        return loss, {"loss": loss, "objective": total, "l": L,
-                      "recon": recon, "kl": kl, "classif": classif}
+    loss_fn = _semisup_loss_fn(model, objective, alpha, y_cond, eps)
 
     def body(st: TrainState, inp):
         x, y, kk = inp
@@ -247,26 +257,11 @@ def make_semisup_step(model, tx: optax.GradientTransformation, objective: str,
 
 def make_semisup_eval_step(model, objective: str, alpha: float,
                            y_cond: str = "soft", eps: float = 1e-8) -> Callable:
+    loss_fn = _semisup_loss_fn(model, objective, alpha, y_cond, eps)
+
     @jax.jit
     def evaluate(params, x, y, key):
-        y_hat_soft = model.apply(params, x, method="classify")
-        hard = (y_hat_soft > 0.5).astype(jnp.float32)
-        cond = {"soft": y_hat_soft, "yhathard": hard,
-                "hardlabel": hard, "ytrue": y}[y_cond]
-        r, mu, logvar = model.apply(params, x, cond, rngs={"sample": key})
-        if objective == "uloss":
-            marg = hard if y_cond == "hardlabel" else y_hat_soft
-            total, L, recon, kl = losses.U_loss(x, r, mu, logvar, marg, eps)
-        else:
-            Lp, recon_p, kl_p = losses.L_loss(x, r, mu, logvar, eps)
-            total = jnp.mean(Lp)
-            L, recon, kl = total, jnp.mean(recon_p), jnp.mean(kl_p)
-        classif = losses.binary_cross_entropy(y_hat_soft, y, eps)
-        loss = total
-        if alpha:
-            loss = loss - alpha * classif
-        return {"loss": loss, "objective": total, "l": L,
-                "recon": recon, "kl": kl, "classif": classif}
+        return loss_fn(params, x, y, key)[1]
 
     return evaluate
 

@@ -59,12 +59,11 @@ def main():
         snr = noisy_rel.split("/")[-4]
         noise = noisy_rel.split("/")[-5]
         name = f"{noise}_{snr}_{os.path.splitext(os.path.basename(noisy_rel))[0]}"
-        clean_wav_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
-        clean_wav_rel = os.path.splitext(clean_wav_rel)[0] + ".wav"
-        if not os.path.exists(os.path.join(proc, clean_wav_rel)):
+        paths = rec.ntcd_pair_wavs(proc, noisy_rel, clean_rel, args.labels)
+        if paths is None:
             continue
-        s_wav, _ = read_wav(os.path.join(proc, clean_wav_rel))
-        x_wav, _ = read_wav(os.path.join(proc, noisy_rel))
+        s_wav, _ = read_wav(paths[0])
+        x_wav, _ = read_wav(paths[1])
         S, s2 = rec.power_spec(s_wav)
         X, x2 = rec.power_spec(x_wav)
         if args.y_source == "oracle":

@@ -107,6 +107,9 @@ def test_adversarial_step_v4_flat_layout():
     # forensics: BCE rises above chance ~0.69 toward saturation; metrics
     # report alpha*classif)
     assert float(m["classif"]) > 10.0 * 0.69 * 0.3
+
+
+def test_semisup_step_alpha_sign_controls_classifier():
     """The reconstructed Uloss/Lloss trainer's alpha-sign signature (see
     make_semisup_step's vloss forensics): alpha<0 trains the classifier
     TOWARD the labels (BCE falls below chance ~0.69); alpha>0 is
