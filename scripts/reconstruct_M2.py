@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
     ap.add_argument("--output-dir", default="figures/reconstruct_M2")
     ap.add_argument("--max-utts", type=int, default=10)
+    ap.add_argument("--model-variant", default="v1", choices=["v1", "v2"],
+                    help="v1 = DeepGenerativeModel (encoder sees [x;y]); "
+                    "v2 = DeepGenerativeModel_v2 (encoder on x only) for "
+                    "training_M2.py --model-variant v2 checkpoints")
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -33,12 +37,13 @@ def main():
 
     from dvae_tpu.data.io import read_wav
     from dvae_tpu.eval import reconstruct as rec
-    from dvae_tpu.models import CVAE
+    from dvae_tpu.models import CVAE, CVAE_v2
     from dvae_tpu.ops.targets import clean_speech_ibm
     from dvae_tpu.train import checkpoint as ckpt
 
     y_dim = y_dim_for(args.labels)
-    model = CVAE(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    model_cls = CVAE if args.model_variant == "v1" else CVAE_v2
+    model = model_cls(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     params_t = model.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         jnp.ones((4, 513)), jnp.ones((4, y_dim)))

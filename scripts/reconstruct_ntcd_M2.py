@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--snr", default=None)
     ap.add_argument("--y-source", default="oracle", choices=["oracle", "classifier"])
     ap.add_argument("--classifier-dir", default=None)
+    ap.add_argument("--model-variant", default="v1", choices=["v1", "v2"],
+                    help="v1 = DeepGenerativeModel (encoder sees [x;y]); "
+                    "v2 = DeepGenerativeModel_v2 (encoder on x only) for "
+                    "training_M2.py --model-variant v2 checkpoints")
     ap.add_argument("--output-dir", default="figures/reconstruct_ntcd_M2")
     ap.add_argument("--max-utts", type=int, default=10)
     args = ap.parse_args()
@@ -36,11 +40,12 @@ def main():
     from dvae_tpu.data.io import read_wav
     from dvae_tpu.enhance.evaluate import find_classifier_labels, load_oracle_labels
     from dvae_tpu.eval import reconstruct as rec
-    from dvae_tpu.models import CVAE
+    from dvae_tpu.models import CVAE, CVAE_v2
     from dvae_tpu.train import checkpoint as ckpt
 
     y_dim = y_dim_for(args.labels)
-    model = CVAE(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+    model_cls = CVAE if args.model_variant == "v1" else CVAE_v2
+    model = model_cls(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     params_t = model.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         jnp.ones((4, 513)), jnp.ones((4, y_dim)))

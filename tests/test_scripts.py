@@ -244,3 +244,54 @@ def test_m2_info_chain(tmp_path, subset_dir):
           "--output-dir", str(fig_m2), "--platform", "cpu"], cwd=tmp_path)
     for suffix in ("_s_recon", "_x_recon", "_x_recon_ones", "_x_recon_zeros"):
         assert list(fig_m2.glob(f"*{suffix}.png")), suffix
+
+    # recovered golden families on the same frame h5: every model family in
+    # the reference's shipped golden grid trains AND enhances here.
+    # v2 (DeepGenerativeModel_v2, no trainer in the reference):
+    _run([str(SCRIPTS / "training_M2.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--end-epoch", "2",
+          "--model-variant", "v2", "--platform", "cpu"], cwd=tmp_path)
+    v2_dir = next(d for d in models.iterdir() if d.name.startswith("ntcd_M2v2_VAD"))
+    out_v2 = tmp_path / "enh_v2"
+    _run([str(SCRIPTS / "evaluate_ntcd_M2.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--model-dir", str(v2_dir),
+          "--model-variant", "v2", "--niter", "3", "--snr", "-5",
+          "--batch-size", "6", "--y-source", "oracle",
+          "--output-dir", str(out_v2), "--platform", "cpu"], cwd=tmp_path)
+    assert len(list(out_v2.rglob("*_s_est.wav"))) == 6
+    # v3 semisup (Uloss grammar) -> --model-class v3 enhancement:
+    _run([str(SCRIPTS / "training_M2v3_semisup.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--end-epoch", "2",
+          "--objective", "uloss", "--alpha", "-10", "--y-cond", "hardlabel",
+          "--platform", "cpu"], cwd=tmp_path)
+    v3_dir = next(d for d in models.iterdir()
+                  if d.name.startswith("ntcd_M2v3_VAD_Uloss_alpha_-10.0_hardlabel"))
+    v3_ckpt = sorted(v3_dir.glob("M2_epoch_*.msgpack"))[-1]
+    out_v3 = tmp_path / "enh_v3"
+    _run([str(SCRIPTS / "evaluate_ntcd_M2_info_vad.py"), "--dataset-size",
+          "subset", "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--checkpoint", str(v3_ckpt),
+          "--model-class", "v3", "--niter", "3", "--snr", "-5",
+          "--batch-size", "6", "--y-source", "oracle",
+          "--output-dir", str(out_v3), "--platform", "cpu"], cwd=tmp_path)
+    assert len(list(out_v3.rglob("*_s_est_oracle_y.wav"))) == 6
+    # v4 flat-tree adversarial (golden alpha/beta grammar) -> --model-class v4:
+    _run([str(SCRIPTS / "training_M2_info_vad.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--end-epoch", "2",
+          "--model-variant", "v4", "--alpha", "10", "--beta", "10",
+          "--y-cond", "yhathard", "--platform", "cpu"], cwd=tmp_path)
+    v4_dir = next(d for d in models.iterdir()
+                  if d.name.startswith("ntcd_M2v4_VAD_alpha_10.0_beta_10.0_yhathard"))
+    v4_ckpt = sorted(v4_dir.glob("M2_epoch_*.msgpack"))[-1]
+    out_v4 = tmp_path / "enh_v4"
+    _run([str(SCRIPTS / "evaluate_ntcd_M2_info_vad.py"), "--dataset-size",
+          "subset", "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--checkpoint", str(v4_ckpt),
+          "--model-class", "v4", "--niter", "3", "--snr", "-5",
+          "--batch-size", "6", "--y-source", "oracle",
+          "--output-dir", str(out_v4), "--platform", "cpu"], cwd=tmp_path)
+    assert len(list(out_v4.rglob("*_s_est_oracle_y.wav"))) == 6
