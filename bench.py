@@ -52,11 +52,13 @@ def measure_device_time(enh, batch, reps: int = 6) -> float:
     fetch RTT (~25 ms) on top of pure device time; it is stable run-to-run
     (<1% spread measured), making regressions detectable despite the link's
     3x bandwidth swings."""
-    xw, x_scale, mask, y, n_pad, _ = enh._prepare(batch, None, None)
+    xw, x_scale, _, _, mask, y, n_pad, _ = enh._prepare(batch, None, None)
     dev = jax.devices()[0]
-    args = [jax.device_put(a, dev) for a in (xw, x_scale, mask)]
+    args = [jax.device_put(a, dev) for a in (xw, x_scale)]
+    mask_d = jax.device_put(mask, dev)
     y_d = jax.device_put(y, dev) if y is not None else None
-    run = lambda k: enh._core(enh.params, *args, y_d, k, n_frames=n_pad)
+    run = lambda k: enh._core(enh.params, *args, None, None, mask_d, y_d, k,
+                              n_frames=n_pad)
     np.asarray(run(jax.random.PRNGKey(999))[-1])  # warm this shape
     best = float("inf")
     for r in range(reps):

@@ -124,11 +124,20 @@ def evaluate_sweep(
             evaluate_ntcd_M1.py:246); None = all.
         suffix: inserted in output names (e.g. '_y_hat_hard' ->
             ``*_s_est_y_hat_hard.wav``, evaluate_ntcd_M2.py:243-244).
+
+    When the enhancer's ``cfg.ablation`` is a clean-z mode, the clean
+    waveforms are read alongside the mixtures and the output names carry the
+    reference's golden prefix (``<utt>_clean_z_nomcem_s_est<suffix>.wav`` —
+    evaluate_ntcd_M1.py:184-188 commented write lines; shipped goldens under
+    data/subset/models/).
+
     Returns the number of utterances enhanced.
     """
     import jax
 
     key = key if key is not None else jax.random.PRNGKey(0)
+    ablation = getattr(enhancer.cfg, "ablation", "none")
+    prefix = "" if ablation == "none" else "_" + ablation
     pairs = ntcd_timit.proc_noisy_clean_pair_dict(
         str(processed_dir) + "/", dataset_type, dataset_size, labels, upsampled
     )
@@ -139,28 +148,38 @@ def evaluate_sweep(
     todo = []
     for noisy_rel, clean_rel in items:
         out_base = pathlib.Path(output_dir) / pathlib.Path(noisy_rel).with_suffix("")
-        s_path = out_base.parent / (out_base.name + f"_s_est{suffix}.wav")
+        s_path = out_base.parent / (out_base.name + f"{prefix}_s_est{suffix}.wav")
         if skip_existing and s_path.exists():
             continue
         todo.append((noisy_rel, clean_rel, out_base))
 
     chunks = [todo[s : s + batch_size] for s in range(0, len(todo), batch_size)]
 
+    def clean_wav_path(clean_rel):
+        # label-h5 rel path -> clean audio rel path (run_metrics.py:129-130
+        # and reference evaluate_ntcd_M1.py:108-113 use the same rewrite)
+        rel = clean_rel.replace("_" + labels, "").replace("_upsampled", "")
+        return os.path.join(processed_dir, os.path.splitext(rel)[0] + ".wav")
+
     def batches():
         # generator: wav reading + label loading for batch k+1 happens while
         # the device still runs batch k (enhance_stream pipelines the rest)
         for chunk in chunks:
-            wavs, ys = [], []
+            wavs, ys, cleans = [], [], []
             for noisy_rel, clean_rel, _ in chunk:
                 x, fs = read_wav(os.path.join(processed_dir, noisy_rel))
                 wavs.append(x.astype(np.float32))
                 if y_loader is not None:
                     ys.append(y_loader(noisy_rel, clean_rel))
+                if ablation != "none":
+                    s, _ = read_wav(clean_wav_path(clean_rel))
+                    cleans.append(s.astype(np.float32))
             counts = video_frame_counts(
                 processed_dir, [c for _, c, _ in chunk], labels
             )
             mf = [c if c is not None else 10**9 for c in counts]
-            yield wavs, (ys if y_loader else None), mf
+            yield (wavs, (ys if y_loader else None), mf,
+                   cleans if ablation != "none" else None)
 
     n_done = 0
     for chunk, out in zip(chunks, enhancer.enhance_stream(batches(), key=key)):
@@ -172,8 +191,8 @@ def evaluate_sweep(
             # skip marker must be the LAST file written — a kill between the
             # two writes then re-does the utterance instead of leaving a
             # permanently n_est-less pair behind
-            write_wav(out_base.parent / (out_base.name + f"_n_est{suffix}.wav"), n_hat, fs_out)
-            write_wav(out_base.parent / (out_base.name + f"_s_est{suffix}.wav"), s_hat, fs_out)
+            write_wav(out_base.parent / (out_base.name + f"{prefix}_n_est{suffix}.wav"), n_hat, fs_out)
+            write_wav(out_base.parent / (out_base.name + f"{prefix}_s_est{suffix}.wav"), s_hat, fs_out)
             n_done += 1
         log(f"enhanced {n_done}/{len(todo)}")
     return n_done

@@ -187,6 +187,75 @@ def _make_mh_step(decoder: Callable, x2, y, var_rw: float, stats_dtype=jnp.float
     return dec, energy, step, step_light
 
 
+def run_em_fixed_z(
+    decoder: Callable[[jnp.ndarray], jnp.ndarray],
+    x2: jnp.ndarray,
+    z_fixed: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: McemConfig = McemConfig(),
+    y: jnp.ndarray | None = None,
+    nmf_init: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    decoder_mats=None,
+    key: jax.Array | None = None,
+) -> McemResult:
+    """EM with the latent pinned — the reference's ``clean_z_nomcem`` ablation.
+
+    The reference produced its shipped ``*_clean_z_nomcem_*`` golden wavs by
+    enabling the commented overrides that replace every Monte-Carlo draw with
+    the clean-encoded latent (``# Z_t = torch.t(self.Zclean)[:,None]`` in
+    ``E_step`` and ``# Z_t = torch.t(self.Zclean)`` in ``compute_WF``,
+    reference mcem.py:297/:307/:467/:478; output names at
+    evaluate_ntcd_M1.py:187-188). With Z pinned the speech variance
+    ``Vs = dec(z)`` is a constant, EM degenerates to fitting the NMF noise
+    model + gains against it, and the Wiener masks are deterministic — no
+    sampling, no averaging. Equivalent to ``run_mcem`` with ``var_rw=0`` and
+    ``z_init=z_fixed`` (the frozen chain never accepts a move away from a
+    zero-variance proposal), but skips every MH scan: one decoder pass total
+    instead of ~8k. Tested against the frozen chain in tests/test_mcem.py.
+
+    ``z_fixed`` is the encoder posterior mean — of the CLEAN spectrogram for
+    the ablation, though any pinned latent works. ``key`` only seeds the
+    random NMF init when ``nmf_init`` is None.
+    """
+    b, n, f = x2.shape
+    x2 = x2.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    if nmf_init is None:
+        if key is None:
+            raise ValueError("need key or nmf_init")
+        w, h, g = init_nmf(jax.random.split(key, 3)[0], b, n, f,
+                           cfg.nmf_rank, cfg.eps)
+    else:
+        w, h, g = nmf_init
+
+    if decoder_mats is not None and cfg.fast_decoder:
+        decoder = make_mlp_decoder(decoder_mats, fast=True)
+    zin = z_fixed if y is None else jnp.concatenate([z_fixed, y], axis=-1)
+    vs = decoder(zin)  # (B, N, F), loop-invariant
+    vs_r = vs[None]  # the degenerate one-sample "Monte-Carlo" set
+
+    denom = jnp.maximum(jnp.sum(mask) * f, 1.0)
+
+    def em_iter(carry, _):
+        w, h, g = carry
+        w, h, g = nmf_m_step(x2, vs_r, w, h, g, mask, cfg.eps)
+        vx = jnp.maximum(g[:, :, None] * vs + compute_vb(w, h), VX_FLOOR)
+        cost = jnp.sum(
+            (jnp.log(vx) + x2 / vx) * mask[:, :, None]
+        ) / denom
+        return (w, h, g), cost
+
+    (w, h, g), cost = jax.lax.scan(em_iter, (w, h, g), None, length=cfg.niter)
+
+    vb = compute_vb(w, h)
+    vs_scaled = g[:, :, None] * vs
+    vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
+    m3 = mask[:, :, None]
+    return McemResult(
+        (vs_scaled / vx) * m3, (vb / vx) * m3, cost, z_fixed, w, h, g
+    )
+
+
 def run_mcem(
     decoder: Callable[[jnp.ndarray], jnp.ndarray],
     x2: jnp.ndarray,

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dvae_tpu.enhance.mcem import McemConfig, run_mcem
+from dvae_tpu.enhance.mcem import McemConfig, run_em_fixed_z, run_mcem
 from dvae_tpu.enhance.pallas_mcem import extract_decoder_mlp
 from dvae_tpu.ops.stft import (
     StftConfig,
@@ -88,6 +88,21 @@ class EnhancerConfig:
     # round-trips of a remote-attached link behind device compute, at the
     # cost of buffering that many batches on device.
     pipeline_depth: int = 2
+    # Oracle-latent ablations (the reference's commented experiment modes,
+    # whose golden outputs it ships under data/subset/models/):
+    #   "none"           — normal MCEM on the mixture.
+    #   "clean_z"        — the latent chain is INITIALIZED from the clean
+    #                      spectrogram's encoding instead of the mixture's
+    #                      (reference mcem.py:218/:368 commented
+    #                      `self.Z = torch.t(Zclean)`); MCEM runs normally.
+    #   "clean_z_nomcem" — the latent is PINNED at the clean encoding and the
+    #                      Monte-Carlo machinery is skipped entirely: EM fits
+    #                      only the NMF noise model against the fixed speech
+    #                      variance (reference mcem.py:297/:307 commented
+    #                      E_step/compute_WF overrides; golden wavs
+    #                      `*_clean_z_nomcem_*`). Deterministic masks.
+    # Both need the CLEAN waveforms passed to enhance_batch/enhance_stream.
+    ablation: str = "none"
 
 
 class Enhancer:
@@ -110,6 +125,8 @@ class Enhancer:
             raise ValueError(f"bad y_mode {cfg.y_mode!r}")
         if cfg.wire_dtype not in ("int16", "float32"):
             raise ValueError(f"bad wire_dtype {cfg.wire_dtype!r}")
+        if cfg.ablation not in ("none", "clean_z", "clean_z_nomcem"):
+            raise ValueError(f"bad ablation {cfg.ablation!r}")
         if mesh is not None:
             from dvae_tpu.parallel import replicate
 
@@ -132,9 +149,11 @@ class Enhancer:
         z_dim = model.z_dim
 
         @functools.partial(jax.jit, static_argnames=("n_frames",))
-        def core(params, x_batch, x_scale, mask, y, key, n_frames: int):
+        def core(params, x_batch, x_scale, s_batch, s_scale, mask, y, key,
+                 n_frames: int):
             # x_batch: (B, T_padded) float32 or int16 (+ per-utt x_scale);
-            # mask: (B, N); y: (B, N, Y) | None
+            # s_batch: clean waveforms, same layout (only for the clean-z
+            # ablations, else None); mask: (B, N); y: (B, N, Y) | None
             # NOTE: everything stays real — some TPU runtimes (incl. the axon
             # tunnel) have no complex64; the matmul DFT is real-native anyway.
             if cfg.wire_dtype == "int16":
@@ -142,23 +161,40 @@ class Enhancer:
             re, im = stft_realimag(x_batch, cfg.stft)
             re, im = re[:, :n_frames], im[:, :n_frames]  # (B, N, F)
             x2 = re * re + im * im
-            if cfg.y_mode == "enc_dec":
-                enc_in = jnp.concatenate([x2, y], axis=-1)
+            if cfg.ablation == "none":
+                enc_src = x2  # encoder sees the mixture (mcem.py:201/:365)
             else:
-                enc_in = x2
+                # clean-z ablations: the chain starts from (or is pinned at)
+                # the CLEAN spectrogram's encoding — `Zclean`, mcem.py:203/:366
+                if cfg.wire_dtype == "int16":
+                    s_batch = s_batch.astype(jnp.float32) * s_scale[:, None]
+                sre, sim = stft_realimag(s_batch, cfg.stft)
+                sre, sim = sre[:, :n_frames], sim[:, :n_frames]
+                enc_src = sre * sre + sim * sim
+            if cfg.y_mode == "enc_dec":
+                enc_in = jnp.concatenate([enc_src, y], axis=-1)
+            else:
+                enc_in = enc_src
             _, z0, _ = model.apply(params, enc_in, method="encode", sample=False)
             dec = lambda zin: model.apply(params, zin, method="decode")
             y_dec = None if cfg.y_mode == "none" else y
-            # use_pallas=False: measured on v5e, the XLA scan engine wins
-            # (19.7 vs 12.4 utt/s at B=16) — the VMEM-resident chain forces
-            # 64-row tiles whose tiny decoder matmuls underutilize the MXU,
-            # while the scan batches all B*N rows per step. The kernel stays
-            # available (and tested) via run_mcem(use_pallas=True).
-            res = run_mcem(
-                dec, x2, z0, mask, key, cfg.mcem, y=y_dec,
-                decoder_mats=extract_decoder_mlp(params, z_dim),
-                use_pallas=False,
-            )
+            if cfg.ablation == "clean_z_nomcem":
+                res = run_em_fixed_z(
+                    dec, x2, z0, mask, cfg.mcem, y=y_dec,
+                    decoder_mats=extract_decoder_mlp(params, z_dim), key=key,
+                )
+            else:
+                # use_pallas=False: measured on v5e, the XLA scan engine wins
+                # (19.7 vs 12.4 utt/s at B=16) — the VMEM-resident chain
+                # forces 64-row tiles whose tiny decoder matmuls underutilize
+                # the MXU, while the scan batches all B*N rows per step. The
+                # kernel stays available (and tested) via
+                # run_mcem(use_pallas=True).
+                res = run_mcem(
+                    dec, x2, z0, mask, key, cfg.mcem, y=y_dec,
+                    decoder_mats=extract_decoder_mlp(params, z_dim),
+                    use_pallas=False,
+                )
             s = istft_realimag_masked(res.wfs * re, res.wfs * im, mask, cfg.stft)
             if cfg.noise_from_partition:
                 n = None
@@ -178,11 +214,13 @@ class Enhancer:
         return core
 
     # -- host orchestration ----------------------------------------------------
-    def _prepare(self, wavs, ys, max_frames):
+    def _prepare(self, wavs, ys, max_frames, clean_wavs=None):
         """Host-side batch assembly: pad/bucket the wavs into the wire arrays
-        the jitted core consumes. Returns (xw, x_scale, mask, y, n_pad,
-        frames). Split out of :meth:`_dispatch` so bench.py can time the pure
-        device program on pre-uploaded inputs (tunnel-independent number)."""
+        the jitted core consumes. Returns (xw, x_scale, sw, s_scale, mask, y,
+        n_pad, frames) — sw/s_scale are None unless ``clean_wavs`` is given
+        (clean-z ablations). Split out of :meth:`_dispatch` so bench.py can
+        time the pure device program on pre-uploaded inputs
+        (tunnel-independent number)."""
         cfg = self.cfg
         b = len(wavs)
         # n_stft_frames is <= 0 for wavs shorter than one analysis frame
@@ -198,21 +236,24 @@ class Enhancer:
         # samples needed so that the padded batch yields >= n_pad frames
         t_pad = samples_for_frames(n_pad, cfg.stft)
 
-        x = np.zeros((b, t_pad), dtype=np.float32)
-        mask = np.zeros((b, n_pad), dtype=np.float32)
-        for i, w in enumerate(wavs):
+        def pack(ws):
             # a wav can exceed t_pad when max_frames (video trimming) cut its
             # frame count below what its sample count implies — the trimmed
             # frames make the excess samples unused anyway (the reference
             # trims the spectrogram the same way, evaluate_ntcd_M1.py:140-142)
-            t_use = min(len(w), t_pad)
-            x[i, :t_use] = np.asarray(w[:t_use], dtype=np.float32)
+            x = np.zeros((b, t_pad), dtype=np.float32)
+            for i, w in enumerate(ws):
+                t_use = min(len(w), t_pad)
+                x[i, :t_use] = np.asarray(w[:t_use], dtype=np.float32)
+            if cfg.wire_dtype == "int16":
+                return _quantize_pcm16(x, xp=np)
+            return x, np.ones((b,), np.float32)
+
+        mask = np.zeros((b, n_pad), dtype=np.float32)
+        for i in range(b):
             mask[i, : frames[i]] = 1.0
-        if cfg.wire_dtype == "int16":
-            xw, x_scale = _quantize_pcm16(x, xp=np)
-        else:
-            x_scale = np.ones((b,), np.float32)
-            xw = x
+        xw, x_scale = pack(wavs)
+        sw, s_scale = pack(clean_wavs) if clean_wavs is not None else (None, None)
 
         y = None
         if cfg.y_mode != "none":
@@ -225,28 +266,42 @@ class Enhancer:
                 n = min(len(yi), frames[i])
                 y[i, :n] = yi[:n]
             y = jnp.asarray(y)
-        return xw, x_scale, mask, y, n_pad, frames
+        return xw, x_scale, sw, s_scale, mask, y, n_pad, frames
 
-    def _dispatch(self, wavs, ys, key, max_frames):
+    def _dispatch(self, wavs, ys, key, max_frames, clean_wavs=None):
         """Pad + upload one batch and enqueue the device program (async).
 
         Returns an opaque handle for :meth:`_collect`."""
         cfg = self.cfg
+        if cfg.ablation != "none" and clean_wavs is None:
+            raise ValueError(
+                f"ablation={cfg.ablation} needs the clean waveforms "
+                "(clean_wavs=...) to encode Zclean"
+            )
         n_real = len(wavs)
         if self.mesh is not None and n_real % self.mesh.devices.size:
             # pad the batch to a mesh-divisible size with 1-frame silent
             # utterances (dropped again in _collect)
             pad_n = -(-n_real // self.mesh.devices.size) * self.mesh.devices.size - n_real
             wavs = list(wavs) + [np.zeros(cfg.stft.nfft, np.float32)] * pad_n
+            if clean_wavs is not None:
+                clean_wavs = list(clean_wavs) + [
+                    np.zeros(cfg.stft.nfft, np.float32)
+                ] * pad_n
             if ys is not None:
                 y_dim = np.asarray(ys[0]).shape[-1]
                 ys = list(ys) + [np.zeros((1, y_dim), np.float32)] * pad_n
             if max_frames is not None:
                 max_frames = list(max_frames) + [1] * pad_n
-        xw, x_scale, mask, y, n_pad, frames = self._prepare(wavs, ys, max_frames)
+        xw, x_scale, sw, s_scale, mask, y, n_pad, frames = self._prepare(
+            wavs, ys, max_frames, clean_wavs
+        )
 
         out_dev = self._core(
-            self.params, self._shard(xw), self._shard(x_scale), self._shard(mask),
+            self.params, self._shard(xw), self._shard(x_scale),
+            self._shard(sw) if sw is not None else None,
+            self._shard(s_scale) if s_scale is not None else None,
+            self._shard(mask),
             self._shard(y) if y is not None else None,
             key if key is not None else jax.random.PRNGKey(0), n_frames=n_pad,
         )
@@ -299,6 +354,7 @@ class Enhancer:
         ys: Sequence[np.ndarray] | None = None,
         key: jax.Array | None = None,
         max_frames: Sequence[int] | None = None,
+        clean_wavs: Sequence[np.ndarray] | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Enhance a batch of (possibly ragged) utterances.
 
@@ -308,6 +364,8 @@ class Enhancer:
             max_frames: optional per-utterance frame cap (the reference trims
                 the spectrogram to the video frame count,
                 evaluate_ntcd_M1.py:140-142).
+            clean_wavs: per-utterance clean waveforms — required when
+                cfg.ablation is a clean-z mode, ignored otherwise.
         Returns:
             list of (s_hat, n_hat) float32 waveforms, each len(wavs[i]).
         """
@@ -315,7 +373,9 @@ class Enhancer:
         if len(wavs) == 0:
             return []
         if len(wavs) <= mdb:
-            return self._collect(self._dispatch(wavs, ys, key, max_frames))
+            return self._collect(
+                self._dispatch(wavs, ys, key, max_frames, clean_wavs)
+            )
         # oversized request: split into sub-dispatches, enqueue all before
         # collecting (they pipeline like separate stream batches)
         if key is None:
@@ -326,7 +386,7 @@ class Enhancer:
             b = a + mdb
             handles.append(self._dispatch(
                 wavs[a:b], sl(ys, a, b), jax.random.fold_in(key, j),
-                sl(max_frames, a, b),
+                sl(max_frames, a, b), sl(clean_wavs, a, b),
             ))
         out = []
         for h in handles:
@@ -336,8 +396,9 @@ class Enhancer:
     def enhance_stream(self, batches, key: jax.Array | None = None):
         """Pipelined enhancement over an iterable of batches.
 
-        ``batches`` yields ``(wavs, ys_or_None, max_frames_or_None)`` tuples.
-        Up to ``cfg.pipeline_depth`` batches' uploads + device programs are
+        ``batches`` yields ``(wavs, ys_or_None, max_frames_or_None)`` tuples,
+        optionally extended with a fourth ``clean_wavs`` element (clean-z
+        ablations). Up to ``cfg.pipeline_depth`` batches' uploads + device programs are
         enqueued before the oldest batch's outputs are pulled back,
         overlapping host<->device transfers and dispatch round-trips with
         device compute (jax dispatch is async). Yields one result list per
@@ -355,18 +416,21 @@ class Enhancer:
             # than max_device_batch utterances (same contract as
             # enhance_batch); sub-batches of one input batch share an index
             # so results regroup below
-            for i, (wavs, ys, max_frames) in enumerate(batches):
+            for i, tup in enumerate(batches):
+                wavs, ys, max_frames = tup[:3]
+                clean_wavs = tup[3] if len(tup) > 3 else None
                 if len(wavs) == 0:
                     # an empty input batch still owes the caller one (empty)
                     # result list — a no-dispatch sentinel keeps the
                     # one-yield-per-batch contract (and zip alignment) intact
-                    yield (i, 0, True, None, None, None)
+                    yield (i, 0, True, None, None, None, None)
                     continue
                 sl = lambda seq, a, b: None if seq is None else seq[a:b]
                 for j, a in enumerate(range(0, len(wavs), mdb)):
                     last = a + mdb >= len(wavs)
                     yield (i, j, last, wavs[a:a + mdb], sl(ys, a, a + mdb),
-                           sl(max_frames, a, a + mdb))
+                           sl(max_frames, a, a + mdb),
+                           sl(clean_wavs, a, a + mdb))
 
         acc = []
 
@@ -380,10 +444,10 @@ class Enhancer:
             return None
 
         pending = collections.deque()  # (batch_index, handle_or_None, last)
-        for i, j, last, wavs, ys, max_frames in sub_batches():
+        for i, j, last, wavs, ys, max_frames, clean_wavs in sub_batches():
             handle = None if wavs is None else self._dispatch(
                 wavs, ys, jax.random.fold_in(jax.random.fold_in(key, i), j),
-                max_frames,
+                max_frames, clean_wavs,
             )
             pending.append((i, handle, last))
             if len(pending) > depth:

@@ -98,6 +98,27 @@ def y_dim_for(labels: str) -> int:
     return 1 if labels == "vad_labels" else 513
 
 
+def add_ablation(ap: argparse.ArgumentParser):
+    """--ablation flag shared by the evaluate_ntcd_* CLIs: the reference's
+    oracle-latent experiment modes (commented write lines at its
+    evaluate_ntcd_M1.py:184-188; the `Zclean` overrides in mcem.py:297/:307;
+    shipped golden wavs `*_clean_z_nomcem_*`)."""
+    ap.add_argument(
+        "--ablation", default="none",
+        choices=["none", "clean-z", "clean-z-nomcem"],
+        help="oracle-latent ablations: 'clean-z' starts the MH chain from "
+             "the CLEAN spectrogram's encoding (Zclean) instead of the "
+             "mixture's; 'clean-z-nomcem' pins the latent there and skips "
+             "the Monte-Carlo machinery entirely (EM fits only the NMF "
+             "noise model; deterministic Wiener masks). Outputs carry the "
+             "reference's golden prefix, e.g. sa1_clean_z_nomcem_s_est.wav")
+    return ap
+
+
+def ablation_of(args) -> str:
+    return args.ablation.replace("-", "_")
+
+
 def frame_h5_path(args) -> str:
     return os.path.join(args.data_root, args.dataset_size, "processed",
                         "ntcd_timit", f"Clean_{args.labels}_upsampled.h5")

@@ -9,7 +9,8 @@ resume-by-skip."""
 import argparse
 import os
 
-from _lib import add_common, make_mesh_if, maybe_force_platform, processed_dir
+from _lib import (ablation_of, add_ablation, add_common, make_mesh_if,
+                  maybe_force_platform, processed_dir)
 
 
 def main():
@@ -33,6 +34,7 @@ def main():
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard each utterance batch over all visible devices")
     ap.add_argument("--output-dir", default=None)
+    add_ablation(ap)
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -59,7 +61,8 @@ def main():
                        McemConfig.m1_reference_effective(
                            niter=args.niter, nmf_rank=args.nmf_rank)
                        if args.m1_reference_budgets else
-                       McemConfig(niter=args.niter, nmf_rank=args.nmf_rank))),
+                       McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)),
+                       ablation=ablation_of(args)),
                    mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
     # at a read-only corpus); layout mirrors the reference's

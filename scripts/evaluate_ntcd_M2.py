@@ -8,7 +8,8 @@ produced by the sibling audio-visual-vad repo)."""
 import argparse
 import os
 
-from _lib import add_common, make_mesh_if, maybe_force_platform, processed_dir, y_dim_for
+from _lib import (ablation_of, add_ablation, add_common, make_mesh_if,
+                  maybe_force_platform, processed_dir, y_dim_for)
 
 
 def main():
@@ -33,6 +34,7 @@ def main():
                     "(encoder on x only, MCEM_M2v2 semantics mcem.py:504 — "
                     "the shipped ntcd_M2v2_VAD golden family)")
     ap.add_argument("--output-dir", default=None)
+    add_ablation(ap)
     args = ap.parse_args()
     if args.y_source == "classifier" and not args.classifier_dir:
         ap.error("--y-source classifier requires --classifier-dir")
@@ -79,7 +81,8 @@ def main():
 
     y_mode = "enc_dec" if args.model_variant == "v1" else "dec_only"
     enh = Enhancer(model, params, EnhancerConfig(
-        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode=y_mode),
+        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode=y_mode,
+        ablation=ablation_of(args)),
         mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
     # at a read-only corpus); layout mirrors the reference's

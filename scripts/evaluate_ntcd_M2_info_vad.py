@@ -9,7 +9,8 @@ classifier outputs."""
 import argparse
 import os
 
-from _lib import add_common, make_mesh_if, maybe_force_platform, processed_dir
+from _lib import (ablation_of, add_ablation, add_common, make_mesh_if,
+                  maybe_force_platform, processed_dir)
 
 
 def main():
@@ -34,6 +35,7 @@ def main():
                     "training_M2v3_semisup.py). All share the MCEM_M2v3 "
                     "enhancement semantics (encoder on x, decoder on [z;y])")
     ap.add_argument("--output-dir", default=None)
+    add_ablation(ap)
     args = ap.parse_args()
     if args.y_source == "classifier" and not args.classifier_dir:
         ap.error("--y-source classifier requires --classifier-dir")
@@ -83,7 +85,8 @@ def main():
     # the Enhancer only touches encode/decode; DisentangledVAE exposes the
     # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)
     enh = Enhancer(model, params, EnhancerConfig(
-        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="dec_only"),
+        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="dec_only",
+        ablation=ablation_of(args)),
         mesh=make_mesh_if(args))
     # default under --models-root (never under --data-root, which may point
     # at a read-only corpus); layout mirrors the reference's

@@ -25,6 +25,10 @@ def main():
                     help="dir holding the enhanced <...>_s_est.wav tree")
     ap.add_argument("--suffix", default="",
                     help="estimate suffix, e.g. _y_hat_hard or _oracle_y")
+    ap.add_argument("--est-prefix", default="",
+                    help="estimate prefix before _s_est, e.g. _clean_z_nomcem "
+                         "(scores the oracle-latent ablation outputs the "
+                         "evaluate CLIs write with --ablation)")
     ap.add_argument("--snr", default=None)
     ap.add_argument("--confidence", type=float, default=0.95)
     ap.add_argument("--with-figures", action="store_true",
@@ -74,7 +78,7 @@ def main():
         wav_pairs, missing = [], 0
         for noisy_rel, clean_rel in items:
             est = os.path.join(args.model_output_dir,
-                               os.path.splitext(noisy_rel)[0] + f"_s_est{args.suffix}.wav")
+                               os.path.splitext(noisy_rel)[0] + f"{args.est_prefix}_s_est{args.suffix}.wav")
             ref_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
             ref = os.path.join(proc, os.path.splitext(ref_rel)[0] + ".wav")
             if os.path.exists(est) and os.path.exists(ref):
@@ -82,7 +86,7 @@ def main():
             else:
                 missing += 1
         if not wav_pairs:
-            raise SystemExit(f"no (clean, s_est{args.suffix}) pairs under "
+            raise SystemExit(f"no (clean, {args.est_prefix}s_est{args.suffix}) pairs under "
                              f"{args.model_output_dir}")
         if missing:
             print(f"note: {missing}/{len(items)} utterances missing enhanced "
@@ -118,7 +122,7 @@ def main():
     for noisy_rel, clean_rel in items:
         est_path = os.path.join(
             args.model_output_dir,
-            os.path.splitext(noisy_rel)[0] + f"_s_est{args.suffix}.wav")
+            os.path.splitext(noisy_rel)[0] + f"{args.est_prefix}_s_est{args.suffix}.wav")
         if not os.path.exists(est_path):
             missing += 1
             continue
@@ -231,7 +235,7 @@ def main():
 
     if not rows:
         hint = (
-            f"looked for <dir>/ntcd_timit/Noisy/<type>/<snr>/test/..._s_est{args.suffix}.wav "
+            f"looked for <dir>/ntcd_timit/Noisy/<type>/<snr>/test/...{args.est_prefix}_s_est{args.suffix}.wav "
             f"for {len(items)} catalog entries ({missing} missing)"
         )
         if not items:

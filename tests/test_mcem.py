@@ -150,3 +150,54 @@ def test_mcem_conditional_y():
     res = run_mcem(toy_decoder, x2, jnp.zeros((b, n, L)), jnp.ones((b, n)),
                    jax.random.PRNGKey(10), cfg, y=y)
     assert res.wfs.shape == (b, n, F)
+
+
+def test_fixed_z_em_matches_frozen_chain():
+    """run_em_fixed_z (the clean_z_nomcem ablation) must equal run_mcem with
+    var_rw=0 and the same pinned latent: a zero-variance proposal never moves
+    the chain, so every Monte-Carlo 'sample' is the pinned z and the two
+    formulations reduce to the same deterministic EM (the R identical
+    samples scale every M-step numerator and denominator alike)."""
+    cfg = McemConfig(niter=6, nsamples_e_step=3, burnin_e_step=2,
+                     nsamples_wf=4, burnin_wf=2, var_rw=0.0, nmf_rank=K,
+                     fast_stats=False, fast_decoder=False)
+    b, n1, n2 = 2, 30, 21
+    x2, _ = _mixture(b, n1, jax.random.PRNGKey(30))
+    z0 = jax.random.normal(jax.random.PRNGKey(31), (b, n1, L)) * 0.5
+    w, h, g = init_nmf(jax.random.PRNGKey(32), b, n1, F, K, 1e-8)
+    mask = jnp.stack([jnp.ones(n1), (jnp.arange(n1) < n2).astype(jnp.float32)])
+
+    from dvae_tpu.enhance.mcem import run_em_fixed_z
+
+    frozen = run_mcem(toy_decoder, x2, z0, mask, jax.random.PRNGKey(33), cfg,
+                      nmf_init=(w, h, g))
+    fixed = run_em_fixed_z(toy_decoder, x2, z0, mask, cfg,
+                           nmf_init=(w, h, g))
+    np.testing.assert_allclose(np.asarray(fixed.wfs), np.asarray(frozen.wfs),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fixed.wfn), np.asarray(frozen.wfn),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fixed.cost), np.asarray(frozen.cost),
+                               rtol=1e-5)
+    # deterministic Wiener partition on valid frames, exact zero on padding
+    part = np.asarray(fixed.wfs + fixed.wfn)
+    np.testing.assert_allclose(part[0], 1.0, atol=1e-5)
+    assert float(jnp.abs(fixed.wfs[1, n2:]).max()) == 0.0
+
+
+def test_fixed_z_em_conditional_and_cost_descends():
+    """The y-conditioned fixed-z path (M2 clean_z_nomcem): decoder consumes
+    [z; y], EM cost is (near-)monotone like the NMF updates it reduces to."""
+    from dvae_tpu.enhance.mcem import run_em_fixed_z
+
+    cfg = McemConfig(niter=15, nmf_rank=K)
+    b, n, ydim = 2, 24, 1
+    x2, _ = _mixture(b, n, jax.random.PRNGKey(34))
+    y = (jax.random.uniform(jax.random.PRNGKey(35), (b, n, ydim)) > 0.5
+         ).astype(jnp.float32)
+    z0 = jax.random.normal(jax.random.PRNGKey(36), (b, n, L - ydim)) * 0.5
+    res = run_em_fixed_z(toy_decoder, x2, z0, jnp.ones((b, n)), cfg, y=y,
+                         key=jax.random.PRNGKey(37))
+    c = np.asarray(res.cost)
+    assert c[-1] < c[0]
+    assert all(c2 <= c1 + 1e-4 for c1, c2 in zip(c, c[1:]))

@@ -326,3 +326,32 @@ def test_enhancer_shape_fuzz():
                 assert np.isfinite(s).all() and np.isfinite(n).all()
                 if wire == "float32" and len(w) >= 4000:
                     np.testing.assert_allclose(s + n, w, atol=3e-4)
+
+
+def test_clean_z_ablations(subset_dir, m1):
+    """The reference's oracle-latent experiment modes (golden wavs
+    `*_clean_z_nomcem_*`): both ablations need the clean waveforms, keep the
+    Wiener partition identity, and the nomcem mode is fully deterministic
+    (no Monte-Carlo — the PRNG key only seeds the NMF init)."""
+    model, params = m1
+    x1, _ = _wavs(subset_dir)
+    s1, _ = read_wav(subset_dir / "processed/ntcd_timit/Clean/test/34M/sa1.wav")
+    s1 = s1.astype(np.float32)
+
+    for ablation in ("clean_z", "clean_z_nomcem"):
+        enh = Enhancer(model, params,
+                       EnhancerConfig(mcem=QUICK_MCEM, ablation=ablation))
+        with pytest.raises(ValueError, match="clean"):
+            enh.enhance_batch([x1], key=jax.random.PRNGKey(0))
+        (s_hat, n_hat), = enh.enhance_batch(
+            [x1], key=jax.random.PRNGKey(0), clean_wavs=[s1])
+        assert s_hat.shape == x1.shape and np.isfinite(s_hat).all()
+        resid = np.abs((s_hat + n_hat) - x1)[: len(x1) - 1024]
+        assert np.median(resid) < 5e-3
+
+    # nomcem: same key -> bit-identical output (deterministic masks)
+    enh = Enhancer(model, params,
+                   EnhancerConfig(mcem=QUICK_MCEM, ablation="clean_z_nomcem"))
+    (a, _), = enh.enhance_batch([x1], key=jax.random.PRNGKey(7), clean_wavs=[s1])
+    (b, _), = enh.enhance_batch([x1], key=jax.random.PRNGKey(7), clean_wavs=[s1])
+    np.testing.assert_array_equal(a, b)

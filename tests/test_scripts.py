@@ -72,6 +72,31 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
               "--platform", "cpu"], cwd=data_root)
     assert "done: 0 utterances" in r.stdout
 
+    # oracle-latent ablation: the mode behind the reference's shipped
+    # *_clean_z_nomcem_* goldens (its commented experiment lines,
+    # evaluate_ntcd_M1.py:187-188) — deterministic, so rerunning must skip
+    ab_dir = tmp_path / "enhanced_ablation"
+    _run([str(SCRIPTS / "evaluate_ntcd_M1.py"), "--dataset-size", "subset",
+          "--data-root", str(data_root / "data"), "--model-dir", str(model_dir),
+          "--niter", "3", "--snr", "-5", "--batch-size", "6",
+          "--ablation", "clean-z-nomcem", "--output-dir", str(ab_dir),
+          "--platform", "cpu"], cwd=data_root)
+    ab_wavs = list(ab_dir.rglob("*_clean_z_nomcem_s_est.wav"))
+    assert len(ab_wavs) == 6
+    assert len(list(ab_dir.rglob("*_clean_z_nomcem_n_est.wav"))) == 6
+    r = _run([str(SCRIPTS / "evaluate_ntcd_M1.py"), "--dataset-size", "subset",
+              "--data-root", str(data_root / "data"), "--model-dir", str(model_dir),
+              "--niter", "3", "--snr", "-5", "--ablation", "clean-z-nomcem",
+              "--output-dir", str(ab_dir), "--platform", "cpu"], cwd=data_root)
+    assert "done: 0 utterances" in r.stdout
+    # and the metric sweep scores them via --est-prefix
+    r = _run([str(SCRIPTS / "run_metrics.py"), "--dataset-size", "subset",
+              "--data-root", str(data_root / "data"),
+              "--model-output-dir", str(ab_dir), "--snr", "-5",
+              "--est-prefix", "_clean_z_nomcem",
+              "--platform", "cpu"], cwd=data_root)
+    assert "estoi" in r.stdout
+
     # mesh-sharded enhancement through the real CLI (8 virtual CPU devices
     # from conftest's XLA_FLAGS reach the subprocess via the environment);
     # batch 6 over an 8-device mesh exercises the silent-utterance padding
