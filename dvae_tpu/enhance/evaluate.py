@@ -83,6 +83,13 @@ def load_classifier_labels(pt_or_npy_path, y_dim: int | None = None) -> np.ndarr
     return y
 
 
+def clean_audio_rel(clean_rel: str, labels: str) -> str:
+    """Label-h5 rel path -> clean audio rel path (the rewrite the reference
+    applies at evaluate_ntcd_M1.py:108-113 / run_metrics.py:129-130)."""
+    rel = clean_rel.replace("_" + labels, "").replace("_upsampled", "")
+    return os.path.splitext(rel)[0] + ".wav"
+
+
 def video_frame_counts(processed_dir, clean_rel_paths, labels: str):
     """Per-utterance video frame counts (the reference trims the spectrogram
     to the video length, evaluate_ntcd_M1.py:140-142); None when no video."""
@@ -156,10 +163,7 @@ def evaluate_sweep(
     chunks = [todo[s : s + batch_size] for s in range(0, len(todo), batch_size)]
 
     def clean_wav_path(clean_rel):
-        # label-h5 rel path -> clean audio rel path (run_metrics.py:129-130
-        # and reference evaluate_ntcd_M1.py:108-113 use the same rewrite)
-        rel = clean_rel.replace("_" + labels, "").replace("_upsampled", "")
-        return os.path.join(processed_dir, os.path.splitext(rel)[0] + ".wav")
+        return os.path.join(processed_dir, clean_audio_rel(clean_rel, labels))
 
     def batches():
         # generator: wav reading + label loading for batch k+1 happens while

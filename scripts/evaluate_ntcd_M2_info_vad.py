@@ -26,7 +26,14 @@ def main():
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard each utterance batch over all visible devices")
     ap.add_argument("--y-source", default="oracle",
-                    choices=["oracle", "classifier", "ones", "zeros"])
+                    choices=["oracle", "classifier", "ones", "zeros",
+                             "self-soft"],
+                    help="'self-soft' conditions MCEM on the model's OWN "
+                         "x->y classifier applied to the clean spectrogram "
+                         "(soft probabilities) — the reference's commented "
+                         "`y=y_hat_soft` experiment "
+                         "(evaluate_ntcd_M2_info_vad.py:175,218,268); "
+                         "outputs carry the _y_hat_soft suffix")
     ap.add_argument("--classifier-dir", default=None)
     ap.add_argument("--model-class", default="v5", choices=["v5", "v4", "v3"],
                     help="v5 = disentangled M2-info checkpoints (default); "
@@ -49,7 +56,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from dvae_tpu.enhance.evaluate import (evaluate_sweep,
+    from dvae_tpu.enhance.evaluate import (clean_audio_rel, evaluate_sweep,
                                            find_classifier_labels,
                                            load_oracle_labels)
     from dvae_tpu.enhance.mcem import McemConfig
@@ -69,6 +76,20 @@ def main():
 
     proc = processed_dir(args)
 
+    classify_method = {"v5": "classify_from_x", "v4": "classify_from_x",
+                       "v3": "classify"}[args.model_class]
+
+    def self_soft_labels(clean_rel):
+        # the model's own x->y classifier on the CLEAN power spectrogram
+        # (reference evaluate_ntcd_M2_info_vad.py:174-176), soft probabilities
+        from dvae_tpu.data.io import read_wav
+        from dvae_tpu.eval.reconstruct import power_spec
+
+        s_t, _ = read_wav(os.path.join(proc, clean_audio_rel(clean_rel, args.labels)))
+        _, s2 = power_spec(s_t.astype(np.float32))
+        y = model.apply(params, jnp.asarray(s2), method=classify_method)
+        return np.asarray(y, dtype=np.float32).reshape(-1, 1)
+
     def y_loader(noisy_rel, clean_rel):
         if args.y_source == "oracle":
             return load_oracle_labels(os.path.join(proc, clean_rel))
@@ -76,11 +97,14 @@ def main():
             base = os.path.splitext(os.path.basename(noisy_rel))[0]
             spk = noisy_rel.split("/")[-2]
             return find_classifier_labels(args.classifier_dir, spk, base, 1)
+        if args.y_source == "self-soft":
+            return self_soft_labels(clean_rel)
         n = load_oracle_labels(os.path.join(proc, clean_rel)).shape[0]
         return np.full((n, 1), 1.0 if args.y_source == "ones" else 0.0, dtype=np.float32)
 
     suffix = {"oracle": "_oracle_y", "classifier": "_y_hat_hard",
-              "ones": "_oracle_1", "zeros": "_oracle_0"}[args.y_source]
+              "ones": "_oracle_1", "zeros": "_oracle_0",
+              "self-soft": "_y_hat_soft"}[args.y_source]
 
     # the Enhancer only touches encode/decode; DisentangledVAE exposes the
     # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)

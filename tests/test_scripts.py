@@ -223,6 +223,17 @@ def test_m2_info_chain(tmp_path, subset_dir):
     wavs = list(out_dir.rglob("*_s_est_oracle_y.wav"))
     assert len(wavs) == 6, wavs
 
+    # self-classifier soft conditioning (reference's commented y=y_hat_soft
+    # experiment, evaluate_ntcd_M2_info_vad.py:218/:268) on two utterances
+    _run([str(SCRIPTS / "evaluate_ntcd_M2_info_vad.py"), "--dataset-size",
+          "subset", "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--model-dir", str(model_dir),
+          "--niter", "3", "--snr", "-5", "--batch-size", "6",
+          "--y-source", "self-soft", "--output-dir", str(out_dir),
+          "--platform", "cpu"], cwd=tmp_path)
+    soft_wavs = list(out_dir.rglob("*_s_est_y_hat_soft.wav"))
+    assert len(soft_wavs) == 6, soft_wavs
+
     r = _run([str(SCRIPTS / "run_metrics.py"), "--dataset-size", "subset",
               "--data-root", str(data_root), "--model-output-dir", str(out_dir),
               "--snr", "-5", "--suffix", "_oracle_y", "--platform", "cpu"],
