@@ -21,8 +21,16 @@ STATIONARY = {"Car", "White"}
 
 def main():
     ap = add_common(argparse.ArgumentParser(description=__doc__))
-    ap.add_argument("--model-output-dir", required=True,
-                    help="dir holding the enhanced <...>_s_est.wav tree")
+    ap.add_argument("--model-output-dir", default=None,
+                    help="dir holding the enhanced <...>_s_est.wav tree "
+                         "(required unless --score-input)")
+    ap.add_argument("--score-input", action="store_true",
+                    help="score the raw noisy MIXTURE against the clean "
+                         "reference instead of enhanced outputs — the "
+                         "'noisy input' baseline rows of the paper's tables "
+                         "(reference's commented variants at "
+                         "run_metrics.py:130,134,138). stats.json is only "
+                         "written if --model-output-dir is also given")
     ap.add_argument("--suffix", default="",
                     help="estimate suffix, e.g. _y_hat_hard or _oracle_y")
     ap.add_argument("--est-prefix", default="",
@@ -45,6 +53,11 @@ def main():
                          "uhh_sp package; pairs shorter than 3 s are padded "
                          "copies scored as a separate batch")
     args = ap.parse_args()
+    if not args.score_input and not args.model_output_dir:
+        ap.error("--model-output-dir is required unless --score-input")
+    if args.score_input and (args.with_figures or args.polqa):
+        ap.error("--score-input composes with neither --with-figures nor "
+                 "--polqa (score the mixture with the plain metric sweep)")
     maybe_force_platform(args)
 
     import numpy as np
@@ -120,9 +133,12 @@ def main():
     classif_index = None  # built lazily on first use (one tree walk)
 
     for noisy_rel, clean_rel in items:
-        est_path = os.path.join(
-            args.model_output_dir,
-            os.path.splitext(noisy_rel)[0] + f"{args.est_prefix}_s_est{args.suffix}.wav")
+        if args.score_input:
+            est_path = os.path.join(proc, noisy_rel)  # the mixture itself
+        else:
+            est_path = os.path.join(
+                args.model_output_dir,
+                os.path.splitext(noisy_rel)[0] + f"{args.est_prefix}_s_est{args.suffix}.wav")
         if not os.path.exists(est_path):
             missing += 1
             continue
@@ -234,15 +250,19 @@ def main():
             "Stationary noise" if noise_type in STATIONARY else "Nonstationary noise")
 
     if not rows:
+        where = proc if args.score_input else args.model_output_dir
         hint = (
             f"looked for <dir>/ntcd_timit/Noisy/<type>/<snr>/test/...{args.est_prefix}_s_est{args.suffix}.wav "
             f"for {len(items)} catalog entries ({missing} missing)"
         )
+        if args.score_input:
+            hint = (f"looked for the mixtures themselves for {len(items)} "
+                    f"catalog entries ({missing} missing)")
         if not items:
             hint = (f"the catalog produced no entries for snr={args.snr!r}, "
                     f"labels={args.labels!r} — check --snr/--labels")
         raise SystemExit(
-            f"no enhanced files found under {args.model_output_dir}: {hint}"
+            f"no scorable files found under {where}: {hint}"
         )
     if missing:
         print(f"note: {missing} utterances missing enhanced output, skipped")

@@ -331,3 +331,18 @@ def test_m2_info_chain(tmp_path, subset_dir):
           "--batch-size", "6", "--y-source", "oracle",
           "--output-dir", str(out_v4), "--platform", "cpu"], cwd=tmp_path)
     assert len(list(out_v4.rglob("*_s_est_oracle_y.wav"))) == 6
+
+
+def test_run_metrics_score_input(data_root):
+    """--score-input scores the raw mixtures as the paper's 'noisy input'
+    baseline rows (the reference's commented variants, run_metrics.py:
+    130/134/138) — no enhanced tree, no model, no stats.json write."""
+    r = _run([str(SCRIPTS / "run_metrics.py"), "--dataset-size", "subset",
+              "--data-root", str(data_root / "data"), "--snr", "-5",
+              "--score-input", "--platform", "cpu"], cwd=data_root)
+    assert "si_sdr" in r.stdout and "estoi" in r.stdout
+    # at -5 dB input SNR the mixture must score clearly below clean speech
+    import re
+
+    m = re.search(r"si_sdr\s+(-?\d+\.?\d*)", r.stdout)
+    assert m and float(m.group(1)) < 0.0
