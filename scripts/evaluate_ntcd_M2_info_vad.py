@@ -35,6 +35,12 @@ def main():
                          "(evaluate_ntcd_M2_info_vad.py:175,218,268); "
                          "outputs carry the _y_hat_soft suffix")
     ap.add_argument("--classifier-dir", default=None)
+    ap.add_argument("--save-labels", action="store_true",
+                    help="also write the labels MCEM was conditioned on as "
+                         "<utt><suffix>.npy next to the enhanced wavs (the "
+                         "reference's commented torch.save lines, "
+                         "evaluate_ntcd_M2_info_vad.py:253-254); scoreable "
+                         "with run_metrics_classif.py")
     ap.add_argument("--model-class", default="v5", choices=["v5", "v4", "v3"],
                     help="v5 = disentangled M2-info checkpoints (default); "
                     "v4 = flat-tree CVAE_v4 (training_M2_info_vad.py "
@@ -122,6 +128,22 @@ def main():
     out_dir = args.output_dir or os.path.join(
         args.models_root, "enhanced", model_name,
         os.path.splitext(os.path.basename(path))[0])
+
+    if args.save_labels:
+        # persist the labels MCEM was conditioned on, next to the enhanced
+        # wavs (the reference's commented torch.save lines,
+        # evaluate_ntcd_M2_info_vad.py:253-254) — .npy here, which
+        # run_metrics_classif.py --classifier-dir consumes directly
+        inner_loader = y_loader
+
+        def y_loader(noisy_rel, clean_rel):  # noqa: F811 — deliberate wrap
+            y = inner_loader(noisy_rel, clean_rel)
+            dest = os.path.join(
+                out_dir, os.path.splitext(noisy_rel)[0] + suffix + ".npy")
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            np.save(dest, y)
+            return y
+
     n = evaluate_sweep(
         enh, proc, out_dir, dataset_size=args.dataset_size, labels=args.labels,
         snr_filter=None if args.snr == "all" else args.snr,

@@ -229,10 +229,17 @@ def test_m2_info_chain(tmp_path, subset_dir):
           "subset", "--labels", "vad_labels", "--data-root", str(data_root),
           "--models-root", str(models), "--model-dir", str(model_dir),
           "--niter", "3", "--snr", "-5", "--batch-size", "6",
-          "--y-source", "self-soft", "--output-dir", str(out_dir),
+          "--y-source", "self-soft", "--save-labels",
+          "--output-dir", str(out_dir),
           "--platform", "cpu"], cwd=tmp_path)
     soft_wavs = list(out_dir.rglob("*_s_est_y_hat_soft.wav"))
     assert len(soft_wavs) == 6, soft_wavs
+    # --save-labels persisted the conditioning labels (reference's commented
+    # torch.save lines) as loadable soft probabilities
+    soft_labels = list(out_dir.rglob("*_y_hat_soft.npy"))
+    assert len(soft_labels) == 6, soft_labels
+    y = np.load(soft_labels[0])
+    assert y.ndim == 2 and y.shape[1] == 1 and (y >= 0).all() and (y <= 1).all()
 
     r = _run([str(SCRIPTS / "run_metrics.py"), "--dataset-size", "subset",
               "--data-root", str(data_root), "--model-output-dir", str(out_dir),
