@@ -36,11 +36,12 @@ def main():
                          "outputs carry the _y_hat_soft suffix")
     ap.add_argument("--classifier-dir", default=None)
     ap.add_argument("--save-labels", action="store_true",
-                    help="also write the labels MCEM was conditioned on as "
+                    help="also write the labels MCEM is conditioned on as "
                          "<utt><suffix>.npy next to the enhanced wavs (the "
                          "reference's commented torch.save lines, "
-                         "evaluate_ntcd_M2_info_vad.py:253-254); scoreable "
-                         "with run_metrics_classif.py")
+                         "evaluate_ntcd_M2_info_vad.py:253-254); score them "
+                         "with run_metrics_classif.py --label-suffix "
+                         "<suffix> [--binarize 0.5]")
     ap.add_argument("--model-class", default="v5", choices=["v5", "v4", "v3"],
                     help="v5 = disentangled M2-info checkpoints (default); "
                     "v4 = flat-tree CVAE_v4 (training_M2_info_vad.py "
@@ -87,13 +88,15 @@ def main():
 
     def self_soft_labels(clean_rel):
         # the model's own x->y classifier on the CLEAN power spectrogram
-        # (reference evaluate_ntcd_M2_info_vad.py:174-176), soft probabilities
+        # (reference evaluate_ntcd_M2_info_vad.py:174-176), soft
+        # probabilities. ops.stft directly (not eval.reconstruct.power_spec,
+        # which pulls viz/matplotlib into an enhancement-only run)
         from dvae_tpu.data.io import read_wav
-        from dvae_tpu.eval.reconstruct import power_spec
+        from dvae_tpu.ops.stft import StftConfig, stft
 
         s_t, _ = read_wav(os.path.join(proc, clean_audio_rel(clean_rel, args.labels)))
-        _, s2 = power_spec(s_t.astype(np.float32))
-        y = model.apply(params, jnp.asarray(s2), method=classify_method)
+        s2 = jnp.abs(stft(jnp.asarray(s_t, jnp.float32), StftConfig())) ** 2
+        y = model.apply(params, s2, method=classify_method)
         return np.asarray(y, dtype=np.float32).reshape(-1, 1)
 
     def y_loader(noisy_rel, clean_rel):
@@ -130,19 +133,29 @@ def main():
         os.path.splitext(os.path.basename(path))[0])
 
     if args.save_labels:
-        # persist the labels MCEM was conditioned on, next to the enhanced
+        # persist the labels MCEM is conditioned on, next to the enhanced
         # wavs (the reference's commented torch.save lines,
         # evaluate_ntcd_M2_info_vad.py:253-254) — .npy here, which
-        # run_metrics_classif.py --classifier-dir consumes directly
-        inner_loader = y_loader
+        # run_metrics_classif.py consumes via --label-suffix. A pre-pass
+        # over the catalog (not a y_loader hook): resume-by-skip removes
+        # already-enhanced utterances from the sweep, and the label dump
+        # must cover those too. Idempotent like the sweep itself.
+        from dvae_tpu.data.catalog import ntcd_timit
 
-        def y_loader(noisy_rel, clean_rel):  # noqa: F811 — deliberate wrap
-            y = inner_loader(noisy_rel, clean_rel)
+        pairs = ntcd_timit.proc_noisy_clean_pair_dict(
+            proc + "/", "test", args.dataset_size, args.labels, True)
+        n_saved = 0
+        for noisy_rel, clean_rel in pairs.items():
+            if args.snr != "all" and noisy_rel.split("/")[-4] != str(args.snr):
+                continue
             dest = os.path.join(
                 out_dir, os.path.splitext(noisy_rel)[0] + suffix + ".npy")
+            if os.path.exists(dest):
+                continue
             os.makedirs(os.path.dirname(dest), exist_ok=True)
-            np.save(dest, y)
-            return y
+            np.save(dest, y_loader(noisy_rel, clean_rel))
+            n_saved += 1
+        print(f"saved {n_saved} label files ({suffix}.npy) under {out_dir}")
 
     n = evaluate_sweep(
         enh, proc, out_dir, dataset_size=args.dataset_size, labels=args.labels,

@@ -29,8 +29,10 @@ def main():
                          "reference instead of enhanced outputs — the "
                          "'noisy input' baseline rows of the paper's tables "
                          "(reference's commented variants at "
-                         "run_metrics.py:130,134,138). stats.json is only "
-                         "written if --model-output-dir is also given")
+                         "run_metrics.py:130,134,138). With "
+                         "--model-output-dir the tables are saved as "
+                         "stats_input.json there (stats.json is never "
+                         "overwritten by baselines)")
     ap.add_argument("--suffix", default="",
                     help="estimate suffix, e.g. _y_hat_hard or _oracle_y")
     ap.add_argument("--est-prefix", default="",
@@ -64,6 +66,7 @@ def main():
 
     from dvae_tpu.data.catalog import ntcd_timit
     from dvae_tpu.data.io import read_wav
+    from dvae_tpu.enhance.evaluate import clean_audio_rel
     from dvae_tpu.eval.pesq import pesq as pesq_fn, pesq_available
     from dvae_tpu.eval.si_sdr import si_sdr_leroux
     from dvae_tpu.eval.stats import compute_stats
@@ -92,15 +95,15 @@ def main():
         for noisy_rel, clean_rel in items:
             est = os.path.join(args.model_output_dir,
                                os.path.splitext(noisy_rel)[0] + f"{args.est_prefix}_s_est{args.suffix}.wav")
-            ref_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
-            ref = os.path.join(proc, os.path.splitext(ref_rel)[0] + ".wav")
+            ref = os.path.join(proc, clean_audio_rel(clean_rel, args.labels))
             if os.path.exists(est) and os.path.exists(ref):
                 wav_pairs.append((ref, est))
             else:
                 missing += 1
         if not wav_pairs:
-            raise SystemExit(f"no (clean, {args.est_prefix}s_est{args.suffix}) pairs under "
-                             f"{args.model_output_dir}")
+            raise SystemExit(
+                f"no (clean, {args.est_prefix}_s_est{args.suffix}) pairs "
+                f"under {args.model_output_dir}")
         if missing:
             print(f"note: {missing}/{len(items)} utterances missing enhanced "
                   f"output or clean reference, skipped")
@@ -146,9 +149,7 @@ def main():
         noise_type, snr_db, speaker = parts[-5], int(parts[-4]), parts[-2]
         utt = os.path.splitext(os.path.basename(noisy_rel))[0]
 
-        clean_wav_rel = clean_rel.replace("_" + args.labels, "").replace("_upsampled", "")
-        clean_wav_rel = os.path.splitext(clean_wav_rel)[0] + ".wav"
-        s_t, fs = read_wav(os.path.join(proc, clean_wav_rel))
+        s_t, fs = read_wav(os.path.join(proc, clean_audio_rel(clean_rel, args.labels)))
         s_hat_t, _ = read_wav(est_path)
 
         off = int(0.05 * fs)  # edge-burst trim (run_metrics.py:118-121)
@@ -275,9 +276,18 @@ def main():
         print("note: PESQ scored by the native P.862.2 implementation "
               "(licensed wheel not installed; see dvae_tpu.eval.pesq_native)")
 
-    compute_stats(keys, rows, args.model_output_dir, args.confidence,
-                  all_snr_db=np.asarray(snrs), all_noise_types=noises,
-                  all_speakers=speakers, all_noise_stationarities=stationarities)
+    result = compute_stats(
+        keys, rows, None if args.score_input else args.model_output_dir,
+        args.confidence, all_snr_db=np.asarray(snrs), all_noise_types=noises,
+        all_speakers=speakers, all_noise_stationarities=stationarities)
+    if args.score_input and args.model_output_dir:
+        # never clobber an enhanced run's stats.json with mixture baselines
+        import json
+
+        dest = os.path.join(args.model_output_dir, "stats_input.json")
+        with open(dest, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"baseline stats -> {dest}")
 
 
 if __name__ == "__main__":

@@ -16,6 +16,15 @@ def main():
     ap = add_common(argparse.ArgumentParser(description=__doc__))
     ap.add_argument("--classifier-dir", required=True,
                     help="dir with <split>/<spk>/<utt>_y_hat_hard.pt outputs")
+    ap.add_argument("--label-suffix", default="_y_hat_hard",
+                    help="classifier-output suffix to score; e.g. "
+                         "_y_hat_soft or _oracle_y to score the label dumps "
+                         "written by evaluate_ntcd_M2_info_vad.py "
+                         "--save-labels")
+    ap.add_argument("--binarize", type=float, default=None, metavar="T",
+                    help="threshold soft labels at T before scoring (e.g. "
+                         "0.5 for _y_hat_soft dumps); default scores them "
+                         "as-is (soft counts)")
     ap.add_argument("--confidence", type=float, default=0.95)
     ap.add_argument("--with-figures", action="store_true",
                     help="per-utterance mixture/clean/mask figure with the "
@@ -54,12 +63,15 @@ def main():
         spk = rel.split("/")[-2]
         utt = os.path.basename(rel).replace(suffix, "")
         cand = glob.glob(os.path.join(args.classifier_dir, "**", spk,
-                                      utt + "_y_hat_hard.*"), recursive=True)
+                                      utt + args.label_suffix + ".*"),
+                         recursive=True)
         if not cand:
             missing += 1
             continue
         y = load_oracle_labels(lab_path)
         y_hat = load_classifier_labels(cand[0])
+        if args.binarize is not None:
+            y_hat = (y_hat > args.binarize).astype(np.float32)
         n = min(len(y), len(y_hat))
         # arguments in f1_loss's declared (y_hat, y) order — the reference
         # passes them swapped (run_metrics_classif.py:136), so its printed
@@ -101,7 +113,7 @@ def main():
                 # the reference also panels the soft posterior
                 # (run_metrics_classif.py:204-216) — included when the
                 # classifier shipped *_y_hat_soft artifacts
-                soft_cand = glob.glob(
+                soft_cand = [] if args.label_suffix != "_y_hat_hard" else glob.glob(
                     os.path.splitext(cand[0])[0].replace(
                         "_y_hat_hard", "_y_hat_soft") + ".*")
                 if soft_cand:

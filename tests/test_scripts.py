@@ -240,6 +240,13 @@ def test_m2_info_chain(tmp_path, subset_dir):
     assert len(soft_labels) == 6, soft_labels
     y = np.load(soft_labels[0])
     assert y.ndim == 2 and y.shape[1] == 1 and (y >= 0).all() and (y <= 1).all()
+    # the saved dumps are scoreable: classifier F1 of the model's own VAD
+    r = _run([str(SCRIPTS / "run_metrics_classif.py"), "--dataset-size",
+              "subset", "--data-root", str(data_root),
+              "--classifier-dir", str(out_dir),
+              "--label-suffix", "_y_hat_soft", "--binarize", "0.5",
+              "--platform", "cpu"], cwd=tmp_path)
+    assert "f1" in r.stdout
 
     r = _run([str(SCRIPTS / "run_metrics.py"), "--dataset-size", "subset",
               "--data-root", str(data_root), "--model-output-dir", str(out_dir),
