@@ -355,3 +355,28 @@ def test_clean_z_ablations(subset_dir, m1):
     (a, _), = enh.enhance_batch([x1], key=jax.random.PRNGKey(7), clean_wavs=[s1])
     (b, _), = enh.enhance_batch([x1], key=jax.random.PRNGKey(7), clean_wavs=[s1])
     np.testing.assert_array_equal(a, b)
+
+
+def test_clean_z_nomcem_sharded_over_mesh(subset_dir, m1):
+    """The deterministic ablation under --data-parallel: the fixed-z EM is
+    fully deterministic, so the mesh-sharded program must reproduce the
+    single-device masks exactly (divisible batch -> identical NMF init)."""
+    from dvae_tpu.parallel import make_mesh
+
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    s1, _ = read_wav(subset_dir / "processed/ntcd_timit/Clean/test/34M/sa1.wav")
+    s2, _ = read_wav(subset_dir / "processed/ntcd_timit/Clean/test/34M/si494.wav")
+    wavs = [x1, x2, x1[:40000], x2[:40000]]
+    cleans = [s1.astype(np.float32), s2.astype(np.float32),
+              s1[:40000].astype(np.float32), s2[:40000].astype(np.float32)]
+    key = jax.random.PRNGKey(11)
+    cfg = EnhancerConfig(mcem=QUICK_MCEM, ablation="clean_z_nomcem",
+                         wire_dtype="float32")
+    out_1 = Enhancer(model, params, cfg).enhance_batch(
+        wavs, key=key, clean_wavs=cleans)
+    out_4 = Enhancer(model, params, cfg, mesh=make_mesh(4)).enhance_batch(
+        wavs, key=key, clean_wavs=cleans)
+    for (sa, _), (sb, _) in zip(out_1, out_4):
+        scale = np.abs(sa).max() + 1e-9
+        np.testing.assert_allclose(sa / scale, sb / scale, atol=1e-4)
