@@ -380,3 +380,27 @@ def test_clean_z_nomcem_sharded_over_mesh(subset_dir, m1):
     for (sa, _), (sb, _) in zip(out_1, out_4):
         scale = np.abs(sa).max() + 1e-9
         np.testing.assert_allclose(sa / scale, sb / scale, atol=1e-4)
+
+
+def test_clean_z_nomcem_conditional_enc_dec(subset_dir, m1):
+    """The conditional ablation (M2 y_mode='enc_dec' + clean_z_nomcem):
+    Zclean is encoded from [|S|^2; y] like the reference's MCEM_M2
+    init_parameters (mcem.py:365-366), and the partition identity holds."""
+    x1, _ = _wavs(subset_dir)
+    s1, _ = read_wav(subset_dir / "processed/ntcd_timit/Clean/test/34M/sa1.wav")
+    s1 = s1.astype(np.float32)
+    model = CVAE(y_dim=1)
+    cfgs = StftConfig()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)), jnp.ones((4, 1)),
+    )
+    enh = Enhancer(model, params,
+                   EnhancerConfig(mcem=QUICK_MCEM, y_mode="enc_dec",
+                                  ablation="clean_z_nomcem"))
+    y = np.asarray(clean_speech_vad(jnp.asarray(x1), cfgs)).T.reshape(-1, 1)
+    (s_hat, n_hat), = enh.enhance_batch(
+        [x1], ys=[y], key=jax.random.PRNGKey(3), clean_wavs=[s1])
+    assert s_hat.shape == x1.shape and np.isfinite(s_hat).all()
+    resid = np.abs((s_hat + n_hat) - x1)[: len(x1) - 1024]
+    assert np.median(resid) < 5e-3
