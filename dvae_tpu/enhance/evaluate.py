@@ -71,14 +71,23 @@ def load_classifier_labels(pt_or_npy_path, y_dim: int | None = None) -> np.ndarr
     else:
         y = np.load(p)
     y = np.asarray(y, dtype=np.float32)
+    if y_dim is not None and y_dim > 1:
+        # the explicit hint wins over every shape heuristic — a single-frame
+        # IBM file ((513,) flat or (1, 513)) must come back (1, y_dim), not
+        # be folded into a VAD column
+        if y.ndim == 1:
+            return y[None, :] if len(y) == y_dim else y[:, None]
+        if y.shape[-1] == y_dim:
+            return y
+        if y.shape[0] == y_dim:
+            return y.T
+        raise ValueError(f"{pt_or_npy_path}: shape {y.shape} has no axis of "
+                         f"size y_dim={y_dim}")
     if y.ndim == 1:
         return y[:, None]
     if 1 in y.shape:
         return y.reshape(-1, 1)
-    if y_dim is not None:
-        if y.shape[-1] != y_dim and y.shape[0] == y_dim:
-            y = y.T
-    elif y.shape[0] < y.shape[1]:
+    if y.shape[0] < y.shape[1]:
         y = y.T
     return y
 

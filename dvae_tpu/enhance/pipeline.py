@@ -34,10 +34,16 @@ from dvae_tpu.enhance.pallas_mcem import extract_decoder_mlp
 from dvae_tpu.ops.stft import (
     StftConfig,
     istft_realimag_masked,
-    n_stft_frames,
+    n_stft_frames_clamped,
     samples_for_frames,
     stft_realimag,
 )
+
+
+def _slice(seq, a, b):
+    """None-tolerant sub-batch slice (shared by enhance_batch and
+    enhance_stream's splitter)."""
+    return None if seq is None else seq[a:b]
 
 
 def _quantize_pcm16(x, xp=jnp):
@@ -64,10 +70,12 @@ class EnhancerConfig:
     frame_bucket: int = 64  # frame counts rounded up to a multiple of this
     # Wire format between host and device. "int16" sends/receives PCM16 +
     # per-utterance scales: half the bytes of float32 on a link where the
-    # waveforms dominate traffic, and lossless for PCM-sourced inputs (the
-    # outputs are written as 16-bit PCM wavs anyway; quantization sits at
-    # -96 dBFS, far below the enhancement noise floor). "float32" for exact
-    # float round-trips.
+    # waveforms dominate traffic. NOT bit-exact — the per-utterance
+    # peak/32767 grid only coincides with a PCM source's own grid when the
+    # peak is exactly full-scale; in general inputs are re-quantized with
+    # error <= half an LSB of the rescaled grid (~ -96 dBFS, far below the
+    # enhancement noise floor, and the outputs are written as 16-bit PCM
+    # wavs anyway). "float32" for exact float round-trips.
     wire_dtype: str = "int16"
     # Reconstruct n_est on the host as x - s_est instead of pulling a second
     # waveform from the device. Exact by the Wiener partition identity
@@ -223,11 +231,9 @@ class Enhancer:
         (tunnel-independent number)."""
         cfg = self.cfg
         b = len(wavs)
-        # n_stft_frames is <= 0 for wavs shorter than one analysis frame
-        # (center=False needs ~nfft samples); such a wav still occupies one
-        # zero-padded frame here — without the clamp the negative count
-        # becomes a wraparound mask slice marking padding as valid
-        frames = [max(1, n_stft_frames(len(w), cfg.stft)) for w in wavs]
+        # without the sub-frame clamp, a negative frame count becomes a
+        # wraparound mask slice marking padding as valid
+        frames = [n_stft_frames_clamped(len(w), cfg.stft) for w in wavs]
         if max_frames is not None:
             frames = [max(1, min(f, int(mf)))
                       for f, mf in zip(frames, max_frames)]
@@ -380,13 +386,12 @@ class Enhancer:
         # collecting (they pipeline like separate stream batches)
         if key is None:
             key = jax.random.PRNGKey(0)
-        sl = lambda seq, a, b: None if seq is None else seq[a:b]
         handles = []
         for j, a in enumerate(range(0, len(wavs), mdb)):
             b = a + mdb
             handles.append(self._dispatch(
-                wavs[a:b], sl(ys, a, b), jax.random.fold_in(key, j),
-                sl(max_frames, a, b), sl(clean_wavs, a, b),
+                wavs[a:b], _slice(ys, a, b), jax.random.fold_in(key, j),
+                _slice(max_frames, a, b), _slice(clean_wavs, a, b),
             ))
         out = []
         for h in handles:
@@ -425,12 +430,12 @@ class Enhancer:
                     # one-yield-per-batch contract (and zip alignment) intact
                     yield (i, 0, True, None, None, None, None)
                     continue
-                sl = lambda seq, a, b: None if seq is None else seq[a:b]
                 for j, a in enumerate(range(0, len(wavs), mdb)):
                     last = a + mdb >= len(wavs)
-                    yield (i, j, last, wavs[a:a + mdb], sl(ys, a, a + mdb),
-                           sl(max_frames, a, a + mdb),
-                           sl(clean_wavs, a, a + mdb))
+                    yield (i, j, last, wavs[a:a + mdb],
+                           _slice(ys, a, a + mdb),
+                           _slice(max_frames, a, a + mdb),
+                           _slice(clean_wavs, a, a + mdb))
 
         acc = []
 

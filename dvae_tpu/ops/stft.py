@@ -115,6 +115,14 @@ def n_stft_frames(n_samples: int, cfg: StftConfig) -> int:
     return 1 + (t - cfg.nfft) // cfg.hop
 
 
+def n_stft_frames_clamped(n_samples: int, cfg: StftConfig) -> int:
+    """``n_stft_frames`` floored at 1: a sub-frame wav still occupies one
+    zero-padded frame in any batched layout. The single home of the clamp
+    rule shared by the enhancement batch assembly and the sequence-training
+    batcher (previously duplicated at both call sites)."""
+    return max(1, n_stft_frames(n_samples, cfg))
+
+
 def samples_for_frames(n_frames: int, cfg: StftConfig) -> int:
     """Inverse of the framing: samples needed so a signal yields (or, for
     the ISTFT, samples synthesizable from) ``n_frames`` frames — the centered
@@ -270,7 +278,9 @@ def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return out
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)  # keyed per n_frames: a ragged-length sweep
+# would otherwise cache one (~n_frames*hop)-sample array per distinct length
+# for the life of the process
 def _window_sumsquare(window: str, nfft: int, hop: int, n_frames: int) -> np.ndarray:
     """Overlap-added squared synthesis window (librosa's ifft_window_sum)."""
     w2 = get_window(window, nfft) ** 2

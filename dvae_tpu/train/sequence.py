@@ -76,11 +76,10 @@ def batch_utterances(ds, indices, stft_cfg: StftConfig, pad_to_multiple: int = 6
         w, y = ds[i]
         wavs.append(w)
         labels.append(np.asarray(y).reshape(-1))
-    from dvae_tpu.ops.stft import n_stft_frames, samples_for_frames
+    from dvae_tpu.ops.stft import n_stft_frames_clamped, samples_for_frames
 
-    # clamp like pipeline._prepare: a sub-frame-length wav still occupies
-    # one zero-padded frame (n_stft_frames goes <= 0 below ~nfft samples)
-    frames = [max(1, min(n_stft_frames(len(w), stft_cfg), len(l)))
+    # outer max: labels trimmed to zero frames still occupy one (masked) row
+    frames = [max(1, min(n_stft_frames_clamped(len(w), stft_cfg), len(l)))
               for w, l in zip(wavs, labels)]
     n_max = -(-max(frames) // pad_to_multiple) * pad_to_multiple
     t_pad = samples_for_frames(n_max, stft_cfg)

@@ -4,6 +4,7 @@ upsampling, visualization smoke, SVI objectives, utils, STOI sanity."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvae_tpu.eval.stoi import stoi
 from dvae_tpu.models import CVAE_v3
@@ -233,3 +234,16 @@ def test_load_classifier_labels_orientation(tmp_path):
     np.save(p3, np.zeros((1, 99), np.float32))
     assert load_classifier_labels(p3, y_dim=1).shape == (99, 1)
     assert load_classifier_labels(p3).shape == (99, 1)  # heuristic path
+
+    # degenerate single-frame IBM files: the explicit hint must beat the
+    # 1-in-shape VAD heuristic ((1, 513) / flat (513,) -> (1, 513))
+    p4 = tmp_path / "d_y_hat_hard.npy"
+    np.save(p4, np.zeros((1, 513), np.float32))
+    assert load_classifier_labels(p4, y_dim=513).shape == (1, 513)
+    p5 = tmp_path / "e_y_hat_hard.npy"
+    np.save(p5, np.zeros((513,), np.float32))
+    assert load_classifier_labels(p5, y_dim=513).shape == (1, 513)
+    p6 = tmp_path / "f_y_hat_hard.npy"
+    np.save(p6, np.zeros((250, 99), np.float32))
+    with pytest.raises(ValueError, match="y_dim"):
+        load_classifier_labels(p6, y_dim=513)
