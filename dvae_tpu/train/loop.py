@@ -159,12 +159,6 @@ def _run_epochs(
     """The shared epoch driver behind fit_vae / fit_adversarial: buffered
     multi-step dispatch, mesh sharding, reference-format logging, per-epoch
     checkpointing, best-params tracking."""
-    rng = np.random.default_rng(cfg.seed)
-    # the fitters' init keys come from split(PRNGKey(seed)), which leaves
-    # this root key itself unconsumed — the in-loop stream starts from it,
-    # exactly as the pre-refactor loops did (bitwise-stable training)
-    key = jax.random.PRNGKey(cfg.seed)
-
     log = _Logger(model_dir, append=resumed)
     history = []
     best = (np.inf, None)
@@ -173,6 +167,16 @@ def _run_epochs(
     mesh_size = mesh.devices.size if mesh is not None else 1
 
     for epoch in range(cfg.start_epoch, cfg.end_epoch):
+        # Per-epoch RNG streams, pure functions of (seed, epoch):
+        # * a resumed run (start_epoch > 1) reproduces exactly the shuffle
+        #   orders and sample keys the uninterrupted run would have used for
+        #   these epochs, instead of replaying epoch 1's randomness;
+        # * fold_in over a tagged lane keeps the loop's key chain disjoint
+        #   from the fitters' init keys (split(PRNGKey(seed)) — reusing the
+        #   root directly made batch 1's keys collide with the init keys).
+        rng = np.random.default_rng((cfg.seed, epoch))
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0x10F), epoch)
         t0 = time.perf_counter()
         totals = {}
         i = 0

@@ -93,8 +93,12 @@ def batch_utterances(ds, indices, stft_cfg: StftConfig, pad_to_multiple: int = 6
         # cf. pipeline._prepare): the excess samples are unused anyway
         t_use = min(len(w), t_pad)
         xb[j, :t_use] = w[:t_use]
-        yb[j, :n] = l[:n]
-        mb[j, :n] = 1.0
+        # a zero-length label vector leaves its (1-frame placeholder) row
+        # fully MASKED — n is clamped to >=1 for the shape, but only frames
+        # that really carry labels may score
+        n_lab = min(n, len(l))
+        yb[j, :n_lab] = l[:n_lab]
+        mb[j, :n_lab] = 1.0
 
     spec = log_power_spectrogram(jnp.asarray(xb), stft_cfg)[:, :n_max]
     return spec, jnp.asarray(yb), jnp.asarray(mb)

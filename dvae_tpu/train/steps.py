@@ -17,9 +17,12 @@
   ``legacy_aux_coupling=True`` to replicate those exact dynamics; the default
   trains the auxiliary with the intended ``+gamma * dBCE``.
 
-All steps donate their state buffers and are shape-polymorphic over the batch
-axis only through retracing; under a mesh, callers shard the batch over the
-``data`` axis and replicate params — XLA inserts the gradient psums.
+Steps are shape-polymorphic over the batch axis only through retracing;
+under a mesh, callers shard the batch over the ``data`` axis and replicate
+params — XLA inserts the gradient psums. State buffers are NOT donated:
+at ~0.2 M params the double-buffering cost is negligible, and donation
+would forbid the reuse-the-same-state call patterns the tests and
+notebooks rely on.
 """
 
 from __future__ import annotations
