@@ -87,7 +87,15 @@ class Decoder(nn.Module):
 
 
 class Classifier(nn.Module):
-    """relu MLP -> Dense -> sigmoid (per-label Bernoulli probabilities)."""
+    """relu MLP -> Dense -> sigmoid (per-label Bernoulli probabilities).
+
+    ``batch_norm=True`` replicates the reference's interleaved
+    ``[Linear, BatchNorm1d]`` ModuleList whose forward relu's EVERY entry
+    (models.py:46-61): each block is ``relu(BN(relu(Wx)))`` — two relus,
+    BN on the post-activation. No shipped trainer enables it (like the
+    reference's scripts); training with it requires the caller to thread
+    flax's ``mutable=['batch_stats']``, while inference (train=False) uses
+    the running statistics and needs no mutation."""
 
     hidden: Sequence[int]
     y_dim: int
@@ -96,10 +104,10 @@ class Classifier(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, h in enumerate(self.hidden):
-            x = dense(h, name=f"hidden_{i}")(x)
+            x = nn.relu(dense(h, name=f"hidden_{i}")(x))
             if self.batch_norm:
-                x = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(x)
-            x = nn.relu(x)
+                x = nn.relu(nn.BatchNorm(
+                    use_running_average=not train, name=f"bn_{i}")(x))
         return nn.sigmoid(dense(self.y_dim, name="output_layer")(x))
 
 

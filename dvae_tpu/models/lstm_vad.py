@@ -5,7 +5,11 @@ The reference's ``scripts/train_audio_net.py`` imports
 missing from its tree; per its config (2-layer LSTM, hidden 1024,
 train_audio_net.py:69-70) this module supplies a real implementation: a
 stacked LSTM over per-frame log-power-spectrogram features with a sigmoid
-frame-VAD head, plus length masking for padded batches.
+frame-VAD head. The module itself runs over ALL frames (padding included);
+length masking for padded batches lives downstream, in the mask-weighted
+BCE / ``losses.f1_loss(mask=...)`` that the sequence trainer threads
+(train/sequence.py) — outputs at padded frames must never enter an
+unmasked reduction.
 
 TPU notes: the recurrence uses ``flax.linen.RNN`` (an ``lax.scan`` under the
 hood) with an OptimizedLSTMCell — gates are fused 8xH matmuls on the MXU.

@@ -38,7 +38,11 @@ class DeterministicWarmup:
         return self
 
     def __next__(self):
-        self.t = min(self.t + self.inc, self.t_max)
+        # clamp toward t_max from whichever side the ramp approaches it —
+        # min() alone would collapse a DECREASING ramp (t_init > t_max) to
+        # the terminal value on the first step
+        clamp = min if self.inc >= 0 else max
+        self.t = clamp(self.t + self.inc, self.t_max)
         return self.t
 
 
@@ -99,6 +103,11 @@ def svi_loss(model, params, x, y, key, alpha: float = 0.1, beta: float = 1.0,
     L0, L1 = Ls
     q1 = y_hat[:, 0]
     expected = (1 - q1) * L0 + q1 * L1
-    H = -(q1 * jnp.log(q1 + eps) + (1 - q1) * jnp.log(1 - q1 + eps))
+    # clip inside the logs only (the saturation hazard documented at
+    # losses.py:_SAT: under jit XLA reassociates 1 - q + eps into
+    # (1 + eps) - q == 1 - q in float32, so a saturated classifier makes
+    # 0 * log(0) = nan; see test_bce_finite_at_saturation_under_jit)
+    qc = jnp.clip(q1, eps, 1.0 - max(eps, losses._SAT))
+    H = -(q1 * jnp.log(qc) + (1 - q1) * jnp.log(1 - qc))
     U = jnp.mean(expected - H)
     return U, {"U": U, "entropy": jnp.mean(H)}

@@ -10,7 +10,17 @@ from __future__ import annotations
 
 import matplotlib
 
-matplotlib.use("Agg")
+# A headless DEFAULT, not an override: only pick Agg when no backend was
+# explicitly selected (run_metrics* call use('pdf') before importing this
+# module and must keep it; the sentinel marks matplotlib's unresolved
+# auto-selection state)
+try:
+    _unset = dict.__getitem__(matplotlib.rcParams, "backend") is \
+        matplotlib.rcsetup._auto_backend_sentinel
+except AttributeError:  # sentinel is private API — fall back to overriding
+    _unset = True
+if _unset:
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
@@ -99,8 +109,9 @@ def display_wav_spectro_mask(x, spec, mask, fs=16000, wlen_sec=64e-3,
     # (20*log10), not the power convention
     _imshow_spec(axes[1], _spec_db(spec, power=False), fs, hop_sec)
     if mask.ndim == 1 or mask.shape[-1] == 1:
-        n_bins = np.asarray(spec).shape[-1] if spec is not None else 513
-        mask = vad_as_mask(mask, n_bins)
+        # spec is required here (already rendered above) — unlike
+        # display_multiple_signals, whose rows accept (None, None, mask)
+        mask = vad_as_mask(mask, np.asarray(spec).shape[-1])
     axes[2].imshow(np.asarray(mask).T, origin="lower", aspect="auto",
                    extent=[0, mask.shape[0] * hop_sec, 0, fs / 2000.0], cmap="gray")
     axes[2].set_xlabel("Time (s)")

@@ -93,6 +93,36 @@ def test_svi_objectives():
     assert agg.shape == (4,)
 
 
+def test_svi_unlabelled_finite_at_classifier_saturation_under_jit():
+    """A classifier saturated to exactly 1.0 in float32 must not NaN the
+    unlabelled entropy term under jit (the losses._SAT hazard: XLA folds
+    1 - q + eps back to 1 - q, so unclipped 0*log(0) = nan)."""
+    model = CVAE_v3(x_dim=64, y_dim=1, z_dim=8, h_dim=(16,))
+    x = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (6, 64))) + 0.1
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
+        x, jnp.ones((6, 1)), method="init_all",
+    )
+    params = jax.tree_util.tree_map(lambda a: a, params)  # shallow copy
+    b = params["params"]["classifier"]["output_layer"]["bias"]
+    params["params"]["classifier"]["output_layer"]["bias"] = b + 60.0
+    q = model.apply(params, x, method="classify")
+    assert float(q.min()) == 1.0  # genuinely saturated in float32
+    loss, m = jax.jit(
+        lambda p, xx, k: svi_loss(model, p, xx, None, k)
+    )(params, x, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss)) and np.isfinite(float(m["entropy"]))
+
+
+def test_deterministic_warmup_decreasing_ramp():
+    """t_init > t_max (KL annealing DOWN) must ramp through intermediate
+    values, not jump to the floor on step one (min() was the wrong clamp
+    for a negative increment)."""
+    w = DeterministicWarmup(n=4, t_max=0.0, t_init=1.0)
+    vals = [next(w) for _ in range(6)]
+    assert vals[:4] == [0.75, 0.5, 0.25, 0.0] and vals[-1] == 0.0
+
+
 def test_utils():
     assert get_key({"a": 1, "b": 2}, 2) == "b"
     assert count_parameters({"w": np.zeros((3, 4)), "b": np.zeros(4)}) == 16

@@ -209,3 +209,49 @@ def test_partial_load_pt_msgpack_style_filter_and_deep_donor(tmp_path):
         jnp.ones((2, 21)), jnp.ones((2, 1)))
     with pytest.raises(KeyError):
         partial_load(str(deep_pt), sparams, "classifier")
+
+
+def test_classifier_batch_norm_matches_reference_ordering():
+    """batch_norm=True must reproduce the reference's interleaved
+    [Linear, BN] ModuleList whose forward relu's EVERY entry —
+    relu(BN(relu(Wx))) per block (reference models.py:46-61). Randomized
+    running stats make the op ordering observable (with identity BN the
+    two orderings coincide)."""
+    ref_models = _ref_models()
+    from dvae_tpu.models.blocks import Classifier
+
+    tm = ref_models.Classifier([9, [7, 5], 1], batch_norm=True).eval()
+    rng = np.random.default_rng(3)
+    with torch.no_grad():
+        for bn in (tm.hidden[1], tm.hidden[3]):
+            bn.running_mean.copy_(torch.tensor(
+                rng.standard_normal(bn.running_mean.shape[0]), dtype=torch.float32))
+            bn.running_var.copy_(torch.tensor(
+                np.abs(rng.standard_normal(bn.running_var.shape[0])) + 0.5,
+                dtype=torch.float32))
+            bn.weight.copy_(torch.tensor(
+                rng.standard_normal(bn.weight.shape[0]), dtype=torch.float32))
+            bn.bias.copy_(torch.tensor(
+                rng.standard_normal(bn.bias.shape[0]), dtype=torch.float32))
+
+    ours = Classifier(hidden=(7, 5), y_dim=1, batch_norm=True)
+    x = rng.standard_normal((4, 9)).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    p = variables["params"]
+    for i, tl in enumerate((0, 2)):  # torch Linear indices in the ModuleList
+        p[f"hidden_{i}"]["kernel"] = jnp.asarray(sd[f"hidden.{tl}.weight"].T)
+        p[f"hidden_{i}"]["bias"] = jnp.asarray(sd[f"hidden.{tl}.bias"])
+        p[f"bn_{i}"]["scale"] = jnp.asarray(sd[f"hidden.{tl + 1}.weight"])
+        p[f"bn_{i}"]["bias"] = jnp.asarray(sd[f"hidden.{tl + 1}.bias"])
+        variables["batch_stats"][f"bn_{i}"]["mean"] = jnp.asarray(
+            sd[f"hidden.{tl + 1}.running_mean"])
+        variables["batch_stats"][f"bn_{i}"]["var"] = jnp.asarray(
+            sd[f"hidden.{tl + 1}.running_var"])
+    p["output_layer"]["kernel"] = jnp.asarray(sd["output_layer.weight"].T)
+    p["output_layer"]["bias"] = jnp.asarray(sd["output_layer.bias"])
+
+    got = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        want = tm(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
