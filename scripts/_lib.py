@@ -119,6 +119,21 @@ def ablation_of(args) -> str:
     return args.ablation.replace("-", "_")
 
 
+def default_out_dir(args, ckpt_path: str) -> str:
+    """Enhanced-output destination shared by the evaluate_ntcd_* CLIs.
+
+    Defaults under --models-root (never under --data-root, which may point
+    at a read-only corpus); layout mirrors the reference's
+    models/<model_name>/<ckpt>/... convention (evaluate_ntcd_M1.py:79-82) —
+    the model-dir name must stay in the path or different models sharing a
+    checkpoint prefix (M2 vs M2-info both write M2_epoch_*) would collide."""
+    model_name = os.path.basename(os.path.normpath(
+        args.model_dir or os.path.dirname(ckpt_path)))
+    return args.output_dir or os.path.join(
+        args.models_root, "enhanced", model_name,
+        os.path.splitext(os.path.basename(ckpt_path))[0])
+
+
 def frame_h5_path(args) -> str:
     return os.path.join(args.data_root, args.dataset_size, "processed",
                         "ntcd_timit", f"Clean_{args.labels}_upsampled.h5")

@@ -9,7 +9,8 @@ resume-by-skip."""
 import argparse
 import os
 
-from _lib import (ablation_of, add_ablation, add_common, make_mesh_if,
+from _lib import (ablation_of, add_ablation, add_common, default_out_dir,
+                  make_mesh_if,
                   maybe_force_platform, processed_dir)
 
 
@@ -64,16 +65,7 @@ def main():
                        McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)),
                        ablation=ablation_of(args)),
                    mesh=make_mesh_if(args))
-    # default under --models-root (never under --data-root, which may point
-    # at a read-only corpus); layout mirrors the reference's
-    # models/<model_name>/<ckpt>/... convention (evaluate_ntcd_M1.py:79-82) —
-    # the model-dir name must stay in the path or different models sharing a
-    # checkpoint prefix (M2 vs M2-info both write M2_epoch_*) would collide.
-    model_name = os.path.basename(os.path.normpath(
-        args.model_dir or os.path.dirname(path)))
-    out_dir = args.output_dir or os.path.join(
-        args.models_root, "enhanced", model_name,
-        os.path.splitext(os.path.basename(path))[0])
+    out_dir = default_out_dir(args, path)
     n = evaluate_sweep(
         enh, processed_dir(args), out_dir,
         dataset_size=args.dataset_size, labels=args.labels,

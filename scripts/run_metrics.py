@@ -14,7 +14,7 @@ Also writes ``stats.json`` in the model output dir."""
 import argparse
 import os
 
-from _lib import add_common, maybe_force_platform, processed_dir
+from _lib import add_common, maybe_force_platform, processed_dir, y_dim_for
 
 STATIONARY = {"Car", "White"}
 
@@ -60,6 +60,10 @@ def main():
     if args.score_input and (args.with_figures or args.polqa):
         ap.error("--score-input composes with neither --with-figures nor "
                  "--polqa (score the mixture with the plain metric sweep)")
+    if args.polqa and (args.with_figures or args.classifier_dir):
+        ap.error("--polqa is a dedicated batch mode (reference main_polqa) "
+                 "and ignores --with-figures/--classifier-dir; run the "
+                 "plain sweep for those")
     maybe_force_platform(args)
 
     import numpy as np
@@ -133,6 +137,8 @@ def main():
     rows, snrs, noises, speakers, stationarities = [], [], [], [], []
     missing = 0
     missing_classif = 0
+    missing_oracle = 0
+    clean_cache = {}
     classif_index = None  # built lazily on first use (one tree walk)
 
     for noisy_rel, clean_rel in items:
@@ -149,11 +155,23 @@ def main():
         noise_type, snr_db, speaker = parts[-5], int(parts[-4]), parts[-2]
         utt = os.path.splitext(os.path.basename(noisy_rel))[0]
 
-        s_t, fs = read_wav(os.path.join(proc, clean_audio_rel(clean_rel, args.labels)))
+        # each clean wav recurs under every (noise x SNR) condition of the
+        # sweep (~25x in the full grid): cache the reads
+        if clean_rel not in clean_cache:
+            clean_cache[clean_rel] = read_wav(
+                os.path.join(proc, clean_audio_rel(clean_rel, args.labels)))
+        s_t, fs = clean_cache[clean_rel]
         s_hat_t, _ = read_wav(est_path)
 
         off = int(0.05 * fs)  # edge-burst trim (run_metrics.py:118-121)
         L = min(len(s_t), len(s_hat_t))
+        if L <= 2 * off + 1:
+            # a truncated estimate (e.g. a kill mid-write that resume-by-skip
+            # then treats as done) must not abort the sweep — same contract
+            # as the PESQ guard below
+            print(f"note: metrics skipped for {noisy_rel}: estimate too "
+                  f"short after edge trims ({L} samples)")
+            continue
         s_t, s_hat_t = s_t[off : L - off], s_hat_t[off : L - off]
 
         y_hat_hard = None
@@ -179,7 +197,10 @@ def main():
                         classif_index.setdefault((spk_dir, base), path)
             cand = classif_index.get((speaker, utt))
             if cand:
-                y_hat_hard = load_classifier_labels(cand)
+                # the y_dim hint resolves 2-D orientation exactly — without
+                # it an IBM-style (frames, 513) file with < 513 frames would
+                # be transposed by the shape heuristic
+                y_hat_hard = load_classifier_labels(cand, y_dim_for(args.labels))
             else:
                 missing_classif += 1
 
@@ -201,6 +222,7 @@ def main():
                 y_oracle = load_oracle_labels(os.path.join(proc, clean_rel))
             except (FileNotFoundError, OSError):
                 y_oracle = None
+                missing_oracle += 1
         if args.classifier_dir:
             if y_hat_hard is not None and y_oracle is not None:
                 import jax.numpy as jnp
@@ -267,6 +289,9 @@ def main():
         )
     if missing:
         print(f"note: {missing} utterances missing enhanced output, skipped")
+    if missing_oracle:
+        print(f"note: {missing_oracle} utterances had unreadable oracle "
+              f"labels (NaN classifier columns)")
     if missing_classif:
         print(f"note: {missing_classif} utterances missing classifier output "
               f"(excluded from the accuracy/.../f1 columns)")

@@ -9,7 +9,7 @@ or .npy arrays)."""
 import argparse
 import os
 
-from _lib import add_common, maybe_force_platform, processed_dir
+from _lib import add_common, maybe_force_platform, processed_dir, y_dim_for
 
 
 def main():
@@ -25,6 +25,10 @@ def main():
                     help="threshold soft labels at T before scoring (e.g. "
                          "0.5 for _y_hat_soft dumps); default scores them "
                          "as-is (soft counts)")
+    ap.add_argument("--stats-dir", default=None,
+                    help="where to write stats.json (default: "
+                         "--classifier-dir; useful when scoring artifacts "
+                         "in a read-only tree)")
     ap.add_argument("--confidence", type=float, default=0.95)
     ap.add_argument("--with-figures", action="store_true",
                     help="per-utterance mixture/clean/mask figure with the "
@@ -69,7 +73,9 @@ def main():
             missing += 1
             continue
         y = load_oracle_labels(lab_path)
-        y_hat = load_classifier_labels(cand[0])
+        # the y_dim hint resolves 2-D orientation exactly — without it an
+        # IBM-style (frames, 513) file with < 513 frames would be transposed
+        y_hat = load_classifier_labels(cand[0], y_dim_for(args.labels))
         if args.binarize is not None:
             y_hat = (y_hat > args.binarize).astype(np.float32)
         n = min(len(y), len(y_hat))
@@ -136,9 +142,15 @@ def main():
                          f"({missing} missing)")
     if missing:
         print(f"note: {missing} utterances had no classifier output")
-    compute_stats(["accuracy", "precision", "recall", "f1"], rows,
-                  args.classifier_dir, args.confidence,
-                  all_speakers=speakers)
+    stats_dir = args.stats_dir or args.classifier_dir
+    try:
+        compute_stats(["accuracy", "precision", "recall", "f1"], rows,
+                      stats_dir, args.confidence, all_speakers=speakers)
+    except OSError as e:
+        # scoring shipped artifacts in a read-only tree: the tables were
+        # already printed before the final stats.json write failed
+        print(f"note: stats.json not written ({e}); pass --stats-dir for a "
+              f"writable destination")
 
 
 if __name__ == "__main__":

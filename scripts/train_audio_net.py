@@ -98,8 +98,25 @@ def main():
     model_dir = os.path.join(
         args.models_root,
         args.run_name or f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}")
-    rng = np.random.default_rng(args.seed)
+    if args.start_epoch > 1:
+        # resume like the VAE trainers (train/loop.py): restore params AND
+        # optimizer state from the epoch-(start_epoch-1) checkpoint; refuse
+        # to silently restart from random init under a continued epoch count
+        from dvae_tpu.train.loop import _resume_checkpoint
+
+        resume = _resume_checkpoint(model_dir, "VAD", args.start_epoch)
+        params, opt_state = ckpt.load_checkpoint(
+            resume, state.params, state.opt_state)
+        state = state._replace(params=params, opt_state=opt_state)
+        if mesh is not None:
+            from dvae_tpu.parallel import replicate
+
+            state = replicate(state, mesh)
+        print(f"resumed from {resume}")
     for epoch in range(args.start_epoch, args.end_epoch):
+        # per-epoch shuffle stream, pure function of (seed, epoch): a
+        # resumed run replays the uninterrupted run's orders (cf. loop.py)
+        rng = np.random.default_rng((args.seed, epoch))
         order = rng.permutation(len(train_ds))
         totals, n_batches = {}, 0
         for s in range(0, len(order), args.seq_batch_size):
@@ -128,6 +145,7 @@ def main():
         name = ckpt.checkpoint_name("VAD", epoch, vavg.get("bce", avg["bce"]))
         if jax.process_index() == 0:  # multi-host: one writer to shared dir
             ckpt.save_checkpoint(model_dir, name, state.params,
+                                 opt_state=state.opt_state,
                                  metadata={"epoch": epoch, **avg,
                                            **{f"valid_{k}": v for k, v in vavg.items()}})
 
