@@ -11,6 +11,21 @@ import types
 import pytest
 
 REFERENCE = pathlib.Path("/root/reference")
+REFERENCE_DATA = REFERENCE / "data/subset"
+RAW = str(REFERENCE_DATA / "raw")
+PROC = str(REFERENCE_DATA / "processed")
+SUBSET_H5 = str(REFERENCE_DATA / "processed/ntcd_timit/Clean_ibm_labels_upsampled.h5")
+# the reference's shipped golden-wav tree + the two checkpoints the tests pin
+GOLDEN_MODELS = str(REFERENCE_DATA / "models")
+M1_GOLDEN = "ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500/M1_epoch_118_vloss_416.54"
+M2_GOLDEN = "ntcd_M2_IBM_nonorm_hdim_128_128_zdim_016_end_epoch_500/M2_epoch_037_vloss_410.62"
+
+
+def require_golden_models():
+    """Skip (not error) when the golden-wav tree is absent — a checkout can
+    ship the processed subset without data/subset/models."""
+    if not pathlib.Path(GOLDEN_MODELS).exists():
+        pytest.skip("reference golden-model wavs not available")
 
 
 def load_reference_module(relpath: str):

@@ -7,8 +7,7 @@ import pytest
 
 from dvae_tpu.data import builders
 
-RAW = "/root/reference/data/subset/raw"
-PROC = "/root/reference/data/subset/processed"
+from _helpers import PROC, RAW
 
 
 def test_build_audio_train_set_vad_parity(tmp_path, subset_dir):

@@ -19,8 +19,10 @@ def ref(subset_dir):
     return ref_mod
 
 
-RAW = "/root/reference/data/subset/raw/"
-PROC = "/root/reference/data/subset/processed/"
+import _helpers
+
+RAW = _helpers.RAW + "/"   # the catalog functions expect trailing slashes
+PROC = _helpers.PROC + "/"
 
 
 @pytest.mark.parametrize("split", ["train", "validation", "test"])

@@ -18,9 +18,13 @@ from dvae_tpu.data.io import read_wav
 from dvae_tpu.eval.si_sdr import si_sdr_leroux
 from dvae_tpu.eval.stoi import stoi
 
-G = "/root/reference/data/subset/models"
-M1 = "ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500/M1_epoch_118_vloss_416.54"
-M2 = "ntcd_M2_IBM_nonorm_hdim_128_128_zdim_016_end_epoch_500/M2_epoch_037_vloss_410.62"
+from _helpers import (GOLDEN_MODELS as G, M1_GOLDEN as M1,
+                      M2_GOLDEN as M2, require_golden_models)
+
+
+@pytest.fixture(autouse=True)
+def _golden_models():
+    require_golden_models()
 
 # (model, utt, suffix) -> (si_sdr, estoi) measured with this metric stack
 PINNED = {

@@ -138,12 +138,16 @@ def test_bce_matches_torch_oracle():
 
 
 def test_f1_loss():
+    # vector chosen with FP != FN so a precision/recall swap — the exact
+    # reference bug MIGRATING.md documents fixing — CANNOT pass: TP=3,
+    # FP=1, FN=0 -> precision 3/4, recall 1
     y = jnp.asarray([1, 1, 0, 0, 1], dtype=jnp.float32)
-    yh = jnp.asarray([1, 0, 0, 1, 1], dtype=jnp.float32)
+    yh = jnp.asarray([1, 1, 1, 0, 1], dtype=jnp.float32)
     acc, prec, rec, f1 = losses.f1_loss(yh, y)
-    assert abs(float(acc) - 0.6) < 1e-6
-    assert abs(float(prec) - 2 / 3) < 1e-6
-    assert abs(float(rec) - 2 / 3) < 1e-6
+    assert abs(float(acc) - 0.8) < 1e-6
+    assert abs(float(prec) - 3 / 4) < 1e-6
+    assert abs(float(rec) - 1.0) < 1e-6
+    assert abs(float(f1) - 2 * (3 / 4) / (3 / 4 + 1)) < 1e-6
 
 
 def test_f1_loss_mask_excludes_padding():

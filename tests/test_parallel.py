@@ -85,35 +85,54 @@ def test_two_process_training(tmp_path):
     import sys
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    # SO_REUSEADDR narrows (but can't eliminate) the pick-port/bind TOCTOU
-    # window between closing this probe socket and the coordinator binding
-    s = socket.socket()
-    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    coordinator = f"127.0.0.1:{port}"
 
     import os
 
     env = {**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(root / "tests" / "_multihost_worker.py"),
-             coordinator, str(rank), str(tmp_path)],
-            env=env, cwd=root, stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True)
-        for rank in (0, 1)
-    ]
-    try:
-        outs = [p.communicate(timeout=600) for p in procs]
-    finally:
-        # a worker that died early leaves its peer blocked on the
-        # coordinator; never leak it past the test
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-                p.wait()
+
+    def pick_port():
+        # SO_REUSEADDR narrows (but can't eliminate) the pick-port/bind
+        # TOCTOU window between closing this probe socket and the
+        # coordinator binding — hence the retry loop below
+        s = socket.socket()
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    def run_once(coordinator):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(root / "tests" / "_multihost_worker.py"),
+                 coordinator, str(rank), str(tmp_path)],
+                env=env, cwd=root, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True)
+            for rank in (0, 1)
+        ]
+        try:
+            outs = [p.communicate(timeout=600) for p in procs]
+        finally:
+            # a worker that died early leaves its peer blocked on the
+            # coordinator; never leak it past the test
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        return procs, outs
+
+    for attempt in range(3):
+        procs, outs = run_once(f"127.0.0.1:{pick_port()}")
+        if all(p.returncode == 0 for p in procs):
+            break
+        bind_race = any(
+            marker in err for _, err in outs
+            for marker in ("Address already in use", "Failed to bind",
+                           "UNAVAILABLE"))
+        if not (bind_race and attempt < 2):
+            break
+        # the probed port was taken between close and coordinator bind:
+        # retry on a fresh port instead of flaking a 10-minute test
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-2000:]}\n{err[-4000:]}"
 

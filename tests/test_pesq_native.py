@@ -19,10 +19,10 @@ import pytest
 from dvae_tpu.data.io import read_wav
 from dvae_tpu.eval.pesq_native import pesq_wb
 
-G = "/root/reference/data/subset/models"
+from _helpers import (GOLDEN_MODELS as G, M1_GOLDEN, M2_GOLDEN,
+                      require_golden_models)
 BASE = "/root/reference/data/subset/processed/ntcd_timit"
-M1 = "ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500/M1_epoch_118_vloss_416.54"
-M2 = "ntcd_M2_IBM_nonorm_hdim_128_128_zdim_016_end_epoch_500/M2_epoch_037_vloss_410.62"
+M1, M2 = M1_GOLDEN, M2_GOLDEN
 
 
 def _speechlike(n=32000, seed=0):
@@ -43,6 +43,7 @@ def test_identical_signals_score_maximum():
 
 
 def test_golden_wavs_pinned(subset_dir):
+    require_golden_models()
     clean, fs = read_wav(f"{BASE}/Clean/test/34M/sa1.wav")
     pins = {
         f"{BASE}/Noisy/Babble/-5/test/34M/sa1.wav": 1.176,
@@ -57,6 +58,7 @@ def test_golden_wavs_pinned(subset_dir):
 
 
 def test_oracle_latent_beats_mcem_and_mixture(subset_dir):
+    require_golden_models()
     for utt in ("sa2", "si494"):
         clean, fs = read_wav(f"{BASE}/Clean/test/34M/{utt}.wav")
 

@@ -15,7 +15,7 @@ from dvae_tpu.models import CVAE, VAE
 from dvae_tpu.ops.targets import clean_speech_vad
 from dvae_tpu.ops.stft import StftConfig
 
-SUBSET_H5 = "/root/reference/data/subset/processed/ntcd_timit/Clean_ibm_labels_upsampled.h5"
+from _helpers import SUBSET_H5
 QUICK_MCEM = McemConfig(niter=5, nsamples_e_step=3, burnin_e_step=3,
                         nsamples_wf=4, burnin_wf=4)
 
@@ -76,8 +76,8 @@ def test_enhance_single_equals_batch_member_count(subset_dir, m1):
     assert [len(s) for s, _ in out] == [len(x1), 40000, len(x2)]
 
 
-def test_enhance_with_vad_conditioning(subset_dir, m1):
-    """M2 'dec_only' mode with oracle VAD labels."""
+def test_enhance_with_vad_conditioning(subset_dir):
+    """M2 'enc_dec' mode (CVAE: encoder sees [x;y]) with oracle VAD labels."""
     x1, x2 = _wavs(subset_dir)
     model = CVAE(y_dim=1)
     cfgs = StftConfig()
@@ -382,7 +382,7 @@ def test_clean_z_nomcem_sharded_over_mesh(subset_dir, m1):
         np.testing.assert_allclose(sa / scale, sb / scale, atol=1e-4)
 
 
-def test_clean_z_nomcem_conditional_enc_dec(subset_dir, m1):
+def test_clean_z_nomcem_conditional_enc_dec(subset_dir):
     """The conditional ablation (M2 y_mode='enc_dec' + clean_z_nomcem):
     Zclean is encoded from [|S|^2; y] like the reference's MCEM_M2
     init_parameters (mcem.py:365-366), and the partition identity holds."""

@@ -47,12 +47,8 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
           "--labels", "ibm_labels", "--data-root", str(data_root / "data"),
           "--models-root", str(models), "--end-epoch", "4",
           "--platform", "cpu"], cwd=data_root)
-    model_dir = models / "ntcd_M1_nonorm_hdim_128_128_zdim_016_end_epoch_500"
-    # end_epoch in the name comes from the mangle default (500) unless set;
-    # find whatever dir was created
-    dirs = list(models.iterdir())
-    assert dirs, "no model dir created"
-    model_dir = dirs[0]
+    model_dir = next((d for d in models.iterdir() if d.is_dir()), None)
+    assert model_dir is not None, "no model dir created"
     ckpts = list(model_dir.glob("M1_epoch_*.msgpack"))
     assert len(ckpts) == 3
 

@@ -46,6 +46,15 @@ def test_ibm_parity_vs_fixture(subset_dir):
         mismatch = np.mean(ibm.T != ref)
         assert mismatch < 2e-3, f"IBM mismatch rate {mismatch}"
     else:
+        # only a verified different-source fixture may skip: OUR frame count
+        # must still match the framing contract for this wav, or a framing
+        # regression would silently retire the suite's one bit-level IBM pin
+        from dvae_tpu.ops.stft import n_stft_frames
+
+        assert ibm.shape[0] == n_stft_frames(len(x), CFG), (
+            f"our IBM has {ibm.shape[0]} frames but the framing contract "
+            f"says {n_stft_frames(len(x), CFG)} — framing regression, "
+            f"not a different-source fixture")
         pytest.skip(f"fixture shape {ref.shape} vs ours {ibm.shape} — different source wav")
 
 

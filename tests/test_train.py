@@ -19,7 +19,7 @@ from dvae_tpu.train.steps import (
     make_train_step,
 )
 
-SUBSET_H5 = "/root/reference/data/subset/processed/ntcd_timit/Clean_ibm_labels_upsampled.h5"
+from _helpers import SUBSET_H5
 
 
 def test_fit_vae_on_subset(tmp_path, subset_dir):
@@ -132,8 +132,6 @@ def test_semisup_step_alpha_sign_controls_classifier():
         params = init_params(model, {"params": jax.random.PRNGKey(0),
                                      "sample": jax.random.PRNGKey(1)}, x, y)
         tx = adam(1e-3)
-        from dvae_tpu.train.steps import init_train_state
-
         state = init_train_state(model, params, tx)
         step = make_semisup_step(model, tx, "uloss", alpha, "hardlabel")
         for i in range(30):
@@ -290,8 +288,6 @@ def test_fit_vae_resume_restores_optimizer_state(tmp_path, subset_dir):
     v_part = json.loads((sorted(part_dir.glob("M1_epoch_003_*.json"))[0]).read_text())
     assert abs(v_full["elbo"] - v_part["elbo"]) < 1e-6 * abs(v_full["elbo"])
 
-    from dvae_tpu.train.steps import adam, init_train_state
-
     params = model.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         jnp.asarray(train._x[:8]),
@@ -332,7 +328,7 @@ def test_multi_step_dispatch_matches_sequential():
 
     assert int(s_multi.step) == int(s_seq.step) == 4
     for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_multi.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fit_vae_steps_per_dispatch(tmp_path, subset_dir):
