@@ -404,3 +404,25 @@ def test_clean_z_nomcem_conditional_enc_dec(subset_dir):
     assert s_hat.shape == x1.shape and np.isfinite(s_hat).all()
     resid = np.abs((s_hat + n_hat) - x1)[: len(x1) - 1024]
     assert np.median(resid) < 5e-3
+
+
+def test_enhance_with_vad_conditioning_dec_only(subset_dir):
+    """M2v2/v3 'dec_only' mode (CVAE_v2: encoder sees x alone, decoder sees
+    [z;y] — MCEM_M2v2 semantics, mcem.py:504) with oracle VAD labels on a
+    real wav; partition identity holds."""
+    from dvae_tpu.models import CVAE_v2
+
+    x1, _ = _wavs(subset_dir)
+    model = CVAE_v2(y_dim=1)
+    cfgs = StftConfig()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)), jnp.ones((4, 1)),
+    )
+    enh = Enhancer(model, params,
+                   EnhancerConfig(mcem=QUICK_MCEM, y_mode="dec_only"))
+    y = np.asarray(clean_speech_vad(jnp.asarray(x1), cfgs)).T.reshape(-1, 1)
+    (s_hat, n_hat), = enh.enhance_batch([x1], ys=[y], key=jax.random.PRNGKey(5))
+    assert s_hat.shape == x1.shape and np.isfinite(s_hat).all()
+    resid = np.abs((s_hat + n_hat) - x1)[: len(x1) - 1024]
+    assert np.median(resid) < 5e-3
