@@ -255,3 +255,37 @@ def test_classifier_batch_norm_matches_reference_ordering():
     with torch.no_grad():
         want = tm(torch.tensor(x)).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_export_cli_produces_reference_loadable_pt(tmp_path):
+    """scripts/export_torch_checkpoint.py: a trained .msgpack becomes a .pt
+    the reference's OWN torch class strict-loads, with forward parity."""
+    import subprocess
+    import sys
+
+    ref_models = _ref_models()
+    from dvae_tpu.train import checkpoint as ckpt
+
+    model = VAE(x_dim=513, z_dim=16, h_dim=(128, 128))
+    params = model.init(
+        {"params": jax.random.PRNGKey(5), "sample": jax.random.PRNGKey(6)},
+        jnp.ones((2, 513)),
+    )
+    ckpt.save_checkpoint(tmp_path, "M1_epoch_001_vloss_1.00", params)
+    src = tmp_path / "M1_epoch_001_vloss_1.00.msgpack"
+    out = tmp_path / "exported.pt"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "export_torch_checkpoint.py"),
+         "--checkpoint", str(src), "--out", str(out), "--model", "m1"],
+        capture_output=True, text=True, cwd=root,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    tm = ref_models.VariationalAutoencoder([513, 16, [128, 128]])
+    tm.load_state_dict(torch.load(out))  # strict
+    z = np.random.default_rng(1).standard_normal((3, 16)).astype(np.float32)
+    ours = np.asarray(model.apply(params, jnp.asarray(z), method="decode"))
+    with torch.no_grad():
+        theirs = tm.decoder(torch.tensor(z)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-6)
