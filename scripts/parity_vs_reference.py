@@ -83,6 +83,11 @@ def main():
                          "(distributions overlap) or engine bias (they "
                          "separate)")
     ap.add_argument("--out", default=None, help="optional JSON output path")
+    ap.add_argument("--f32-stats", action="store_true",
+                    help="run our engine with fast_stats=False (f32 HBM "
+                         "residency instead of the default bf16) — isolates "
+                         "whether a cross-engine metric lean is "
+                         "precision-induced or seed noise")
     args = ap.parse_args()
 
     import glob as _glob
@@ -129,7 +134,9 @@ def main():
         # WF 75/30 no matter what it is constructed with — compare against
         # exactly that
         res = run_mcem(dec, x2, z0, jnp.asarray(mask), jax.random.PRNGKey(5 + seed),
-                       McemConfig.m1_reference_effective(niter=args.niter))
+                       McemConfig.m1_reference_effective(
+                           niter=args.niter,
+                           fast_stats=not args.f32_stats))
         jax.block_until_ready(res.wfs)
         elapsed = time.perf_counter() - t0
         rows = []
