@@ -33,6 +33,28 @@ from dvae_tpu.models import VAE
 
 REFERENCE_CPU_SEC_PER_UTT = 45.2  # torch reference engine, same budget (see above)
 SUBSET = "/root/reference/data/subset/processed/ntcd_timit"
+
+
+def _backend_probe(timeout_s: int = 180) -> bool:
+    """True when the default jax backend initializes within ``timeout_s``.
+
+    The axon TPU tunnel has been observed to HANG indefinitely at backend
+    init (even ``jax.devices()`` never returns — seen 2026-08-17 late
+    session). Probing in a subprocess with a hard timeout lets bench fail
+    FAST with an explanatory JSON line instead of eating the driver's whole
+    timeout budget in silence. Costs one extra backend init (~30-60 s over
+    the tunnel) when healthy."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True, env=os.environ)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 BATCH = 32  # measured sweet spot: 52.7 utt/s bare-engine vs 48.8 at B=16
 N_BATCHES = 2   # per measurement window. Short windows beat long ones here:
                 # the tunnel link's contention varies within a run, and the
@@ -135,6 +157,19 @@ def main():
     from _lib import enable_jit_cache
 
     enable_jit_cache()
+
+    if not _backend_probe():
+        # emit a self-explanatory record rather than hanging: the value is
+        # 0 so downstream comparisons can't mistake it for a measurement
+        print(json.dumps({
+            "metric": "mcem_enhancement_throughput",
+            "value": 0.0,
+            "unit": "NO MEASUREMENT: jax backend init (axon TPU tunnel) hung "
+                    ">180s — transient tunnel outage, not a code regression; "
+                    "see CLAUDE.md perf notes for the last good numbers",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     if args.training:
         bench_training(args.batch_size, args.steps_per_dispatch)
