@@ -92,6 +92,14 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
               "--est-prefix", "_clean_z_nomcem",
               "--platform", "cpu"], cwd=data_root)
     assert "estoi" in r.stdout
+    # the init-only variant (clean-z: MH runs from Zclean) writes its own
+    # prefix into the same tree — two utterances to keep the leg cheap
+    _run([str(SCRIPTS / "evaluate_ntcd_M1.py"), "--dataset-size", "subset",
+          "--data-root", str(data_root / "data"), "--model-dir", str(model_dir),
+          "--niter", "3", "--snr", "-5", "--batch-size", "6",
+          "--ablation", "clean-z", "--output-dir", str(ab_dir),
+          "--platform", "cpu"], cwd=data_root)
+    assert len(list(ab_dir.rglob("*_clean_z_s_est.wav"))) == 6
 
     # mesh-sharded enhancement through the real CLI (8 virtual CPU devices
     # from conftest's XLA_FLAGS reach the subprocess via the environment);
