@@ -7,7 +7,12 @@ This is the statistical-parity evidence for the enhancement engine (bitwise
 parity is impossible: different RNGs drive the Metropolis-Hastings chain).
 Requires the read-only reference checkout at /root/reference.
 
-Usage: python scripts/parity_vs_reference.py [--niter 100] [--epochs 300]
+Covers all engine families via ``--model``: m1 (MCEM_M1), m2 (MCEM_M2 —
+IBM-conditioned encoder+decoder) and m2v2 (MCEM_M2v2, decoder-only
+conditioning; the reference's MCEM_M2v3 body is line-identical).
+
+Usage: python scripts/parity_vs_reference.py [--model m2] [--niter 100]
+       [--epochs 300] [--utterances 6] [--seeds 10]
 """
 
 import argparse
@@ -30,32 +35,44 @@ from dvae_tpu.enhance.mcem import McemConfig, run_mcem
 from dvae_tpu.eval.pesq_native import pesq_wb
 from dvae_tpu.eval.si_sdr import si_sdr_leroux
 from dvae_tpu.eval.stoi import stoi
-from dvae_tpu.models import VAE
+from dvae_tpu.models import CVAE, CVAE_v2, VAE
 from dvae_tpu.ops.stft import istft_np, stft
+from dvae_tpu.ops.targets import clean_speech_ibm
 from dvae_tpu.train.steps import adam, init_train_state, make_train_step
 
 SUBSET = "/root/reference/data/subset"
 
 
-def train_small_m1(epochs: int):
+def train_small(kind: str, epochs: int):
+    """Train a small model of the requested family on the shipped subset
+    frame h5 (IBM labels, y_dim=513 — the only frame-level label type the
+    subset ships, and the conditioning used by the reference's golden
+    ntcd_M2_IBM family)."""
+    if epochs < 1:
+        raise SystemExit("--epochs must be >= 1 (the comparison needs a trained model)")
     ds = FrameDataset(f"{SUBSET}/processed/ntcd_timit/Clean_ibm_labels_upsampled.h5", "train")
-    model = VAE()
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        jnp.asarray(ds._x[:8]),
+    conditional = kind != "m1"
+    model = {"m1": VAE, "m2": CVAE, "m2v2": CVAE_v2}[kind](
+        **({"y_dim": ds.y_dim} if conditional else {})
     )
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    xa = jnp.asarray(ds._x[:8])
+    if conditional:
+        params = model.init(rngs, xa, jnp.asarray(ds._y[:8]))
+    else:
+        params = model.init(rngs, xa)
     tx = adam(1e-3)
     state = init_train_state(model, params, tx)
-    step = make_train_step(model, tx, conditional=False)
+    step = make_train_step(model, tx, conditional=conditional)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     for _ in range(epochs):
-        for x, _ in ds.batches(128, rng):
+        for x, y in ds.batches(128, rng):
             key, sk = jax.random.split(key)
-            state, metrics = step(state, x, sk)
-    if epochs < 1:
-        raise SystemExit("--epochs must be >= 1 (the comparison needs a trained model)")
-    print(f"trained M1 {epochs} epochs, final batch ELBO {float(metrics['elbo']):.2f}")
+            state, metrics = (step(state, x, y, sk) if conditional
+                              else step(state, x, sk))
+    print(f"trained {kind} {epochs} epochs, final batch ELBO "
+          f"{float(metrics['elbo']):.2f}")
     return model, state.params
 
 
@@ -68,6 +85,15 @@ def export_to_torch_state_dict(params):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="m1", choices=["m1", "m2", "m2v2"],
+                    help="engine family to compare: m1 = MCEM_M1 (with the "
+                         "reference's effective-budget quirk matched), "
+                         "m2 = MCEM_M2 (IBM-conditioned encoder AND decoder, "
+                         "budgets honored), m2v2 = MCEM_M2v2 (decoder-only "
+                         "conditioning). The reference's MCEM_M2v3 engine "
+                         "body is line-identical to MCEM_M2v2 (mcem.py:676 "
+                         "vs :504 — they differ only in comments), so m2v2 "
+                         "covers that class too.")
     ap.add_argument("--niter", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--utterances", type=int, default=1,
@@ -92,7 +118,8 @@ def main():
 
     import glob as _glob
 
-    model, params = train_small_m1(args.epochs)
+    model, params = train_small(args.model, args.epochs)
+    conditional = args.model != "m1"
 
     noisy_paths = sorted(_glob.glob(
         f"{SUBSET}/raw/ntcd_timit/u/drspeech/data/TCDTIMIT/Noisy_TCDTIMIT/"
@@ -112,31 +139,51 @@ def main():
     xs = [read_wav(p)[0] for p, _ in pairs]
     cleans = [read_wav(c)[0] for _, c in pairs]
     Xs = [np.asarray(stft(jnp.asarray(x, jnp.float32))) for x in xs]
+    Ss = [np.asarray(stft(jnp.asarray(s, jnp.float32))) for s in cleans]
     n_max = max(X.shape[0] for X in Xs)
     b = len(Xs)
     x2 = np.zeros((b, n_max, 513), np.float32)
     mask = np.zeros((b, n_max), np.float32)
+    y_np = np.zeros((b, n_max, 513), np.float32) if conditional else None
     for i, X in enumerate(Xs):
         x2[i, : X.shape[0]] = np.abs(X) ** 2
         mask[i, : X.shape[0]] = 1.0
+        if conditional:
+            # oracle IBM from the clean spectrogram — the reference's eval
+            # conditioning for its golden ntcd_M2_IBM family; BOTH engines
+            # receive this identical y, so label-generation parity (tested
+            # separately in tests/test_targets.py) is not in play here
+            y_np[i, : X.shape[0]] = np.asarray(
+                clean_speech_ibm(jnp.asarray(Ss[i][: X.shape[0]])))
     x2 = jnp.asarray(x2)
+    y_j = jnp.asarray(y_np) if conditional else None
 
     # ---- our engine: ONE masked batch over all utterances -----------------
-    _, z0, _ = model.apply(params, x2.reshape(-1, 513), method="encode", sample=False)
+    if args.model == "m2":
+        # MCEM_M2: encoder saw [x; y] (reference mcem.py:365)
+        enc_in = jnp.concatenate([x2, y_j], axis=-1).reshape(-1, 513 + 513)
+    else:
+        # M1 and M2v2: encoder saw x alone (mcem.py:201, :537)
+        enc_in = x2.reshape(-1, 513)
+    _, z0, _ = model.apply(params, enc_in, method="encode", sample=False)
     z0 = z0.reshape(b, n_max, -1)
     dec = lambda zz: model.apply(params, zz, method="decode")
 
     def run_ours(seed: int):
         t0 = time.perf_counter()
-        # matched EFFECTIVE budgets: the reference's MCEM_M1 swallows its
-        # first budget argument into an unused y parameter (reference
+        # m1: matched EFFECTIVE budgets — the reference's MCEM_M1 swallows
+        # its first budget argument into an unused y parameter (reference
         # mcem.py:207 vs :297/:314), so it actually runs E-step 30/30 and
         # WF 75/30 no matter what it is constructed with — compare against
-        # exactly that
+        # exactly that. The M2 variants pass self.y and HONOR their nominal
+        # budgets (mcem.py:468/:486), so m2/m2v2 compare at the defaults.
+        if args.model == "m1":
+            cfg = McemConfig.m1_reference_effective(
+                niter=args.niter, fast_stats=not args.f32_stats)
+        else:
+            cfg = McemConfig(niter=args.niter, fast_stats=not args.f32_stats)
         res = run_mcem(dec, x2, z0, jnp.asarray(mask), jax.random.PRNGKey(5 + seed),
-                       McemConfig.m1_reference_effective(
-                           niter=args.niter,
-                           fast_stats=not args.f32_stats))
+                       cfg, y=y_j)
         jax.block_until_ready(res.wfs)
         elapsed = time.perf_counter() - t0
         rows = []
@@ -159,10 +206,20 @@ def main():
     sys.path.insert(0, "/root/reference")
     import torch
 
-    from packages.models.mcem import MCEM_M1
-    from packages.models.models import VariationalAutoencoder
+    from packages.models import mcem as ref_mcem
+    from packages.models import models as ref_models
 
-    ref_model = VariationalAutoencoder([513, 16, [128, 128]])
+    if args.model == "m1":
+        ref_model = ref_models.VariationalAutoencoder([513, 16, [128, 128]])
+        ref_cls = ref_mcem.MCEM_M1
+    elif args.model == "m2":
+        ref_model = ref_models.DeepGenerativeModel(
+            [513, 513, 16, [128, 128]], classifier=None)
+        ref_cls = ref_mcem.MCEM_M2
+    else:
+        ref_model = ref_models.DeepGenerativeModel_v2(
+            [513, 513, 16, [128, 128]], classifier=None)
+        ref_cls = ref_mcem.MCEM_M2v2
     ref_model.load_state_dict(export_to_torch_state_dict(params))
     ref_model.eval()
     for q in ref_model.parameters():
@@ -179,12 +236,15 @@ def main():
         np.random.seed(seed)
         torch.manual_seed(seed)
         rows, cost_first, cost_last, elapsed = [], [], [], 0.0
-        for X, x_noisy, s_clean in zip(Xs, xs, cleans):
-            S_ref = np.asarray(stft(jnp.asarray(s_clean, jnp.float32))).T
+        for i, (X, x_noisy, s_clean) in enumerate(zip(Xs, xs, cleans)):
+            S_ref = Ss[i].T
             n = min(S_ref.shape[1], X.shape[0])
-            mcem = MCEM_M1(niter=args.niter)
+            mcem = ref_cls(niter=args.niter)
+            kw = {}
+            if conditional:  # (y_dim, N) float tensor, same oracle IBM
+                kw["y"] = torch.tensor(y_np[i, :n].T.copy())
             mcem.init_parameters(X=X[:n].T, S=S_ref[:, :n], vae=ref_model,
-                                 nmf_rank=10, eps=1e-8, device="cpu")
+                                 nmf_rank=10, eps=1e-8, device="cpu", **kw)
             t0 = time.perf_counter()
             cost = mcem.run()
             elapsed += time.perf_counter() - t0

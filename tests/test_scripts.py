@@ -169,15 +169,18 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
     assert len(list(qut_fig.glob("*_x_recon.png"))) >= 2
 
 
-def test_parity_harness_smoke(tmp_path):
+@pytest.mark.parametrize("family", ["m1", "m2", "m2v2"])
+def test_parity_harness_smoke(tmp_path, family):
     """scripts/parity_vs_reference.py at a tiny budget: trains, runs BOTH
-    engines (ours batched, the reference's torch engine) on 2 utterances,
-    and emits a comparable JSON. Protects the cross-engine evidence path."""
+    engines (ours batched, the reference's torch engine — MCEM_M1/M2/M2v2
+    per --model) on 2 utterances, and emits a comparable JSON. Protects the
+    cross-engine evidence path for every engine family."""
     import json
 
     pytest.importorskip("torch")
     out = tmp_path / "parity.json"
-    r = _run([str(SCRIPTS / "parity_vs_reference.py"), "--epochs", "2",
+    r = _run([str(SCRIPTS / "parity_vs_reference.py"), "--model", family,
+              "--epochs", "2",
               "--niter", "2", "--utterances", "2", "--out", str(out)],
              cwd=SCRIPTS.parent)
     data = json.loads(out.read_text())

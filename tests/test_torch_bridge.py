@@ -63,6 +63,41 @@ def test_m1_roundtrip_and_forward_parity():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("family", ["m2", "m2v2"])
+def test_conditional_family_roundtrip_and_forward_parity(family):
+    """CVAE / CVAE_v2 strict-load into the reference's DeepGenerativeModel
+    / _v2 (the classes behind its golden ntcd_M2_* families) and agree on a
+    conditioned decoder forward — the weight contract the cross-engine
+    parity harness (scripts/parity_vs_reference.py --model m2|m2v2) rides."""
+    from dvae_tpu.models import CVAE, CVAE_v2
+
+    ref_models = _ref_models()
+    ours_cls, ref_cls = {
+        "m2": (CVAE, ref_models.DeepGenerativeModel),
+        "m2v2": (CVAE_v2, ref_models.DeepGenerativeModel_v2),
+    }[family]
+    model = ours_cls(x_dim=21, y_dim=5, z_dim=3, h_dim=(8, 8))
+    params = model.init(
+        {"params": jax.random.PRNGKey(8), "sample": jax.random.PRNGKey(9)},
+        jnp.ones((2, 21)),
+        jnp.ones((2, 5)),
+    )
+    sd = export_torch_state_dict(params)
+    tm = ref_cls([21, 5, 3, [8, 8]], classifier=None)
+    tm.load_state_dict(sd)  # strict: encoder.* + decoder.* names and shapes
+
+    rng = np.random.default_rng(1)
+    zy = rng.standard_normal((4, 3 + 5)).astype(np.float32)
+    ours = np.asarray(model.apply(params, jnp.asarray(zy), method="decode"))
+    with torch.no_grad():
+        theirs = tm.decoder(torch.tensor(zy)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-6)
+
+    back = load_torch_state_dict(params, sd)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_v5_disentangled_roundtrip():
     ref_models = _ref_models()
     model = DisentangledVAE(x_dim=21, y_dim=1, z_dim=3, h_dim=(8,))
