@@ -111,6 +111,16 @@ class EnhancerConfig:
     #                      `*_clean_z_nomcem_*`). Deterministic masks.
     # Both need the CLEAN waveforms passed to enhance_batch/enhance_stream.
     ablation: str = "none"
+    # (mean, std) train statistics for std_norm-trained models: the encoder
+    # input is normalized to (x - mean)/(std + norm_eps) for the latent init,
+    # exactly as the training step fed the model (train/steps._normalizer —
+    # the ELBO compared raw x, so the decoder's output variance models RAW
+    # power and the MCEM math itself is unchanged). This COMPLETES the
+    # reference's eval-side std_norm support, which loads the statistics but
+    # never applies them ("#TODO: if std_norm, include mean & std",
+    # reference evaluate_ntcd_M1.py:145,198-208). None = no normalization.
+    norm: tuple | None = None
+    norm_eps: float = 1e-8
 
 
 class Enhancer:
@@ -179,6 +189,10 @@ class Enhancer:
                 sre, sim = stft_realimag(s_batch, cfg.stft)
                 sre, sim = sre[:, :n_frames], sim[:, :n_frames]
                 enc_src = sre * sre + sim * sim
+            if cfg.norm is not None:
+                mean = jnp.asarray(cfg.norm[0], jnp.float32).reshape(-1)
+                std = jnp.asarray(cfg.norm[1], jnp.float32).reshape(-1)
+                enc_src = (enc_src - mean) / (std + cfg.norm_eps)
             if cfg.y_mode == "enc_dec":
                 enc_in = jnp.concatenate([enc_src, y], axis=-1)
             else:

@@ -139,6 +139,34 @@ def frame_h5_path(args) -> str:
                         "ntcd_timit", f"Clean_{args.labels}_upsampled.h5")
 
 
+def add_std_norm_eval(ap: argparse.ArgumentParser):
+    ap.add_argument("--std-norm", action="store_true",
+                    help="the model was trained with --std-norm: normalize "
+                         "the encoder input with the training h5's "
+                         "X_train_mean/X_train_std for the latent init. "
+                         "(The reference loads these statistics at eval but "
+                         "never applies them — the '#TODO: if std_norm' at "
+                         "its evaluate_ntcd_M1.py:145; this flag completes "
+                         "that path.)")
+    ap.add_argument("--norm-h5", default=None,
+                    help="frame h5 holding X_train_mean/X_train_std for "
+                         "--std-norm; defaults to the frame h5 of this "
+                         "command's --labels — pass this when the model was "
+                         "trained on a different label type's h5 than the "
+                         "eval sweep reads")
+
+
+def norm_stats_if(args):
+    """(mean, std) from the training frame h5 when --std-norm, else None."""
+    if not getattr(args, "std_norm", False):
+        return None
+    import h5py
+
+    with h5py.File(getattr(args, "norm_h5", None) or frame_h5_path(args),
+                   "r") as f:
+        return f["X_train_mean"][:], f["X_train_std"][:]
+
+
 def processed_dir(args) -> str:
     return os.path.join(args.data_root, args.dataset_size, "processed")
 

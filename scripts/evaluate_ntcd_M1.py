@@ -9,9 +9,9 @@ resume-by-skip."""
 import argparse
 import os
 
-from _lib import (ablation_of, add_ablation, add_common, default_out_dir,
-                  make_mesh_if,
-                  maybe_force_platform, processed_dir)
+from _lib import (ablation_of, add_ablation, add_common, add_std_norm_eval,
+                  default_out_dir, make_mesh_if,
+                  maybe_force_platform, norm_stats_if, processed_dir)
 
 
 def main():
@@ -36,6 +36,7 @@ def main():
                     help="shard each utterance batch over all visible devices")
     ap.add_argument("--output-dir", default=None)
     add_ablation(ap)
+    add_std_norm_eval(ap)
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -63,7 +64,7 @@ def main():
                            niter=args.niter, nmf_rank=args.nmf_rank)
                        if args.m1_reference_budgets else
                        McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)),
-                       ablation=ablation_of(args)),
+                       ablation=ablation_of(args), norm=norm_stats_if(args)),
                    mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)
     n = evaluate_sweep(

@@ -8,9 +8,9 @@ produced by the sibling audio-visual-vad repo)."""
 import argparse
 import os
 
-from _lib import (ablation_of, add_ablation, add_common, default_out_dir,
-                  make_mesh_if,
-                  maybe_force_platform, processed_dir, y_dim_for)
+from _lib import (ablation_of, add_ablation, add_common, add_std_norm_eval,
+                  default_out_dir, make_mesh_if,
+                  maybe_force_platform, norm_stats_if, processed_dir, y_dim_for)
 
 
 def main():
@@ -36,6 +36,7 @@ def main():
                     "the shipped ntcd_M2v2_VAD golden family)")
     ap.add_argument("--output-dir", default=None)
     add_ablation(ap)
+    add_std_norm_eval(ap)
     args = ap.parse_args()
     if args.y_source == "classifier" and not args.classifier_dir:
         ap.error("--y-source classifier requires --classifier-dir")
@@ -83,7 +84,7 @@ def main():
     y_mode = "enc_dec" if args.model_variant == "v1" else "dec_only"
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode=y_mode,
-        ablation=ablation_of(args)),
+        ablation=ablation_of(args), norm=norm_stats_if(args)),
         mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)
     n = evaluate_sweep(

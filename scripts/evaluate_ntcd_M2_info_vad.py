@@ -9,9 +9,9 @@ classifier outputs."""
 import argparse
 import os
 
-from _lib import (ablation_of, add_ablation, add_common, default_out_dir,
-                  make_mesh_if,
-                  maybe_force_platform, processed_dir)
+from _lib import (ablation_of, add_ablation, add_common, add_std_norm_eval,
+                  default_out_dir, make_mesh_if,
+                  maybe_force_platform, norm_stats_if, processed_dir)
 
 
 def main():
@@ -51,6 +51,7 @@ def main():
                     "enhancement semantics (encoder on x, decoder on [z;y])")
     ap.add_argument("--output-dir", default=None)
     add_ablation(ap)
+    add_std_norm_eval(ap)
     args = ap.parse_args()
     if args.y_source == "classifier" and not args.classifier_dir:
         ap.error("--y-source classifier requires --classifier-dir")
@@ -120,7 +121,7 @@ def main():
     # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="dec_only",
-        ablation=ablation_of(args)),
+        ablation=ablation_of(args), norm=norm_stats_if(args)),
         mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)
 

@@ -52,6 +52,42 @@ def test_enhance_batch_contracts(subset_dir, m1):
     assert np.isfinite(enh.last_cost).all()
 
 
+def test_std_norm_enhancement(subset_dir, m1):
+    """EnhancerConfig.norm (std_norm-trained models — completes the
+    reference's '#TODO: if std_norm' eval path, evaluate_ntcd_M1.py:145):
+    an identity normalization (mean 0, std 1, eps 0) is bitwise-equal to no
+    normalization, and real train statistics change the latent init while
+    preserving every output contract (finiteness + Wiener partition)."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    key = jax.random.PRNGKey(3)
+
+    base = Enhancer(model, params, EnhancerConfig(mcem=QUICK_MCEM))
+    out_base = base.enhance_batch([x1, x2], key=key)
+
+    ident = Enhancer(model, params, EnhancerConfig(
+        mcem=QUICK_MCEM,
+        norm=(np.zeros(513, np.float32), np.ones(513, np.float32)),
+        norm_eps=0.0))
+    out_ident = ident.enhance_batch([x1, x2], key=key)
+    for (s_a, n_a), (s_b, n_b) in zip(out_base, out_ident):
+        np.testing.assert_array_equal(s_a, s_b)
+        np.testing.assert_array_equal(n_a, n_b)
+
+    mean, std = FrameDataset(SUBSET_H5, "train").mean_std
+    normed = Enhancer(model, params, EnhancerConfig(
+        mcem=QUICK_MCEM, norm=(mean, std)))
+    out_norm = normed.enhance_batch([x1, x2], key=key)
+    assert any(
+        not np.array_equal(s_a, s_b)
+        for (s_a, _), (s_b, _) in zip(out_base, out_norm)
+    ), "train-stat normalization must change the latent init"
+    for (s, n), x in zip(out_norm, (x1, x2)):
+        assert np.isfinite(s).all() and np.isfinite(n).all()
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+
+
 def test_empty_batches_keep_stream_alignment(subset_dir, m1):
     """An empty input batch yields an empty result list (never silently
     dropped — downstream zip(batches, results) must stay aligned), both in

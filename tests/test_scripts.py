@@ -169,6 +169,42 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
     assert len(list(qut_fig.glob("*_x_recon.png"))) >= 2
 
 
+def test_std_norm_train_enhance_chain(data_root, tmp_path):
+    """--std-norm end-to-end: train a normalized-input M1 (model dir gets
+    the reference's 'norm' name mangle), then enhance with --std-norm
+    (+ --norm-h5, since the subset's frame h5 is ibm but eval labels are
+    vad) — the eval-side normalization the reference left as a TODO."""
+    models = tmp_path / "models"
+    _run([str(SCRIPTS / "training_M1.py"), "--dataset-size", "subset",
+          "--labels", "ibm_labels", "--data-root", str(data_root / "data"),
+          "--models-root", str(models), "--end-epoch", "3", "--std-norm",
+          "--platform", "cpu"], cwd=data_root)
+    model_dir = next((d for d in models.iterdir() if d.is_dir()), None)
+    assert model_dir is not None and "_norm_" in model_dir.name
+
+    out_dir = tmp_path / "enhanced_norm"
+    norm_h5 = (data_root / "data" / "subset" / "processed" / "ntcd_timit"
+               / "Clean_ibm_labels_upsampled.h5")
+    _run([str(SCRIPTS / "evaluate_ntcd_M1.py"), "--dataset-size", "subset",
+          "--data-root", str(data_root / "data"), "--model-dir", str(model_dir),
+          "--niter", "2", "--snr", "-5", "--batch-size", "6",
+          "--std-norm", "--norm-h5", str(norm_h5),
+          "--output-dir", str(out_dir), "--platform", "cpu"], cwd=data_root)
+    wavs = sorted(out_dir.rglob("*_s_est.wav"))
+    assert len(wavs) == 6
+    # Wiener partition sanity on one output pair
+    from dvae_tpu.data.io import read_wav
+
+    s, _ = read_wav(wavs[0])
+    n, _ = read_wav(str(wavs[0]).replace("_s_est.wav", "_n_est.wav"))
+    x, _ = read_wav(str(data_root / "data" / "subset" / "processed"
+                        / "ntcd_timit" / "Noisy" / "Babble" / "-5" / "test"
+                        / "34M" / (wavs[0].name.replace("_s_est", ""))))
+    m = min(len(s), len(x))
+    corr = np.corrcoef(s[:m] + n[:m], x[:m])[0, 1]
+    assert corr > 0.999
+
+
 @pytest.mark.parametrize("family", ["m1", "m2", "m2v2"])
 def test_parity_harness_smoke(tmp_path, family):
     """scripts/parity_vs_reference.py at a tiny budget: trains, runs BOTH
