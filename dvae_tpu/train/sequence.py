@@ -22,14 +22,22 @@ import optax
 from dvae_tpu.models.losses import f1_loss
 from dvae_tpu.ops import log_power_spectrogram
 from dvae_tpu.ops.stft import StftConfig
-from dvae_tpu.train.steps import TrainState
+from dvae_tpu.train.steps import TrainState, _normalizer
 
 
-def make_lstm_vad_step(model, tx: optax.GradientTransformation, eps: float = 1e-8) -> Callable:
-    """jitted ``step(state, x (B,T,F), y (B,T), mask (B,T)) -> (state, metrics)``."""
+def make_lstm_vad_step(model, tx: optax.GradientTransformation, eps: float = 1e-8,
+                       norm=None) -> Callable:
+    """jitted ``step(state, x (B,T,F), y (B,T), mask (B,T)) -> (state, metrics)``.
+
+    ``norm``: optional (mean, std) train statistics of the noisy log-power
+    spectrogram — the reference's std_norm=True default for this script
+    (train_audio_net.py:72,163-167,221-224): the LSTM sees
+    (x - mean)/(std + eps); labels/masks are unaffected. Padded frames
+    normalize to (0-mean)/(std+eps) but every reduction is masked."""
+    normalize = _normalizer(norm, eps)
 
     def loss_fn(params, x, y, mask):
-        p = model.apply(params, x)  # (B, T)
+        p = model.apply(params, normalize(x))  # (B, T)
         bce = -(y * jnp.log(p + eps) + (1 - y) * jnp.log(1 - p + eps))
         loss = jnp.sum(bce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         return loss, p
@@ -51,13 +59,15 @@ def make_lstm_vad_step(model, tx: optax.GradientTransformation, eps: float = 1e-
     return step
 
 
-def make_lstm_vad_eval(model, eps: float = 1e-8) -> Callable:
+def make_lstm_vad_eval(model, eps: float = 1e-8, norm=None) -> Callable:
     """jitted ``evaluate(params, x, y, mask) -> metrics`` (no update) — the
-    validation pass of the reference loop (train_audio_net.py:276-289)."""
+    validation pass of the reference loop (train_audio_net.py:276-289).
+    ``norm`` as in :func:`make_lstm_vad_step`."""
+    normalize = _normalizer(norm, eps)
 
     @jax.jit
     def evaluate(params, x, y, mask):
-        p = model.apply(params, x)
+        p = model.apply(params, normalize(x))
         bce = -(y * jnp.log(p + eps) + (1 - y) * jnp.log(1 - p + eps))
         loss = jnp.sum(bce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         hard = (p > 0.5).astype(jnp.float32) * mask

@@ -35,6 +35,17 @@ def main():
                     help="catalog split for training (the shipped subset only "
                          "has noisy 'test' wavs — use it for smoke runs)")
     ap.add_argument("--valid-split", default="validation")
+    ap.add_argument("--std-norm", action="store_true",
+                    help="normalize the log-power inputs with the train "
+                         "statistics h5 (the reference's std_norm=True "
+                         "default for this script, train_audio_net.py:72)")
+    ap.add_argument("--stats-h5", default=None,
+                    help="statistics h5 for --std-norm; defaults to the "
+                         "noisy log-power stats the create_audio_train_set "
+                         "builder writes "
+                         "(<processed>/ntcd_timit/Noisy/ntcd_timit_log_"
+                         "power_spec_upsampled_statistics.h5 — the "
+                         "reference's default, train_audio_net.py:101)")
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -70,13 +81,24 @@ def main():
         raise SystemExit("no training utterances found; run the create_* builders")
     print(f"{len(train_ds)} train / {len(valid_ds)} validation utterances")
 
+    norm = None
+    if args.std_norm:
+        import h5py
+
+        stats = args.stats_h5 or os.path.join(
+            proc, "ntcd_timit", "Noisy",
+            "ntcd_timit_log_power_spec_upsampled_statistics.h5")
+        with h5py.File(stats, "r") as f:
+            norm = (f["X_train_mean"][:], f["X_train_std"][:])
+        print(f"std-norm from {stats}")
+
     model = LSTMVad(x_dim=513, hidden=args.hidden, num_layers=args.num_layers)
     xb, yb, mb = batch_utterances(train_ds, range(min(2, len(train_ds))), stft_cfg)
     params = model.init({"params": jax.random.PRNGKey(args.seed)}, xb)
     tx = adam(args.learning_rate)
     state = init_train_state(model, params, tx)
-    step = make_lstm_vad_step(model, tx)
-    evaluate = make_lstm_vad_eval(model)
+    step = make_lstm_vad_step(model, tx, norm=norm)
+    evaluate = make_lstm_vad_eval(model, norm=norm)
 
     # the one reference script with multi-device training (DataParallel over
     # 4 GPUs, train_audio_net.py:150): here the sequence batch shards over
@@ -97,7 +119,8 @@ def main():
 
     model_dir = os.path.join(
         args.models_root,
-        args.run_name or f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}")
+        args.run_name or (f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}"
+                          + ("_norm" if args.std_norm else "")))
     if args.start_epoch > 1:
         # resume like the VAE trainers (train/loop.py): restore params AND
         # optimizer state from the epoch-(start_epoch-1) checkpoint; refuse

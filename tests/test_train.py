@@ -504,6 +504,49 @@ def test_lstm_vad_step_learns_and_masks_padding():
     assert abs(float(base["f1"]) - float(padded["f1"])) < 1e-5
 
 
+def test_lstm_vad_norm_matches_prenormalized_inputs():
+    """norm= on the sequence step/eval (the reference's std_norm=True
+    default, train_audio_net.py:72): feeding raw x with norm=(mean, std)
+    must equal feeding (x-mean)/(std+eps) with norm=None, bitwise."""
+    from dvae_tpu.models import LSTMVad
+    from dvae_tpu.train.sequence import make_lstm_vad_eval, make_lstm_vad_step
+    from dvae_tpu.train.steps import adam, init_train_state
+
+    rng = np.random.default_rng(1)
+    B, T, F = 3, 10, 16
+    eps = 1e-8
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    y = (rng.uniform(size=(B, T)) > 0.5).astype(np.float32)
+    mask = np.ones((B, T), np.float32)
+    mean = rng.standard_normal((F, 1)).astype(np.float32)  # (F,1) h5 layout
+    std = (0.5 + rng.uniform(size=(F, 1))).astype(np.float32)
+    x_pre = ((x - mean.T[None]) / (std.T[None] + np.float32(eps))).astype(np.float32)
+
+    model = LSTMVad(x_dim=F, hidden=8, num_layers=1)
+    params = model.init({"params": jax.random.PRNGKey(3)}, jnp.asarray(x))
+    tx = adam(1e-3)
+
+    ev_norm = make_lstm_vad_eval(model, norm=(mean, std))
+    ev_plain = make_lstm_vad_eval(model)
+    a = ev_norm(params, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask))
+    b = ev_plain(params, jnp.asarray(x_pre), jnp.asarray(y), jnp.asarray(mask))
+    for k in a:
+        assert float(a[k]) == float(b[k]), k
+
+    st_norm = init_train_state(model, params, tx)
+    st_plain = init_train_state(model, params, tx)
+    step_norm = make_lstm_vad_step(model, tx, norm=(mean, std))
+    step_plain = make_lstm_vad_step(model, tx)
+    st_norm, ma = step_norm(st_norm, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask))
+    st_plain, mb = step_plain(st_plain, jnp.asarray(x_pre), jnp.asarray(y), jnp.asarray(mask))
+    assert float(ma["bce"]) == float(mb["bce"])
+    # params: allow 1-ULP drift (XLA may fuse the in-graph normalization
+    # into neighboring ops with different rounding than the host path)
+    for pa, pb in zip(jax.tree.leaves(st_norm.params), jax.tree.leaves(st_plain.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-6, atol=1e-9)
+
+
 def test_batch_utterances_labels_shorter_than_audio():
     """Labels that trim the frame count far below the wav's own frames
     (video-trim semantics) must not crash the batcher (regression: the
