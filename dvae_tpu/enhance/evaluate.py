@@ -129,6 +129,7 @@ def evaluate_sweep(
     skip_existing: bool = True,
     key=None,
     log=print,
+    shard: tuple[int, int] | None = None,
 ):
     """Run the full enhancement sweep.
 
@@ -140,6 +141,15 @@ def evaluate_sweep(
             evaluate_ntcd_M1.py:246); None = all.
         suffix: inserted in output names (e.g. '_y_hat_hard' ->
             ``*_s_est_y_hat_hard.wav``, evaluate_ntcd_M2.py:243-244).
+        shard: optional ``(k, n)`` — process k of n takes the k-th contiguous
+            chunk of the (SNR-filtered, pre-skip) utterance list, with
+            ``np.array_split`` sizing — the coordination-free analog of the
+            reference's utterance fan-out across its process pool
+            (``np.array_split(file_paths, nb_devices*2)``,
+            evaluate_ntcd_M1.py:249): disjoint machines write disjoint
+            outputs into a shared tree, and resume-by-skip remains the only
+            synchronization. Applied before the skip-existing filter so
+            shard membership is stable across restarts.
 
     When the enhancer's ``cfg.ablation`` is a clean-z mode, the clean
     waveforms are read alongside the mixtures and the output names carry the
@@ -160,6 +170,13 @@ def evaluate_sweep(
     items = list(pairs.items())
     if snr_filter is not None:
         items = [it for it in items if it[0].split("/")[-4] == str(snr_filter)]
+    if shard is not None:
+        k, n = shard
+        if not 0 <= k < n:
+            raise ValueError(f"shard index {k} out of range for {n} shards")
+        q, r = divmod(len(items), n)  # np.array_split sizing
+        start = k * q + min(k, r)
+        items = items[start : start + q + (1 if k < r else 0)]
 
     todo = []
     for noisy_rel, clean_rel in items:

@@ -156,6 +156,27 @@ def add_std_norm_eval(ap: argparse.ArgumentParser):
                          "eval sweep reads")
 
 
+def add_shard(ap: argparse.ArgumentParser):
+    ap.add_argument("--shard", default=None, metavar="K/N",
+                    help="enhance only the K-th of N contiguous chunks of "
+                         "the utterance list (0-based) — coordination-free "
+                         "fan-out across machines into a shared output tree "
+                         "(the reference's np.array_split process sharding, "
+                         "evaluate_ntcd_M1.py:249); combine with "
+                         "resume-by-skip for elastic restarts")
+
+
+def shard_of(args) -> tuple[int, int] | None:
+    s = getattr(args, "shard", None)
+    if s is None:
+        return None
+    try:
+        k, n = (int(p) for p in s.split("/"))
+    except ValueError:
+        raise SystemExit(f"--shard must be K/N (got {s!r})")
+    return k, n
+
+
 def norm_stats_if(args):
     """(mean, std) from the training frame h5 when --std-norm, else None."""
     if not getattr(args, "std_norm", False):

@@ -9,9 +9,9 @@ classifier outputs."""
 import argparse
 import os
 
-from _lib import (ablation_of, add_ablation, add_common, add_std_norm_eval,
+from _lib import (ablation_of, add_ablation, add_common, add_shard, add_std_norm_eval,
                   default_out_dir, make_mesh_if,
-                  maybe_force_platform, norm_stats_if, processed_dir)
+                  maybe_force_platform, norm_stats_if, shard_of, processed_dir)
 
 
 def main():
@@ -52,6 +52,7 @@ def main():
     ap.add_argument("--output-dir", default=None)
     add_ablation(ap)
     add_std_norm_eval(ap)
+    add_shard(ap)
     args = ap.parse_args()
     if args.y_source == "classifier" and not args.classifier_dir:
         ap.error("--y-source classifier requires --classifier-dir")
@@ -153,7 +154,7 @@ def main():
     n = evaluate_sweep(
         enh, proc, out_dir, dataset_size=args.dataset_size, labels=args.labels,
         snr_filter=None if args.snr == "all" else args.snr,
-        batch_size=args.batch_size, y_loader=y_loader, suffix=suffix)
+        batch_size=args.batch_size, shard=shard_of(args), y_loader=y_loader, suffix=suffix)
     print(f"done: {n} utterances -> {out_dir}")
 
 

@@ -88,6 +88,38 @@ def test_std_norm_enhancement(subset_dir, m1):
         assert np.median(resid) < 5e-3
 
 
+def test_evaluate_sweep_shards_partition_the_list(subset_dir, m1, tmp_path):
+    """shard=(k, n) (the reference's np.array_split process fan-out,
+    evaluate_ntcd_M1.py:249): the n shards are disjoint and their union is
+    exactly the unsharded sweep's output set."""
+    from dvae_tpu.enhance.evaluate import evaluate_sweep
+
+    model, params = m1
+    enh = Enhancer(model, params, EnhancerConfig(mcem=QUICK_MCEM))
+    proc = subset_dir / "processed"
+
+    full_dir = tmp_path / "full"
+    n_full = evaluate_sweep(enh, proc, full_dir, dataset_size="subset",
+                            snr_filter="-5", batch_size=6, log=lambda *a: None)
+    full = {p.relative_to(full_dir) for p in full_dir.rglob("*_s_est.wav")}
+    assert n_full == len(full) > 0
+
+    shard_dir = tmp_path / "sharded"
+    counts = []
+    for k in (0, 1):
+        counts.append(evaluate_sweep(
+            enh, proc, shard_dir, dataset_size="subset", snr_filter="-5",
+            batch_size=6, shard=(k, 2), log=lambda *a: None))
+    assert sum(counts) == n_full
+    assert counts[0] > 0 and counts[1] > 0
+    sharded = {p.relative_to(shard_dir) for p in shard_dir.rglob("*_s_est.wav")}
+    assert sharded == full
+
+    with pytest.raises(ValueError):
+        evaluate_sweep(enh, proc, shard_dir, dataset_size="subset",
+                       shard=(2, 2), log=lambda *a: None)
+
+
 def test_empty_batches_keep_stream_alignment(subset_dir, m1):
     """An empty input batch yields an empty result list (never silently
     dropped — downstream zip(batches, results) must stay aligned), both in
