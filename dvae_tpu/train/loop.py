@@ -439,10 +439,15 @@ def fit_adversarial(
 
     freeze = "classifier" if freeze_classifier else None
     layout = _adversarial_layout(params)
+    # std_norm: same semantics as fit_vae (model sees normalized input,
+    # ELBO compares raw x). The reference's adversarial script loads the
+    # statistics but never applies them (training_M2_info_vad.py:126-133
+    # vs :159) — here the flag actually normalizes.
+    norm = train_ds.mean_std if cfg.std_norm else None
     step = make_adversarial_step(
         model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
         legacy_aux_coupling=legacy_aux_coupling, use_y_hat_soft=use_y_hat_soft,
-        freeze_substring=freeze, y_cond=y_cond, layout=layout,
+        freeze_substring=freeze, y_cond=y_cond, layout=layout, norm=norm,
     )
     multi_step = None
     if cfg.steps_per_dispatch > 1:
@@ -450,11 +455,11 @@ def fit_adversarial(
             model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
             legacy_aux_coupling=legacy_aux_coupling,
             use_y_hat_soft=use_y_hat_soft, multi=True,
-            freeze_substring=freeze, y_cond=y_cond, layout=layout,
+            freeze_substring=freeze, y_cond=y_cond, layout=layout, norm=norm,
         )
     evaluate = make_adversarial_eval_step(model, alpha, beta, gamma, cfg.eps,
                                           use_y_hat_soft=use_y_hat_soft,
-                                          y_cond=y_cond)
+                                          y_cond=y_cond, norm=norm)
 
     return _run_epochs(
         state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,

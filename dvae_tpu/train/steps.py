@@ -311,6 +311,7 @@ def make_adversarial_step(
     freeze_substring: str | None = None,
     y_cond: str | None = None,
     layout: str = "v5",
+    norm=None,
 ) -> Callable:
     """Returns jitted ``step(state, x, y, key) -> (state, metrics)``.
 
@@ -330,18 +331,28 @@ def make_adversarial_step(
     ``freeze_substring`` zeroes enc-group gradients whose param path
     contains the substring (e.g. 'classifier') — the REAL version of the
     reference's no-op freeze (training_M2_info_vad_pretrain.py:142-146).
+
+    ``norm``: optional (mean, std) train statistics — every model input
+    (classifier AND encoder) sees (x - mean)/(std + eps) while the ELBO
+    compares raw x, matching the frame trainers' std_norm semantics.
+    (The reference's adversarial script LOADS the statistics under
+    std_norm but never applies them in its step —
+    training_M2_info_vad.py:126-133 vs :159-161 — another loaded-but-unused
+    no-op like its eval TODO; this completes the intent.)
     """
+    normalize = _normalizer(norm, eps)
     aux_scale = (gamma - beta) if legacy_aux_coupling else gamma
     cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
     if cond_mode not in ("ytrue", "soft", "yhathard", "hardlabel"):
         raise ValueError(f"unknown y_cond {cond_mode!r}")
 
     def forward(params, x, y, key):
-        y_hat_x = model.apply(params, x, method="classify_from_x")
+        x_in = normalize(x)
+        y_hat_x = model.apply(params, x_in, method="classify_from_x")
         hard = jax.lax.stop_gradient((y_hat_x > 0.5).astype(jnp.float32))
         cond = {"ytrue": y, "soft": y_hat_x,
                 "yhathard": hard, "hardlabel": hard}[cond_mode]
-        r, z, mu, logvar = model.apply(params, x, cond, rngs={"sample": key})
+        r, z, mu, logvar = model.apply(params, x_in, cond, rngs={"sample": key})
         return y_hat_x, r, z, mu, logvar
 
     def enc_loss_fn(enc_params, aux_params, x, y, key):
@@ -430,16 +441,18 @@ def make_adversarial_step(
 
 def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
                                use_y_hat_soft: bool = False,
-                               y_cond: str | None = None) -> Callable:
+                               y_cond: str | None = None, norm=None) -> Callable:
     cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
+    normalize = _normalizer(norm, eps)
 
     @jax.jit
     def evaluate(params, x, y, key):
-        y_hat_x = model.apply(params, x, method="classify_from_x")
+        x_in = normalize(x)
+        y_hat_x = model.apply(params, x_in, method="classify_from_x")
         hard = (y_hat_x > 0.5).astype(jnp.float32)
         cond = {"ytrue": y, "soft": y_hat_x,
                 "yhathard": hard, "hardlabel": hard}[cond_mode]
-        r, z, mu, logvar = model.apply(params, x, cond, rngs={"sample": key})
+        r, z, mu, logvar = model.apply(params, x_in, cond, rngs={"sample": key})
         elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
         classif = losses.binary_cross_entropy(y_hat_x, y, eps)
         y_hat_z = model.apply(params, z, method="classify_from_z")

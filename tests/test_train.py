@@ -74,6 +74,39 @@ def test_adversarial_step_trains_both_players():
     assert float(m["elbo"]) < m0["elbo"]
 
 
+def test_adversarial_step_norm():
+    """norm= on the adversarial step (std_norm — which the reference's
+    adversarial script loads but never applies, training_M2_info_vad.py:126
+    vs :159): identity statistics reproduce the unnormalized step to float
+    tolerance; real statistics change the model inputs (different metrics)
+    while every loss stays finite and the ELBO still compares raw x."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.abs(rng.standard_normal((32, 21))).astype(np.float32) + 0.1)
+    y = jnp.asarray((rng.uniform(size=(32, 1)) > 0.5).astype(np.float32))
+    model = DisentangledVAE(x_dim=21, y_dim=1, z_dim=3, h_dim=(8,))
+    params = init_params(model, {"params": jax.random.PRNGKey(0),
+                                 "sample": jax.random.PRNGKey(1)}, x, y)
+    tx_e, tx_a = adam(1e-3), adam(1e-3)
+
+    def one(norm):
+        state = init_adversarial_state(params, tx_e, tx_a)
+        step = make_adversarial_step(model, tx_e, tx_a, alpha=0.0, beta=10.0,
+                                     gamma=1.0, norm=norm)
+        _, m = step(state, x, y, jax.random.PRNGKey(7))
+        return {k: float(v) for k, v in m.items()}
+
+    base = one(None)
+    ident = one((np.zeros((21, 1), np.float32), np.ones((21, 1), np.float32)))
+    for k in base:  # (x-0)/(1+1e-8) perturbs inputs by 1e-8 relative
+        assert abs(base[k] - ident[k]) <= 1e-4 * (1 + abs(base[k])), k
+
+    mean = np.full((21, 1), 0.5, np.float32)
+    std = np.full((21, 1), 2.0, np.float32)
+    scaled = one((mean, std))
+    assert all(np.isfinite(v) for v in scaled.values())
+    assert scaled["elbo"] != base["elbo"]
+
+
 def test_adversarial_step_v4_flat_layout():
     """The adversarial game also runs on CVAE_v4's flat parameter tree
     (reference models.py:299-333 — the ntcd_M2v4_* golden families): both
