@@ -324,3 +324,99 @@ def test_export_cli_produces_reference_loadable_pt(tmp_path):
     with torch.no_grad():
         theirs = tm.decoder(torch.tensor(z)).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-6)
+
+
+def test_fixed_z_em_matches_reference_clean_z_nomcem_engine(subset_dir):
+    """DETERMINISTIC cross-engine parity: our run_em_fixed_z vs the
+    reference's own EM running its clean_z_nomcem experiment (the commented
+    Zclean overrides at reference mcem.py:297/:307, reconstructed here as an
+    in-memory subclass — the mode that produced its shipped
+    *_clean_z_nomcem_* golden wavs). Identical weights (exported through the
+    torch bridge), identical NMF init (lifted from the reference object),
+    identical inputs; no Monte-Carlo anywhere, so the EM cost TRAJECTORY and
+    the final Wiener masks must agree to float tolerance — a much tighter
+    pin than the statistical MH studies (PARITY.md SS2), covering the
+    NMF M-step ordering, the EM cost estimator and the Wiener computation
+    end to end."""
+    import sys
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from packages.models.mcem import MCEM_M1
+    import jax.numpy as jnp
+
+    from dvae_tpu.data.io import read_wav
+    from dvae_tpu.enhance.mcem import McemConfig, run_em_fixed_z
+    from dvae_tpu.ops.stft import stft
+
+    class CleanZNoMcemM1(MCEM_M1):
+        # the reference's commented experiment lines, verbatim semantics
+        def E_step(self):
+            Z_t = torch.t(self.Zclean)[:, None]           # mcem.py:297
+            self.Z = torch.t(torch.squeeze(Z_t[:, -1, :]))
+            self.compute_Vs(Z_t)
+            self.compute_Vs_scaled()
+            self.compute_Vx()
+
+        def compute_WF(self, sample=False):
+            if sample:
+                Z_t = torch.t(self.Zclean)                # mcem.py:307
+                self.compute_Vs(Z_t)
+                self.compute_Vs_scaled()
+                self.compute_Vx()
+            WFs = torch.mean(self.Vs_scaled / self.Vx, axis=0)
+            WFn = torch.mean(self.Vb / self.Vx, axis=0)
+            return WFs, WFn
+
+    model = VAE(x_dim=513, z_dim=4, h_dim=(8, 8))
+    params = model.init(
+        {"params": jax.random.PRNGKey(11), "sample": jax.random.PRNGKey(12)},
+        jnp.ones((2, 513)),
+    )
+    ref_models = _ref_models()
+    tm = ref_models.VariationalAutoencoder([513, 4, [8, 8]])
+    from dvae_tpu.train.torch_import import export_torch_state_dict as _exp
+
+    tm.load_state_dict(_exp(params))
+    tm.eval()
+    for q in tm.parameters():
+        q.requires_grad = False
+
+    x, _ = read_wav(subset_dir / "processed/ntcd_timit/Noisy/Babble/-5/test/34M/sa1.wav")
+    s, _ = read_wav(subset_dir / "processed/ntcd_timit/Clean/test/34M/sa1.wav")
+    n_frames = 80  # trim for speed; any span works
+    X = np.asarray(stft(jnp.asarray(x, jnp.float32)))[:n_frames]
+    S = np.asarray(stft(jnp.asarray(s, jnp.float32)))[:n_frames]
+
+    niter = 25
+    mcem = CleanZNoMcemM1(niter=niter)
+    mcem.init_parameters(X=X.T, S=S.T, vae=tm, nmf_rank=10, eps=1e-8,
+                         device="cpu")
+    # lift the reference's random NMF init into our layout BEFORE running
+    w0 = jnp.asarray(mcem.W.numpy())[None]          # (1, F, K)
+    h0 = jnp.asarray(mcem.H.numpy().T)[None]        # (1, N, K)
+    g0 = jnp.asarray(mcem.g.numpy())[None]          # (1, N)
+    ref_cost = mcem.run()
+
+    x2 = jnp.asarray(np.abs(X) ** 2)[None]
+    s2 = jnp.asarray(np.abs(S) ** 2)[None]
+    _, z_clean, _ = model.apply(params, s2.reshape(-1, 513), method="encode",
+                                sample=False)
+    res = run_em_fixed_z(
+        lambda zz: model.apply(params, zz, method="decode"),
+        x2, z_clean.reshape(1, n_frames, -1),
+        jnp.ones((1, n_frames)),
+        McemConfig(niter=niter, nmf_rank=10),
+        nmf_init=(w0, h0, g0),
+    )
+
+    np.testing.assert_allclose(np.asarray(res.cost), ref_cost,
+                               rtol=2e-4, atol=2e-4)
+    wfs_ref = (np.abs(np.asarray(mcem.S_hat)) /
+               np.maximum(np.abs(X.T), 1e-12))
+    np.testing.assert_allclose(np.asarray(res.wfs[0]).T, wfs_ref,
+                               rtol=5e-3, atol=5e-4)
+    wfn_ref = (np.abs(np.asarray(mcem.N_hat)) /
+               np.maximum(np.abs(X.T), 1e-12))
+    np.testing.assert_allclose(np.asarray(res.wfn[0]).T, wfn_ref,
+                               rtol=5e-3, atol=5e-4)
