@@ -326,28 +326,33 @@ def test_export_cli_produces_reference_loadable_pt(tmp_path):
     np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-6)
 
 
-def test_fixed_z_em_matches_reference_clean_z_nomcem_engine(subset_dir):
+@pytest.mark.parametrize("family", ["m1", "m2"])
+def test_fixed_z_em_matches_reference_clean_z_nomcem_engine(subset_dir, family):
     """DETERMINISTIC cross-engine parity: our run_em_fixed_z vs the
     reference's own EM running its clean_z_nomcem experiment (the commented
-    Zclean overrides at reference mcem.py:297/:307, reconstructed here as an
-    in-memory subclass — the mode that produced its shipped
-    *_clean_z_nomcem_* golden wavs). Identical weights (exported through the
-    torch bridge), identical NMF init (lifted from the reference object),
-    identical inputs; no Monte-Carlo anywhere, so the EM cost TRAJECTORY and
-    the final Wiener masks must agree to float tolerance — a much tighter
-    pin than the statistical MH studies (PARITY.md SS2), covering the
-    NMF M-step ordering, the EM cost estimator and the Wiener computation
-    end to end."""
+    Zclean overrides at reference mcem.py:297/:307 for M1, :467/:478 for
+    M2, reconstructed here as in-memory subclasses — the mode that produced
+    its shipped *_clean_z_nomcem_* golden wavs). Identical weights (exported
+    through the torch bridge), identical NMF init (lifted from the reference
+    object), identical inputs; no Monte-Carlo anywhere, so the EM cost
+    TRAJECTORY and the final Wiener masks must agree to float tolerance — a
+    much tighter pin than the statistical MH studies (PARITY.md SS2),
+    covering the NMF M-step ordering, the EM cost estimator and the Wiener
+    computation end to end, for both the unconditional and the
+    y-conditioned engine."""
     import sys
 
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    from packages.models.mcem import MCEM_M1
+    from packages.models.mcem import MCEM_M1, MCEM_M2
     import jax.numpy as jnp
 
     from dvae_tpu.data.io import read_wav
     from dvae_tpu.enhance.mcem import McemConfig, run_em_fixed_z
+    from dvae_tpu.models import CVAE
     from dvae_tpu.ops.stft import stft
+    from dvae_tpu.ops.targets import clean_speech_ibm
+    from dvae_tpu.train.torch_import import export_torch_state_dict as _exp
 
     class CleanZNoMcemM1(MCEM_M1):
         # the reference's commented experiment lines, verbatim semantics
@@ -368,14 +373,42 @@ def test_fixed_z_em_matches_reference_clean_z_nomcem_engine(subset_dir):
             WFn = torch.mean(self.Vb / self.Vx, axis=0)
             return WFs, WFn
 
-    model = VAE(x_dim=513, z_dim=4, h_dim=(8, 8))
-    params = model.init(
-        {"params": jax.random.PRNGKey(11), "sample": jax.random.PRNGKey(12)},
-        jnp.ones((2, 513)),
-    )
+    class CleanZNoMcemM2(MCEM_M2):
+        def E_step(self):
+            # mcem.py:467 commented override
+            Z_t = torch.t(self.Zclean)[:, None]
+            Z_y_t = torch.t(torch.cat([self.Zclean, self.y], dim=0))[:, None]
+            self.Z = torch.t(torch.squeeze(Z_t[:, -1, :]))
+            self.compute_Vs(Z_y_t)
+            self.compute_Vs_scaled()
+            self.compute_Vx()
+
+        def compute_WF(self, sample=False):
+            if sample:
+                # mcem.py:478 commented override
+                Z_y_t = torch.t(torch.cat([self.Zclean, self.y], dim=0))
+                self.compute_Vs(Z_y_t)
+                self.compute_Vs_scaled()
+                self.compute_Vx()
+            WFs = torch.mean(self.Vs_scaled / self.Vx, axis=0)
+            WFn = torch.mean(self.Vb / self.Vx, axis=0)
+            return WFs, WFn
+
     ref_models = _ref_models()
-    tm = ref_models.VariationalAutoencoder([513, 4, [8, 8]])
-    from dvae_tpu.train.torch_import import export_torch_state_dict as _exp
+    if family == "m1":
+        model = VAE(x_dim=513, z_dim=4, h_dim=(8, 8))
+        params = model.init(
+            {"params": jax.random.PRNGKey(11), "sample": jax.random.PRNGKey(12)},
+            jnp.ones((2, 513)),
+        )
+        tm = ref_models.VariationalAutoencoder([513, 4, [8, 8]])
+    else:
+        model = CVAE(x_dim=513, y_dim=513, z_dim=4, h_dim=(8, 8))
+        params = model.init(
+            {"params": jax.random.PRNGKey(13), "sample": jax.random.PRNGKey(14)},
+            jnp.ones((2, 513)), jnp.ones((2, 513)),
+        )
+        tm = ref_models.DeepGenerativeModel([513, 513, 4, [8, 8]], classifier=None)
 
     tm.load_state_dict(_exp(params))
     tm.eval()
@@ -389,24 +422,34 @@ def test_fixed_z_em_matches_reference_clean_z_nomcem_engine(subset_dir):
     S = np.asarray(stft(jnp.asarray(s, jnp.float32)))[:n_frames]
 
     niter = 25
-    mcem = CleanZNoMcemM1(niter=niter)
-    mcem.init_parameters(X=X.T, S=S.T, vae=tm, nmf_rank=10, eps=1e-8,
-                         device="cpu")
+    x2 = jnp.asarray(np.abs(X) ** 2)[None]
+    s2 = jnp.asarray(np.abs(S) ** 2)[None]
+    if family == "m1":
+        mcem = CleanZNoMcemM1(niter=niter)
+        mcem.init_parameters(X=X.T, S=S.T, vae=tm, nmf_rank=10, eps=1e-8,
+                             device="cpu")
+        y_j = None
+        enc_in = s2.reshape(-1, 513)
+    else:
+        y_np = np.asarray(clean_speech_ibm(jnp.asarray(S)), np.float32)  # (N, 513)
+        mcem = CleanZNoMcemM2(niter=niter)
+        mcem.init_parameters(X=X.T, S=S.T, y=torch.tensor(y_np.T.copy()),
+                             vae=tm, nmf_rank=10, eps=1e-8, device="cpu")
+        y_j = jnp.asarray(y_np)[None]
+        enc_in = jnp.concatenate([s2, y_j], axis=-1).reshape(-1, 2 * 513)
     # lift the reference's random NMF init into our layout BEFORE running
     w0 = jnp.asarray(mcem.W.numpy())[None]          # (1, F, K)
     h0 = jnp.asarray(mcem.H.numpy().T)[None]        # (1, N, K)
     g0 = jnp.asarray(mcem.g.numpy())[None]          # (1, N)
     ref_cost = mcem.run()
 
-    x2 = jnp.asarray(np.abs(X) ** 2)[None]
-    s2 = jnp.asarray(np.abs(S) ** 2)[None]
-    _, z_clean, _ = model.apply(params, s2.reshape(-1, 513), method="encode",
-                                sample=False)
+    _, z_clean, _ = model.apply(params, enc_in, method="encode", sample=False)
     res = run_em_fixed_z(
         lambda zz: model.apply(params, zz, method="decode"),
         x2, z_clean.reshape(1, n_frames, -1),
         jnp.ones((1, n_frames)),
         McemConfig(niter=niter, nmf_rank=10),
+        y=y_j,
         nmf_init=(w0, h0, g0),
     )
 
