@@ -35,6 +35,12 @@ def add_common(ap: argparse.ArgumentParser, training: bool = False):
         ap.add_argument("--log-interval", type=int, default=250)
         ap.add_argument("--seed", type=int, default=0)
         ap.add_argument("--std-norm", action="store_true")
+        ap.add_argument("--no-in-memory", action="store_true",
+                        help="stream frame batches from the HDF5 instead of "
+                             "loading the whole X/Y matrices into host RAM "
+                             "(the complete-corpus h5 is multi-GB; the "
+                             "reference used h5 chunk-cache random access, "
+                             "training_M1.py:38-43 rdcc tuning)")
         ap.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="optimizer steps per device dispatch (lax.scan); "
                              "amortizes host round-trips, identical math")

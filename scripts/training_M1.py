@@ -21,8 +21,8 @@ def main():
     from dvae_tpu.train.loop import LoopConfig, fit_vae
 
     h5 = frame_h5_path(args)
-    train_ds = FrameDataset(h5, "train")
-    valid_ds = FrameDataset(h5, "validation")
+    train_ds = FrameDataset(h5, "train", in_memory=not args.no_in_memory)
+    valid_ds = FrameDataset(h5, "validation", in_memory=not args.no_in_memory)
 
     model = VAE(x_dim=513, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     model_name = mangle("ntcd_M1", args)

@@ -27,8 +27,8 @@ def main():
     from dvae_tpu.train.loop import LoopConfig, fit_vae
 
     h5 = frame_h5_path(args)
-    train_ds = FrameDataset(h5, "train")
-    valid_ds = FrameDataset(h5, "validation")
+    train_ds = FrameDataset(h5, "train", in_memory=not args.no_in_memory)
+    valid_ds = FrameDataset(h5, "validation", in_memory=not args.no_in_memory)
     y_dim = y_dim_for(args.labels)
 
     model_cls = CVAE if args.model_variant == "v1" else CVAE_v2

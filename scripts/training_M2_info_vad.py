@@ -37,8 +37,8 @@ def main():
     from dvae_tpu.train.loop import LoopConfig, fit_adversarial
 
     h5 = frame_h5_path(args)
-    train_ds = FrameDataset(h5, "train")
-    valid_ds = FrameDataset(h5, "validation")
+    train_ds = FrameDataset(h5, "train", in_memory=not args.no_in_memory)
+    valid_ds = FrameDataset(h5, "validation", in_memory=not args.no_in_memory)
 
     model_cls = DisentangledVAE if args.model_variant == "v5" else CVAE_v4
     model = model_cls(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))

@@ -35,8 +35,8 @@ def main():
     from dvae_tpu.train.loop import LoopConfig, fit_adversarial
 
     h5 = frame_h5_path(args)
-    train_ds = FrameDataset(h5, "train")
-    valid_ds = FrameDataset(h5, "validation")
+    train_ds = FrameDataset(h5, "train", in_memory=not args.no_in_memory)
+    valid_ds = FrameDataset(h5, "validation", in_memory=not args.no_in_memory)
 
     model = DisentangledVAE(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     xb, yb = next(train_ds.batches(8))

@@ -42,8 +42,8 @@ def main():
     from _lib import frame_h5_path
 
     h5 = frame_h5_path(args)
-    train_ds = FrameDataset(h5, "train")
-    valid_ds = FrameDataset(h5, "validation")
+    train_ds = FrameDataset(h5, "train", in_memory=not args.no_in_memory)
+    valid_ds = FrameDataset(h5, "validation", in_memory=not args.no_in_memory)
     y_dim = y_dim_for(args.labels)
 
     model = CVAE_v3(x_dim=513, y_dim=y_dim, z_dim=args.z_dim, h_dim=tuple(args.h_dim))

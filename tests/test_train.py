@@ -580,6 +580,33 @@ def test_lstm_vad_norm_matches_prenormalized_inputs():
                                    rtol=1e-6, atol=1e-9)
 
 
+def test_frame_dataset_out_of_core_matches_in_memory():
+    """in_memory=False (--no-in-memory, for the multi-GB complete-corpus
+    h5): same length/dims/statistics, and a shuffled epoch visits exactly
+    the same (x, y) ROWS as the in-memory path given the same rng seed —
+    the out-of-core branch sorts indices WITHIN a batch for h5 fancy
+    indexing, so compare per-batch row sets, not row order."""
+    from _helpers import SUBSET_H5
+
+    mem = FrameDataset(SUBSET_H5, "train", in_memory=True)
+    ooc = FrameDataset(SUBSET_H5, "train", in_memory=False)
+    assert len(mem) == len(ooc) and mem.x_dim == ooc.x_dim
+    assert mem.y_dim == ooc.y_dim
+    np.testing.assert_array_equal(np.asarray(mem.mean_std[0]),
+                                  np.asarray(ooc.mean_std[0]))
+
+    def rows(ds):
+        out = []
+        for x, y in ds.batches(32, np.random.default_rng(7)):
+            # canonicalize each batch by sorting rows lexicographically
+            xy = np.concatenate([np.asarray(x), np.asarray(y)], axis=1)
+            out.append(xy[np.lexsort(xy.T[::-1])])
+        return out
+
+    for a, b in zip(rows(mem), rows(ooc)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_batch_utterances_labels_shorter_than_audio():
     """Labels that trim the frame count far below the wav's own frames
     (video-trim semantics) must not crash the batcher (regression: the
