@@ -166,7 +166,8 @@ def main():
             "value": 0.0,
             "unit": "NO MEASUREMENT: jax backend init (axon TPU tunnel) hung "
                     ">180s — transient tunnel outage, not a code regression; "
-                    "see CLAUDE.md perf notes for the last good numbers",
+                    "last good (2026-08-17): 58.3 utt/s wall, "
+                    "device_ms_per_batch 387 (see CLAUDE.md perf notes)",
             "vs_baseline": 0.0,
         }))
         return
