@@ -463,3 +463,81 @@ def test_fixed_z_em_matches_reference_clean_z_nomcem_engine(subset_dir, family):
                np.maximum(np.abs(X.T), 1e-12))
     np.testing.assert_allclose(np.asarray(res.wfn[0]).T, wfn_ref,
                                rtol=5e-3, atol=5e-4)
+
+
+def test_training_step_parity_with_reference_stack():
+    """Cross-framework TRAINING parity: identical init weights, identical
+    minibatches, and the SAME injected reparametrization noise -> the ELBO
+    value and five full Adam updates track the reference's torch stack
+    (packages.models.utils.elbo + torch.optim.Adam, the loop of
+    training_M1.py:122-139) to float tolerance. The noise is equalized by
+    extracting eps = (z - mu)/sigma from our draw and overriding the torch
+    Stochastic.reparametrize with it, so the reparametrization gradient
+    path stays intact on both sides. Pins ELBO gradients AND optimizer
+    semantics, not just loss values."""
+    import sys
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from packages.models.utils import elbo as ref_elbo
+    import optax
+
+    from dvae_tpu.models import losses
+    from dvae_tpu.train.steps import adam
+
+    ref_models = _ref_models()
+    model = VAE(x_dim=33, z_dim=5, h_dim=(16,))
+    params = model.init(
+        {"params": jax.random.PRNGKey(21), "sample": jax.random.PRNGKey(22)},
+        jnp.ones((2, 33)),
+    )
+    tm = ref_models.VariationalAutoencoder([33, 5, [16]])
+    tm.load_state_dict(export_torch_state_dict(params))
+    opt_t = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    tx = adam(1e-3)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(9)
+    for step in range(5):
+        x = (np.abs(rng.standard_normal((16, 33))) + 0.1).astype(np.float32)
+        k = jax.random.PRNGKey(100 + step)
+        xj = jnp.asarray(x)
+
+        def loss_fn(p):
+            r, mu, logvar = model.apply(p, xj, rngs={"sample": k})
+            total, _, _ = losses.elbo(xj, r, mu, logvar, 1e-8)
+            return total
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(params)
+
+        # the same "sample"-stream key through method=encode reproduces the
+        # exact z of the loss forward (same module path); verify via decode
+        z, mu_j, logvar_j = model.apply(params, xj, method="encode",
+                                        sample=True, rngs={"sample": k})
+        r_from_z = model.apply(params, z, method="decode")
+        total_check, _, _ = losses.elbo(xj, r_from_z, mu_j, logvar_j, 1e-8)
+        assert abs(float(total_check) - float(loss_j)) < 1e-4 * abs(float(loss_j))
+        eps_np = np.asarray((z - mu_j) / jnp.exp(0.5 * logvar_j),
+                            dtype=np.float32)
+
+        eps_t = torch.tensor(eps_np)
+        tm.encoder.sample.reparametrize = (
+            lambda mu, log_var: mu + torch.exp(0.5 * log_var) * eps_t)
+        x_t = torch.tensor(x)
+        r_t, mu_t, logvar_t = tm(x_t)
+        loss_t, _, _ = ref_elbo(x_t, r_t, mu_t, logvar_t, 1e-8)
+        assert abs(float(loss_j) - loss_t.item()) < 1e-3 * abs(loss_t.item())
+        opt_t.zero_grad()
+        loss_t.backward()
+        opt_t.step()
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    ours_sd = export_torch_state_dict(params)
+    theirs_sd = tm.state_dict()
+    assert set(ours_sd) == set(theirs_sd)
+    for name in ours_sd:
+        np.testing.assert_allclose(
+            ours_sd[name].numpy(), theirs_sd[name].detach().numpy(),
+            rtol=5e-3, atol=2e-5, err_msg=name)
