@@ -541,3 +541,105 @@ def test_training_step_parity_with_reference_stack():
         np.testing.assert_allclose(
             ours_sd[name].numpy(), theirs_sd[name].detach().numpy(),
             rtol=5e-3, atol=2e-5, err_msg=name)
+
+
+def test_adversarial_training_parity_with_reference_dynamics():
+    """The two-optimizer adversarial step vs a verbatim replication of the
+    reference's training_M2_info_vad.py:153-198 loop on its own
+    DeepGenerativeModel_v5 (same weights, batches, injected eps): with
+    legacy_aux_coupling=True, four full steps track the torch dynamics —
+    including the un-zeroed-aux-grad quirk, where enc_loss.backward()'s
+    -beta*dBCE remains in the aux grads when aux_loss.backward() adds
+    +gamma*dBCE, so the auxiliary effectively trains on (gamma-beta)*dBCE.
+    This validates that documented claim against the reference's real
+    optimizer sequence, not just our own analysis. The default (intended)
+    coupling must diverge from those dynamics on the auxiliary."""
+    import sys
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from packages.models.utils import binary_cross_entropy as ref_bce
+    from packages.models.utils import elbo as ref_elbo
+    import optax
+
+    from dvae_tpu.train.steps import (adam, init_adversarial_state,
+                                      make_adversarial_step)
+
+    ref_models = _ref_models()
+    alpha, beta, gamma, lr = 0.0, 10.0, 1.0, 1e-3
+
+    def run_ref(params):
+        tm = ref_models.DeepGenerativeModel_v5([33, 1, 5, [16]])
+        tm.load_state_dict(export_torch_state_dict(params))
+        opt_enc = torch.optim.Adam(tm.enc_dec_clf.parameters(), lr=lr)
+        opt_aux = torch.optim.Adam(tm.auxiliary.parameters(), lr=lr)
+        return tm, opt_enc, opt_aux
+
+    model = DisentangledVAE(x_dim=33, y_dim=1, z_dim=5, h_dim=(16,))
+    rng = np.random.default_rng(17)
+    x0 = (np.abs(rng.standard_normal((2, 33))) + 0.1).astype(np.float32)
+    params0 = init_params(
+        model, {"params": jax.random.PRNGKey(31), "sample": jax.random.PRNGKey(32)},
+        jnp.asarray(x0), jnp.ones((2, 1)))
+    tm, opt_enc, opt_aux = run_ref(params0)
+
+    def ours(legacy):
+        tx_e, tx_a = adam(lr), adam(lr)
+        step = make_adversarial_step(model, tx_e, tx_a, alpha, beta, gamma,
+                                     legacy_aux_coupling=legacy)
+        return step, init_adversarial_state(params0, tx_e, tx_a)
+
+    step_legacy, state = ours(True)
+    step_default, state_default = ours(False)
+
+    rng = np.random.default_rng(18)
+    for i in range(4):
+        x = (np.abs(rng.standard_normal((16, 33))) + 0.1).astype(np.float32)
+        y = (rng.uniform(size=(16, 1)) > 0.5).astype(np.float32)
+        k = jax.random.PRNGKey(500 + i)
+
+        # extract this step's eps from OUR draw (same module path/rng as the
+        # step's internal forward) and inject it into the torch model
+        _, z, mu, logvar = model.apply(state.params, jnp.asarray(x),
+                                       jnp.asarray(y), rngs={"sample": k})
+        eps_t = torch.tensor(np.asarray(
+            (z - mu) / jnp.exp(0.5 * logvar), dtype=np.float32))
+        tm.enc_dec_clf.encoder.sample.reparametrize = (
+            lambda mu_, lv_: mu_ + torch.exp(0.5 * lv_) * eps_t)
+
+        # --- the reference's exact sequence (training_M2_info_vad.py:159-198)
+        x_t, y_t = torch.tensor(x), torch.tensor(y)
+        y_hat_class_soft = tm.classify_fromX(x_t)
+        r_t, z_t, mu_t, logvar_t = tm(x_t, y_t)
+        ELBO, _, _ = ref_elbo(x_t, r_t, mu_t, logvar_t, 1e-8)
+        classif_loss = alpha * ref_bce(y_hat_class_soft, y_t, 1e-8)
+        y_hat_aux_soft = tm.classify_fromZ(z_t)
+        enc_loss = ELBO + classif_loss - beta * ref_bce(y_hat_aux_soft, y_t, 1e-8)
+        aux_loss = gamma * ref_bce(tm.classify_fromZ(z_t.detach()), y_t, 1e-8)
+        enc_loss.backward()
+        opt_enc.step()
+        opt_enc.zero_grad()   # aux grads keep enc_loss's -beta*dBCE
+        aux_loss.backward()
+        opt_aux.step()
+        opt_aux.zero_grad()
+
+        state, _ = step_legacy(state, jnp.asarray(x), jnp.asarray(y), k)
+        state_default, _ = step_default(state_default, jnp.asarray(x),
+                                        jnp.asarray(y), k)
+
+    ours_sd = export_torch_state_dict(state.params)
+    theirs_sd = tm.state_dict()
+    assert set(ours_sd) == set(theirs_sd)
+    for name in ours_sd:
+        np.testing.assert_allclose(
+            ours_sd[name].numpy(), theirs_sd[name].detach().numpy(),
+            rtol=5e-3, atol=3e-5, err_msg=name)
+
+    # discriminating power: the intended (+gamma) coupling must NOT track
+    # the reference's auxiliary dynamics
+    default_sd = export_torch_state_dict(state_default.params)
+    aux_names = [n for n in default_sd if n.startswith("auxiliary")]
+    assert aux_names and any(
+        not np.allclose(default_sd[n].numpy(), theirs_sd[n].detach().numpy(),
+                        rtol=5e-3, atol=3e-5)
+        for n in aux_names)
