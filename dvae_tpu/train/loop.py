@@ -402,6 +402,7 @@ def fit_adversarial(
     use_y_hat_soft: bool = False,
     freeze_classifier: bool = False,
     y_cond: str | None = None,
+    enc_adversary: str = "bce",
 ):
     """Train the disentangled M2-info model (two-optimizer adversarial game).
 
@@ -448,6 +449,7 @@ def fit_adversarial(
         model, tx_enc, tx_aux, alpha, beta, gamma, cfg.eps,
         legacy_aux_coupling=legacy_aux_coupling, use_y_hat_soft=use_y_hat_soft,
         freeze_substring=freeze, y_cond=y_cond, layout=layout, norm=norm,
+        enc_adversary=enc_adversary,
     )
     multi_step = None
     if cfg.steps_per_dispatch > 1:
@@ -456,10 +458,12 @@ def fit_adversarial(
             legacy_aux_coupling=legacy_aux_coupling,
             use_y_hat_soft=use_y_hat_soft, multi=True,
             freeze_substring=freeze, y_cond=y_cond, layout=layout, norm=norm,
+            enc_adversary=enc_adversary,
         )
     evaluate = make_adversarial_eval_step(model, alpha, beta, gamma, cfg.eps,
                                           use_y_hat_soft=use_y_hat_soft,
-                                          y_cond=y_cond, norm=norm)
+                                          y_cond=y_cond, norm=norm,
+                                          enc_adversary=enc_adversary)
 
     return _run_epochs(
         state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,

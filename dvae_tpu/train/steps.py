@@ -312,6 +312,7 @@ def make_adversarial_step(
     y_cond: str | None = None,
     layout: str = "v5",
     norm=None,
+    enc_adversary: str = "bce",
 ) -> Callable:
     """Returns jitted ``step(state, x, y, key) -> (state, metrics)``.
 
@@ -339,9 +340,29 @@ def make_adversarial_step(
     std_norm but never applies them in its step —
     training_M2_info_vad.py:126-133 vs :159-161 — another loaded-but-unused
     no-op like its eval TODO; this completes the intent.)
+
+    ``enc_adversary`` selects the -beta encoder-adversary term (the
+    reference's ``Lenc_aux_v*`` name grammar): 'bce' = labeled
+    BCE(y_hat_z, y) (the main script's live line,
+    training_M2_info_vad.py:171); 'entropy' = binary_cross_entropy_v3 of
+    the prediction alone (the PRETRAIN script's live line,
+    training_M2_info_vad_pretrain.py:175, name tag Lenc_aux_v3); 'uniform'
+    = binary_cross_entropy_v2 against a 0.5 target (both scripts'
+    commented _v2 experiment). The auxiliary's own objective stays labeled
+    ``gamma * BCE``; under ``legacy_aux_coupling`` its effective gradient
+    is ``gamma*dBCE - beta*d(adversary)`` (the reference's un-zeroed-grad
+    ordering), which collapses to ``(gamma-beta)*dBCE`` only for 'bce'.
     """
     normalize = _normalizer(norm, eps)
-    aux_scale = (gamma - beta) if legacy_aux_coupling else gamma
+    if enc_adversary not in ("bce", "uniform", "entropy"):
+        raise ValueError(f"unknown enc_adversary {enc_adversary!r}")
+
+    def adv_fn(y_hat_z, y):
+        if enc_adversary == "bce":
+            return losses.binary_cross_entropy(y_hat_z, y, eps)
+        if enc_adversary == "uniform":
+            return losses.binary_cross_entropy_v2(y_hat_z, eps)
+        return losses.binary_cross_entropy_v3(y_hat_z, eps)
     cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
     if cond_mode not in ("ytrue", "soft", "yhathard", "hardlabel"):
         raise ValueError(f"unknown y_cond {cond_mode!r}")
@@ -361,7 +382,7 @@ def make_adversarial_step(
         elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
         classif = losses.binary_cross_entropy(y_hat_x, y, eps)
         y_hat_z = model.apply(params, z, method="classify_from_z")
-        aux_enc = losses.binary_cross_entropy(y_hat_z, y, eps)
+        aux_enc = adv_fn(y_hat_z, y)
         # Zero-weighted terms are dropped STATICALLY, not multiplied by 0:
         # a saturated sigmoid makes dBCE overflow to inf, and 0 * inf = nan
         # would poison the (otherwise untrained) classifier head — the
@@ -382,11 +403,24 @@ def make_adversarial_step(
         return enc_loss, (z, metrics)
 
     def aux_loss_fn(aux_params, enc_params, z, y):
-        if not aux_scale:  # static skip, same 0*inf hazard as above
+        # intended coupling: +gamma*BCE. Legacy (the reference's un-zeroed
+        # aux grads, training_M2_info_vad.py:192-198): enc_loss.backward()'s
+        # -beta*d(adversary)/d_aux is still in the buffers when
+        # aux_loss.backward() adds +gamma*dBCE — reproduce as one loss on
+        # the detached z. Zero-weighted terms stay STATICALLY dropped
+        # (0*inf hazard, see enc_loss_fn).
+        has_gamma = bool(gamma)
+        has_legacy = legacy_aux_coupling and bool(beta)
+        if not (has_gamma or has_legacy):
             return jnp.zeros(())
         params = _merge_params(enc_params, aux_params, layout)
         y_hat_z = model.apply(params, jax.lax.stop_gradient(z), method="classify_from_z")
-        return aux_scale * losses.binary_cross_entropy(y_hat_z, y, eps)
+        loss = jnp.zeros(())
+        if has_gamma:
+            loss = loss + gamma * losses.binary_cross_entropy(y_hat_z, y, eps)
+        if has_legacy:
+            loss = loss - beta * adv_fn(y_hat_z, y)
+        return loss
 
     def _apply_freeze(grads):
         if freeze_substring is None:
@@ -441,9 +475,17 @@ def make_adversarial_step(
 
 def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
                                use_y_hat_soft: bool = False,
-                               y_cond: str | None = None, norm=None) -> Callable:
+                               y_cond: str | None = None, norm=None,
+                               enc_adversary: str = "bce") -> Callable:
     cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
     normalize = _normalizer(norm, eps)
+
+    def adv_fn(y_hat_z, y):  # see make_adversarial_step
+        if enc_adversary == "bce":
+            return losses.binary_cross_entropy(y_hat_z, y, eps)
+        if enc_adversary == "uniform":
+            return losses.binary_cross_entropy_v2(y_hat_z, eps)
+        return losses.binary_cross_entropy_v3(y_hat_z, eps)
 
     @jax.jit
     def evaluate(params, x, y, key):
@@ -456,7 +498,10 @@ def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
         elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
         classif = losses.binary_cross_entropy(y_hat_x, y, eps)
         y_hat_z = model.apply(params, z, method="classify_from_z")
-        aux_enc = losses.binary_cross_entropy(y_hat_z, y, eps)
+        aux_enc = adv_fn(y_hat_z, y)
+        # the auxiliary's own objective is always labeled BCE, whatever the
+        # encoder's adversary is (training_M2_info_vad_pretrain.py:184-185)
+        aux_bce = losses.binary_cross_entropy(y_hat_z, y, eps)
         # zero-weighted terms dropped statically (same 0*inf hazard as the
         # train step; this value names checkpoints and picks the best model)
         enc_loss = elbo_val
@@ -470,7 +515,7 @@ def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
             "kl": kl,
             "enc": enc_loss,
             "classif": alpha * classif,
-            "aux": gamma * aux_enc,
+            "aux": gamma * aux_bce,
         }
 
     return evaluate

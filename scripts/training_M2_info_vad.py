@@ -19,6 +19,13 @@ def main():
     ap.add_argument("--beta", type=float, default=10.0)
     ap.add_argument("--gamma", type=float, default=1.0)
     ap.add_argument("--legacy-aux-coupling", action="store_true")
+    ap.add_argument("--enc-adversary", default="bce",
+                    choices=["bce", "uniform", "entropy"],
+                    help="the -beta encoder-adversary term. Default 'bce' "
+                         "(labeled, the script's live line, reference "
+                         ":171, name tag Lenc_aux_v1); 'uniform'/'entropy' "
+                         "= the commented _v2/_v3 experiments (reference "
+                         ":172-173; the pretrain script runs _v3 live)")
     ap.add_argument("--model-variant", default="v5", choices=["v5", "v4"],
                     help="v5 = DeepGenerativeModel_v5 (default); v4 = the "
                     "flat-tree CVAE_v4 behind the reference's shipped "
@@ -55,8 +62,10 @@ def main():
             f"_end_epoch_{args.end_epoch:03d}"
         )
     else:
+        vtag = {"bce": "v1", "uniform": "v2",
+                "entropy": "v3"}[args.enc_adversary]
         default_name = (
-            f"ntcd_M2_info_VAD_Lenc_aux_v1_alpha_{args.alpha}_beta_{args.beta}"
+            f"ntcd_M2_info_VAD_Lenc_aux_{vtag}_alpha_{args.alpha}_beta_{args.beta}"
             f"_gamma_{args.gamma}_y_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
             f"_end_epoch_{args.end_epoch:03d}"
         )
@@ -73,7 +82,7 @@ def main():
                     alpha=args.alpha, beta=args.beta, gamma=args.gamma,
                     cfg=cfg, mesh=make_mesh_if(args),
                     legacy_aux_coupling=args.legacy_aux_coupling,
-                    y_cond=args.y_cond)
+                    y_cond=args.y_cond, enc_adversary=args.enc_adversary)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,15 @@ def main():
                     help=".msgpack checkpoint to surgically load the classifier from")
     ap.add_argument("--freeze-classifier", action="store_true")
     ap.add_argument("--legacy-aux-coupling", action="store_true")
+    ap.add_argument("--enc-adversary", default="entropy",
+                    choices=["entropy", "bce", "uniform"],
+                    help="the -beta encoder-adversary term. Default "
+                         "'entropy' = binary_cross_entropy_v3 of the "
+                         "auxiliary's prediction — the reference PRETRAIN "
+                         "script's live configuration (its :175, name tag "
+                         "Lenc_aux_v3); 'bce' = the labeled adversary of "
+                         "the non-pretrain script; 'uniform' = the "
+                         "commented _v2 experiment (0.5-target)")
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -49,8 +58,11 @@ def main():
 
     norm = "norm" if args.std_norm else "nonorm"
     hdim = "_".join(f"{h:03d}" for h in args.h_dim)
+    # Lenc_aux_v{1,2,3} = the reference's name tag for the adversary form
+    vtag = {"bce": "v1", "uniform": "v2", "entropy": "v3"}[args.enc_adversary]
     model_name = args.run_name or (
-        f"ntcd_M2_info_VAD_pretrain_alpha_{args.alpha}_beta_{args.beta}"
+        f"ntcd_M2_info_VAD_Lenc_aux_{vtag}_pretrain_alpha_{args.alpha}"
+        f"_beta_{args.beta}"
         f"_gamma_{args.gamma}_yhatsoft_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
         f"_end_epoch_{args.end_epoch:03d}"
     )
@@ -68,7 +80,8 @@ def main():
                     init_params_override=params,
                     legacy_aux_coupling=args.legacy_aux_coupling,
                     use_y_hat_soft=True,
-                    freeze_classifier=args.freeze_classifier)
+                    freeze_classifier=args.freeze_classifier,
+                    enc_adversary=args.enc_adversary)
 
 
 if __name__ == "__main__":

@@ -643,3 +643,86 @@ def test_adversarial_training_parity_with_reference_dynamics():
         not np.allclose(default_sd[n].numpy(), theirs_sd[n].detach().numpy(),
                         rtol=5e-3, atol=3e-5)
         for n in aux_names)
+
+
+def test_pretrain_adversarial_dynamics_parity_with_reference():
+    """The PRETRAIN script's adversarial step vs a verbatim replication of
+    the reference's training_M2_info_vad_pretrain.py:162-198 dynamics:
+    forward conditioned on y_hat_soft (:163-164), the ENTROPY
+    encoder-adversary (binary_cross_entropy_v3, its live :175 — NOT the
+    labeled BCE of the non-pretrain script), aux trained on beta*BCE
+    (:184-185, no gamma exists there), and the un-zeroed-grad optimizer
+    ordering. Ours: enc_adversary='entropy', use_y_hat_soft=True,
+    gamma=beta, legacy_aux_coupling=True."""
+    import sys
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from packages.models.utils import binary_cross_entropy as ref_bce
+    from packages.models.utils import binary_cross_entropy_v3 as ref_bce_v3
+    from packages.models.utils import elbo as ref_elbo
+
+    from dvae_tpu.train.steps import (adam, init_adversarial_state,
+                                      make_adversarial_step)
+
+    ref_models = _ref_models()
+    alpha, beta, lr = 0.0, 10.0, 1e-3
+
+    model = DisentangledVAE(x_dim=33, y_dim=1, z_dim=5, h_dim=(16,))
+    rng = np.random.default_rng(23)
+    x0 = (np.abs(rng.standard_normal((2, 33))) + 0.1).astype(np.float32)
+    params0 = init_params(
+        model, {"params": jax.random.PRNGKey(41), "sample": jax.random.PRNGKey(42)},
+        jnp.asarray(x0), jnp.ones((2, 1)))
+    tm = ref_models.DeepGenerativeModel_v5([33, 1, 5, [16]])
+    tm.load_state_dict(export_torch_state_dict(params0))
+    opt_enc = torch.optim.Adam(tm.enc_dec_clf.parameters(), lr=lr)
+    opt_aux = torch.optim.Adam(tm.auxiliary.parameters(), lr=lr)
+
+    tx_e, tx_a = adam(lr), adam(lr)
+    step = make_adversarial_step(model, tx_e, tx_a, alpha, beta, gamma=beta,
+                                 legacy_aux_coupling=True,
+                                 use_y_hat_soft=True, enc_adversary="entropy")
+    state = init_adversarial_state(params0, tx_e, tx_a)
+
+    rng = np.random.default_rng(24)
+    for i in range(4):
+        x = (np.abs(rng.standard_normal((16, 33))) + 0.1).astype(np.float32)
+        y = (rng.uniform(size=(16, 1)) > 0.5).astype(np.float32)
+        k = jax.random.PRNGKey(900 + i)
+
+        # eps from our draw: the step's forward conditions the decoder on
+        # y_hat_soft, so reproduce that cond to consume the same rng stream
+        y_hat_x = model.apply(state.params, jnp.asarray(x),
+                              method="classify_from_x")
+        _, z, mu, logvar = model.apply(state.params, jnp.asarray(x), y_hat_x,
+                                       rngs={"sample": k})
+        eps_t = torch.tensor(np.asarray(
+            (z - mu) / jnp.exp(0.5 * logvar), dtype=np.float32))
+        tm.enc_dec_clf.encoder.sample.reparametrize = (
+            lambda mu_, lv_: mu_ + torch.exp(0.5 * lv_) * eps_t)
+
+        # --- training_M2_info_vad_pretrain.py:162-198 verbatim semantics
+        x_t, y_t = torch.tensor(x), torch.tensor(y)
+        y_hat_class_soft = tm.classify_fromX(x_t)
+        r_t, z_t, mu_t, logvar_t = tm(x_t, y_hat_class_soft)   # :163-164
+        ELBO, _, _ = ref_elbo(x_t, r_t, mu_t, logvar_t, 1e-8)
+        classif_loss = alpha * ref_bce(y_hat_class_soft, y_t, 1e-8)
+        aux_enc_loss = beta * ref_bce_v3(tm.classify_fromZ(z_t), 1e-8)  # :175
+        enc_loss = ELBO + classif_loss - aux_enc_loss
+        aux_loss = beta * ref_bce(tm.classify_fromZ(z_t.detach()), y_t, 1e-8)
+        enc_loss.backward()
+        opt_enc.step()
+        opt_enc.zero_grad()
+        aux_loss.backward()
+        opt_aux.step()
+        opt_aux.zero_grad()
+
+        state, _ = step(state, jnp.asarray(x), jnp.asarray(y), k)
+
+    ours_sd = export_torch_state_dict(state.params)
+    theirs_sd = tm.state_dict()
+    for name in ours_sd:
+        np.testing.assert_allclose(
+            ours_sd[name].numpy(), theirs_sd[name].detach().numpy(),
+            rtol=5e-3, atol=3e-5, err_msg=name)
