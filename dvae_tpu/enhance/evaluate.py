@@ -114,6 +114,21 @@ def video_frame_counts(processed_dir, clean_rel_paths, labels: str):
     return counts
 
 
+def shard_slice(items, shard: tuple[int, int] | None):
+    """The k-th of n contiguous ``np.array_split``-sized chunks (see
+    ``evaluate_sweep``'s ``shard`` doc); identity when ``shard`` is None.
+    Shared by the sweep and any per-utterance pre-pass (e.g. --save-labels)
+    so every sharded stage of one invocation covers the same utterances."""
+    if shard is None:
+        return items
+    k, n = shard
+    if not 0 <= k < n:
+        raise ValueError(f"shard index {k} out of range for {n} shards")
+    q, r = divmod(len(items), n)
+    start = k * q + min(k, r)
+    return items[start : start + q + (1 if k < r else 0)]
+
+
 def evaluate_sweep(
     enhancer,
     processed_dir,
@@ -170,13 +185,7 @@ def evaluate_sweep(
     items = list(pairs.items())
     if snr_filter is not None:
         items = [it for it in items if it[0].split("/")[-4] == str(snr_filter)]
-    if shard is not None:
-        k, n = shard
-        if not 0 <= k < n:
-            raise ValueError(f"shard index {k} out of range for {n} shards")
-        q, r = divmod(len(items), n)  # np.array_split sizing
-        start = k * q + min(k, r)
-        items = items[start : start + q + (1 if k < r else 0)]
+    items = shard_slice(items, shard)
 
     todo = []
     for noisy_rel, clean_rel in items:

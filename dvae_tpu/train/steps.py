@@ -297,6 +297,24 @@ def _merge_params(enc, aux, layout: str = "v5"):
     return {"params": {"enc_dec_clf": enc, "auxiliary": aux}}
 
 
+def _enc_adversary_fn(enc_adversary: str, eps: float):
+    """The -beta encoder-adversary term, by the reference's Lenc_aux_v*
+    name tags: 'bce' (v1, labeled), 'uniform' (v2, 0.5-target), 'entropy'
+    (v3, the prediction's own entropy). Shared by the train and eval step
+    makers so an invalid name fails identically everywhere."""
+    if enc_adversary not in ("bce", "uniform", "entropy"):
+        raise ValueError(f"unknown enc_adversary {enc_adversary!r}")
+
+    def adv_fn(y_hat_z, y):
+        if enc_adversary == "bce":
+            return losses.binary_cross_entropy(y_hat_z, y, eps)
+        if enc_adversary == "uniform":
+            return losses.binary_cross_entropy_v2(y_hat_z, eps)
+        return losses.binary_cross_entropy_v3(y_hat_z, eps)
+
+    return adv_fn
+
+
 def make_adversarial_step(
     model,
     tx_enc: optax.GradientTransformation,
@@ -354,15 +372,7 @@ def make_adversarial_step(
     ordering), which collapses to ``(gamma-beta)*dBCE`` only for 'bce'.
     """
     normalize = _normalizer(norm, eps)
-    if enc_adversary not in ("bce", "uniform", "entropy"):
-        raise ValueError(f"unknown enc_adversary {enc_adversary!r}")
-
-    def adv_fn(y_hat_z, y):
-        if enc_adversary == "bce":
-            return losses.binary_cross_entropy(y_hat_z, y, eps)
-        if enc_adversary == "uniform":
-            return losses.binary_cross_entropy_v2(y_hat_z, eps)
-        return losses.binary_cross_entropy_v3(y_hat_z, eps)
+    adv_fn = _enc_adversary_fn(enc_adversary, eps)
     cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
     if cond_mode not in ("ytrue", "soft", "yhathard", "hardlabel"):
         raise ValueError(f"unknown y_cond {cond_mode!r}")
@@ -479,13 +489,7 @@ def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
                                enc_adversary: str = "bce") -> Callable:
     cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
     normalize = _normalizer(norm, eps)
-
-    def adv_fn(y_hat_z, y):  # see make_adversarial_step
-        if enc_adversary == "bce":
-            return losses.binary_cross_entropy(y_hat_z, y, eps)
-        if enc_adversary == "uniform":
-            return losses.binary_cross_entropy_v2(y_hat_z, eps)
-        return losses.binary_cross_entropy_v3(y_hat_z, eps)
+    adv_fn = _enc_adversary_fn(enc_adversary, eps)
 
     @jax.jit
     def evaluate(params, x, y, key):

@@ -68,7 +68,7 @@ def main():
 
     from dvae_tpu.enhance.evaluate import (clean_audio_rel, evaluate_sweep,
                                            find_classifier_labels,
-                                           load_oracle_labels)
+                                           load_oracle_labels, shard_slice)
     from dvae_tpu.enhance.mcem import McemConfig
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
     from dvae_tpu.models import CVAE_v3, CVAE_v4, DisentangledVAE, init_params
@@ -88,6 +88,7 @@ def main():
 
     classify_method = {"v5": "classify_from_x", "v4": "classify_from_x",
                        "v3": "classify"}[args.model_class]
+    norm = norm_stats_if(args)
 
     def self_soft_labels(clean_rel):
         # the model's own x->y classifier on the CLEAN power spectrogram
@@ -99,6 +100,11 @@ def main():
 
         s_t, _ = read_wav(os.path.join(proc, clean_audio_rel(clean_rel, args.labels)))
         s2 = jnp.abs(stft(jnp.asarray(s_t, jnp.float32), StftConfig())) ** 2
+        if norm is not None:
+            # --std-norm: the classifier trained on normalized inputs
+            # (train/steps._normalizer) — feed it the same distribution
+            mean, std = (jnp.asarray(a, jnp.float32).reshape(-1) for a in norm)
+            s2 = (s2 - mean) / (std + 1e-8)
         y = model.apply(params, s2, method=classify_method)
         return np.asarray(y, dtype=np.float32).reshape(-1, 1)
 
@@ -138,10 +144,13 @@ def main():
 
         pairs = ntcd_timit.proc_noisy_clean_pair_dict(
             proc + "/", "test", args.dataset_size, args.labels, True)
+        items = [it for it in pairs.items()
+                 if args.snr == "all" or it[0].split("/")[-4] == str(args.snr)]
+        # same shard slice as the sweep: each machine dumps only its own
+        # chunk's labels (no duplicated work / cross-machine write races)
+        items = shard_slice(items, shard_of(args))
         n_saved = 0
-        for noisy_rel, clean_rel in pairs.items():
-            if args.snr != "all" and noisy_rel.split("/")[-4] != str(args.snr):
-                continue
+        for noisy_rel, clean_rel in items:
             dest = os.path.join(
                 out_dir, os.path.splitext(noisy_rel)[0] + suffix + ".npy")
             if os.path.exists(dest):

@@ -152,9 +152,11 @@ def main():
             # oracle IBM from the clean spectrogram — the reference's eval
             # conditioning for its golden ntcd_M2_IBM family; BOTH engines
             # receive this identical y, so label-generation parity (tested
-            # separately in tests/test_targets.py) is not in play here
-            y_np[i, : X.shape[0]] = np.asarray(
-                clean_speech_ibm(jnp.asarray(Ss[i][: X.shape[0]])))
+            # separately in tests/test_targets.py) is not in play here.
+            # n guards a clean STFT shorter than its mixture (the torch leg
+            # min()s the same way below); padded tail keeps y=0
+            n = min(Ss[i].shape[0], X.shape[0])
+            y_np[i, :n] = np.asarray(clean_speech_ibm(jnp.asarray(Ss[i][:n])))
     x2 = jnp.asarray(x2)
     y_j = jnp.asarray(y_np) if conditional else None
 

@@ -18,7 +18,12 @@ def main():
     ap = add_common(argparse.ArgumentParser(description=__doc__), training=True)
     ap.add_argument("--alpha", type=float, default=0.0)
     ap.add_argument("--beta", type=float, default=10.0)
-    ap.add_argument("--gamma", type=float, default=1.0)
+    ap.add_argument("--gamma", type=float, default=None,
+                    help="auxiliary objective weight. Default: equal to "
+                         "--beta — the reference pretrain script has no "
+                         "gamma at all, its aux trains on beta*BCE "
+                         "(training_M2_info_vad_pretrain.py:185); pass a "
+                         "value to decouple them")
     ap.add_argument("--pretrained-checkpoint", required=True,
                     help=".msgpack checkpoint to surgically load the classifier from")
     ap.add_argument("--freeze-classifier", action="store_true")
@@ -56,14 +61,19 @@ def main():
     )
     params = ckpt.partial_load(args.pretrained_checkpoint, params, "enc_dec_clf/classifier")
 
+    gamma = args.beta if args.gamma is None else args.gamma
     norm = "norm" if args.std_norm else "nonorm"
     hdim = "_".join(f"{h:03d}" for h in args.h_dim)
-    # Lenc_aux_v{1,2,3} = the reference's name tag for the adversary form
+    # Lenc_aux_v{1,2,3} = the reference's name tag for the adversary form;
+    # with the default (reference) gamma==beta the name follows the
+    # reference grammar exactly (no gamma segment — its pretrain has none:
+    # 'ntcd_M2_info_VAD_Lenc_aux_v3_alpha_{a}_beta_{b}_pretrain_yhatsoft_...')
     vtag = {"bce": "v1", "uniform": "v2", "entropy": "v3"}[args.enc_adversary]
+    gamma_seg = "" if args.gamma is None else f"_gamma_{gamma}"
     model_name = args.run_name or (
-        f"ntcd_M2_info_VAD_Lenc_aux_{vtag}_pretrain_alpha_{args.alpha}"
-        f"_beta_{args.beta}"
-        f"_gamma_{args.gamma}_yhatsoft_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
+        f"ntcd_M2_info_VAD_Lenc_aux_{vtag}_alpha_{args.alpha}"
+        f"_beta_{args.beta}{gamma_seg}_pretrain_yhatsoft_{norm}"
+        f"_hdim_{hdim}_zdim_{args.z_dim:03d}"
         f"_end_epoch_{args.end_epoch:03d}"
     )
     cfg = LoopConfig(
@@ -75,7 +85,7 @@ def main():
     model_dir = os.path.join(args.models_root, model_name)
     print(f"training {model_name} (warm-started classifier)")
     fit_adversarial(model, train_ds, valid_ds, model_dir, "M2",
-                    alpha=args.alpha, beta=args.beta, gamma=args.gamma,
+                    alpha=args.alpha, beta=args.beta, gamma=gamma,
                     cfg=cfg, mesh=make_mesh_if(args),
                     init_params_override=params,
                     legacy_aux_coupling=args.legacy_aux_coupling,
