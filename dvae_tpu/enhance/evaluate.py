@@ -42,8 +42,13 @@ def find_classifier_labels(classifier_dir, speaker, utt,
         direct = os.path.join(classifier_dir, speaker, f"{utt}_y_hat_hard{ext}")
         if os.path.exists(direct):
             return load_classifier_labels(direct, y_dim)
-    hits = glob.glob(os.path.join(classifier_dir, "**", speaker,
-                                  utt + "_y_hat_hard.*"), recursive=True)
+    # sorted: glob's os.scandir order is filesystem-dependent — sharded
+    # multi-machine sweeps must pick the SAME file for the same utterance.
+    # .pt sorts before .npy, matching the direct-layout preference above.
+    hits = sorted(glob.glob(os.path.join(classifier_dir, "**", speaker,
+                                         utt + "_y_hat_hard.*"),
+                            recursive=True),
+                  key=lambda p: (not p.endswith(".pt"), p))
     if hits:
         return load_classifier_labels(hits[0], y_dim)
     raise FileNotFoundError(

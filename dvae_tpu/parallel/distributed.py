@@ -63,7 +63,7 @@ def distributed_init(
     except Exception as e:
         if explicit or num_processes not in (None, 1):
             raise  # a requested multi-process setup failing is an error
-        if "before any JAX" in str(e):
+        if "before any JAX" in str(e) or _backends_initialized():
             if _cluster_env_hinted():
                 # the backend was already up when we got here AND the
                 # environment looks like a real cluster job — an ordering bug
@@ -88,6 +88,20 @@ def distributed_init(
         # cause, so surface it.
         raise
     return jax.process_count() > 1
+
+
+def _backends_initialized() -> bool:
+    """Whether this process already initialized an XLA backend — the
+    condition behind jax.distributed.initialize's 'call ... before any JAX'
+    error. Checked directly so the classification above survives a jax
+    release rewording that message (the string match stays as the fast
+    path; this private-API probe is best-effort)."""
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge.backends_are_initialized())
+    except Exception:
+        return False
 
 
 def _cluster_env_hinted() -> bool:

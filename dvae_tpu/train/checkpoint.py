@@ -34,7 +34,11 @@ def save_checkpoint(model_dir, name: str, params, opt_state=None, metadata: dict
     if opt_state is not None:
         payload["opt_state"] = jax.device_get(opt_state)
     path = model_dir / f"{name}.msgpack"
-    path.write_bytes(serialization.to_bytes(payload))
+    # atomic: a kill mid-write must not leave a truncated .msgpack that the
+    # newest-mtime resume rule (loop._resume_checkpoint) would then pick
+    tmp = path.with_suffix(".msgpack.tmp")
+    tmp.write_bytes(serialization.to_bytes(payload))
+    tmp.replace(path)
     if metadata is not None:
         (model_dir / f"{name}.json").write_text(json.dumps(metadata, indent=1))
     return path
@@ -85,6 +89,12 @@ def partial_load(path, params_template, key_substring: str):
     if path.suffix == ".pt":
         from dvae_tpu.train.torch_import import load_torch_state_dict
 
+        flat_old = traverse_util.flatten_dict(params_template)
+        if not any(key_substring in "/".join(map(str, k)) for k in flat_old):
+            raise KeyError(
+                f"filter {key_substring!r} matches no parameter path in the "
+                "template (wrong layout or typo?)"
+            )
         return load_torch_state_dict(
             params_template, str(path), filter_substring=key_substring
         )
@@ -96,6 +106,13 @@ def partial_load(path, params_template, key_substring: str):
     raw = serialization.msgpack_restore(path.read_bytes())
     flat_new = traverse_util.flatten_dict(raw.get("params", raw))
     flat_old = traverse_util.flatten_dict(params_template)
+    if not any(key_substring in "/".join(map(str, k)) for k in flat_old):
+        # a filter matching nothing would silently return the template —
+        # a typo'd/wrong-layout warm-start must fail loudly, not no-op
+        raise KeyError(
+            f"filter {key_substring!r} matches no parameter path in the "
+            "template (wrong layout or typo?)"
+        )
     merged = {}
     for k, v in flat_old.items():
         if key_substring in "/".join(map(str, k)):

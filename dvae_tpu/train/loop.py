@@ -351,6 +351,11 @@ def fit_semisup(
     Returns (best_params, history)."""
     from dvae_tpu.models import init_params as init_all_params
 
+    if cfg.std_norm:
+        # make_semisup_step has no norm path (every golden Uloss/Lloss
+        # checkpoint is 'nonorm'); fail loudly rather than silently training
+        # on unnormalized inputs (the CLI guards this too)
+        raise ValueError("fit_semisup does not support std_norm")
     key = jax.random.PRNGKey(cfg.seed)
     kp, ks = jax.random.split(key)
 

@@ -315,6 +315,52 @@ def _enc_adversary_fn(enc_adversary: str, eps: float):
     return adv_fn
 
 
+def _make_adversarial_losses(model, alpha, beta, eps, cond_mode, normalize,
+                             adv_fn):
+    """ONE encoder-loss assembly shared by the train and eval step makers.
+
+    The eval value names checkpoints and picks the best model; keeping a
+    second hand-rolled copy of this computation in the eval step is exactly
+    how objective/eval divergence bugs arise (an eval-only adversary
+    fall-through was fixed this way once). Returns
+    ``(enc_loss, z, metrics, aux_bce)`` where metrics carries the train
+    step's keys and ``aux_bce`` is the auxiliary's labeled objective
+    (always plain BCE, whatever the encoder's adversary is)."""
+
+    def compute(params, x, y, key):
+        x_in = normalize(x)
+        y_hat_x = model.apply(params, x_in, method="classify_from_x")
+        hard = jax.lax.stop_gradient((y_hat_x > 0.5).astype(jnp.float32))
+        cond = {"ytrue": y, "soft": y_hat_x,
+                "yhathard": hard, "hardlabel": hard}[cond_mode]
+        r, z, mu, logvar = model.apply(params, x_in, cond, rngs={"sample": key})
+        elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
+        classif = losses.binary_cross_entropy(y_hat_x, y, eps)
+        y_hat_z = model.apply(params, z, method="classify_from_z")
+        aux_enc = adv_fn(y_hat_z, y)
+        aux_bce = losses.binary_cross_entropy(y_hat_z, y, eps)
+        # Zero-weighted terms are dropped STATICALLY, not multiplied by 0:
+        # a saturated sigmoid makes dBCE overflow to inf, and 0 * inf = nan
+        # would poison the (otherwise untrained) classifier head — the
+        # published config alpha=0 (training_M2_info_vad.py:53) hits this.
+        enc_loss = elbo_val
+        if alpha:
+            enc_loss = enc_loss + alpha * classif
+        if beta:
+            enc_loss = enc_loss - beta * aux_enc
+        metrics = {
+            "elbo": elbo_val,
+            "recon": recon,
+            "kl": kl,
+            "enc": enc_loss,
+            "classif": alpha * classif,
+            "aux_enc": aux_enc,
+        }
+        return enc_loss, z, metrics, aux_bce
+
+    return compute
+
+
 def make_adversarial_step(
     model,
     tx_enc: optax.GradientTransformation,
@@ -377,39 +423,12 @@ def make_adversarial_step(
     if cond_mode not in ("ytrue", "soft", "yhathard", "hardlabel"):
         raise ValueError(f"unknown y_cond {cond_mode!r}")
 
-    def forward(params, x, y, key):
-        x_in = normalize(x)
-        y_hat_x = model.apply(params, x_in, method="classify_from_x")
-        hard = jax.lax.stop_gradient((y_hat_x > 0.5).astype(jnp.float32))
-        cond = {"ytrue": y, "soft": y_hat_x,
-                "yhathard": hard, "hardlabel": hard}[cond_mode]
-        r, z, mu, logvar = model.apply(params, x_in, cond, rngs={"sample": key})
-        return y_hat_x, r, z, mu, logvar
+    compute_losses = _make_adversarial_losses(
+        model, alpha, beta, eps, cond_mode, normalize, adv_fn)
 
     def enc_loss_fn(enc_params, aux_params, x, y, key):
         params = _merge_params(enc_params, aux_params, layout)
-        y_hat_x, r, z, mu, logvar = forward(params, x, y, key)
-        elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
-        classif = losses.binary_cross_entropy(y_hat_x, y, eps)
-        y_hat_z = model.apply(params, z, method="classify_from_z")
-        aux_enc = adv_fn(y_hat_z, y)
-        # Zero-weighted terms are dropped STATICALLY, not multiplied by 0:
-        # a saturated sigmoid makes dBCE overflow to inf, and 0 * inf = nan
-        # would poison the (otherwise untrained) classifier head — the
-        # published config alpha=0 (training_M2_info_vad.py:53) hits this.
-        enc_loss = elbo_val
-        if alpha:
-            enc_loss = enc_loss + alpha * classif
-        if beta:
-            enc_loss = enc_loss - beta * aux_enc
-        metrics = {
-            "elbo": elbo_val,
-            "recon": recon,
-            "kl": kl,
-            "enc": enc_loss,
-            "classif": alpha * classif,
-            "aux_enc": aux_enc,
-        }
+        enc_loss, z, metrics, _ = compute_losses(params, x, y, key)
         return enc_loss, (z, metrics)
 
     def aux_loss_fn(aux_params, enc_params, z, y):
@@ -488,39 +507,22 @@ def make_adversarial_eval_step(model, alpha, beta, gamma, eps: float = 1e-8,
                                y_cond: str | None = None, norm=None,
                                enc_adversary: str = "bce") -> Callable:
     cond_mode = y_cond or ("soft" if use_y_hat_soft else "ytrue")
-    normalize = _normalizer(norm, eps)
-    adv_fn = _enc_adversary_fn(enc_adversary, eps)
+    compute_losses = _make_adversarial_losses(
+        model, alpha, beta, eps, cond_mode, _normalizer(norm, eps),
+        _enc_adversary_fn(enc_adversary, eps))
 
     @jax.jit
     def evaluate(params, x, y, key):
-        x_in = normalize(x)
-        y_hat_x = model.apply(params, x_in, method="classify_from_x")
-        hard = (y_hat_x > 0.5).astype(jnp.float32)
-        cond = {"ytrue": y, "soft": y_hat_x,
-                "yhathard": hard, "hardlabel": hard}[cond_mode]
-        r, z, mu, logvar = model.apply(params, x_in, cond, rngs={"sample": key})
-        elbo_val, recon, kl = losses.elbo(x, r, mu, logvar, eps)
-        classif = losses.binary_cross_entropy(y_hat_x, y, eps)
-        y_hat_z = model.apply(params, z, method="classify_from_z")
-        aux_enc = adv_fn(y_hat_z, y)
-        # the auxiliary's own objective is always labeled BCE, whatever the
-        # encoder's adversary is (training_M2_info_vad_pretrain.py:184-185)
-        aux_bce = losses.binary_cross_entropy(y_hat_z, y, eps)
-        # zero-weighted terms dropped statically (same 0*inf hazard as the
-        # train step; this value names checkpoints and picks the best model)
-        enc_loss = elbo_val
-        if alpha:
-            enc_loss = enc_loss + alpha * classif
-        if beta:
-            enc_loss = enc_loss - beta * aux_enc
-        return {
-            "elbo": elbo_val,
-            "recon": recon,
-            "kl": kl,
-            "enc": enc_loss,
-            "classif": alpha * classif,
-            "aux": gamma * aux_bce,
-        }
+        # same loss assembly as the train step (shared builder — this value
+        # names checkpoints and picks the best model, so it must not drift
+        # from the trained objective); the auxiliary's own objective is
+        # always labeled BCE, whatever the encoder's adversary is
+        # (training_M2_info_vad_pretrain.py:184-185)
+        _, _, metrics, aux_bce = compute_losses(params, x, y, key)
+        metrics = dict(metrics)
+        del metrics["aux_enc"]
+        metrics["aux"] = gamma * aux_bce
+        return metrics
 
     return evaluate
 

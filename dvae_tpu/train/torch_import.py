@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import re
 
+import jax
 import numpy as np
 
 
@@ -53,14 +54,30 @@ def _walk_dense(tree, path=()):
 
 
 def export_torch_state_dict(params):
-    """Flax params -> reference-named torch ``state_dict`` (tensors)."""
+    """Flax params -> reference-named torch ``state_dict`` (tensors).
+
+    Raises if the tree holds leaves the Dense walk cannot express (e.g. an
+    LSTM cell or BatchNorm collections) — an incomplete state_dict must
+    fail HERE, not later as a confusing strict-load error (or worse, a
+    silent lenient load) on the torch side. Every reference model family is
+    all-Dense, so this only fires for genuinely unsupported trees."""
     import torch
 
+    tree = params.get("params", params)
     sd = {}
-    for path, leaf in _walk_dense(params.get("params", params)):
+    covered = 0
+    for path, leaf in _walk_dense(tree):
         name = _torch_name(path)
         sd[name + ".weight"] = torch.tensor(np.asarray(leaf["kernel"]).T.copy())
         sd[name + ".bias"] = torch.tensor(np.asarray(leaf["bias"]).copy())
+        covered += len(leaf)  # kernel + bias (+ any extra keys in the leaf)
+    total = len(jax.tree.leaves(tree))
+    if covered != total:
+        raise ValueError(
+            f"export covers {covered} of {total} array leaves — the tree "
+            "holds non-Dense parameters (LSTM/BatchNorm/...) the reference "
+            "state_dict naming cannot express"
+        )
     return sd
 
 
