@@ -38,11 +38,38 @@ class FrameDataset:
         self.x_dim = self._x.shape[0]
         self.y_dim = self._y.shape[0]
         if in_memory:
-            self._x = np.ascontiguousarray(self._x[:].T)  # (N, F)
-            self._y = np.ascontiguousarray(self._y[:].T)
+            # chunked transposed read: peak RAM = steady state + one chunk,
+            # not 2x (a plain `[:]` then `.T` copy doubles a multi-GB
+            # complete-corpus split transiently)
+            self._x = self._read_transposed(self._x)
+            self._y = self._read_transposed(self._y)
             f.close()
             self._file = None
         self.in_memory = in_memory
+
+    @staticmethod
+    def _read_transposed(dset) -> np.ndarray:
+        """(F, N) h5 dataset -> contiguous (N, F) array, read in ~64 MB
+        column blocks."""
+        f_dim, n = dset.shape
+        out = np.empty((n, f_dim), dtype=dset.dtype)
+        step = max(1, (1 << 26) // max(1, f_dim * dset.dtype.itemsize))
+        for s in range(0, n, step):
+            out[s : s + step] = dset[:, s : s + step].T
+        return out
+
+    def close(self):
+        """Release the h5 handle (out-of-core mode; no-op after in-memory
+        load). The object is unusable afterwards."""
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     @property
     def mean_std(self):

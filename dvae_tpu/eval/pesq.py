@@ -80,7 +80,7 @@ def polqa(ref_paths, deg_paths):
     return [float(item if np.isscalar(item) else item[1]) for item in out]
 
 
-def polqa_prepare_pairs(pairs, pad_dir, fs: int = 16000, min_sec: float = 3.0):
+def polqa_prepare_pairs(pairs, pad_dir, min_sec: float = 3.0):
     """Split (ref, deg) wav-path pairs into POLQA-ready lists.
 
     POLQA rejects signals shorter than ~3 s; the reference works around it by
@@ -98,12 +98,18 @@ def polqa_prepare_pairs(pairs, pad_dir, fs: int = 16000, min_sec: float = 3.0):
 
     from dvae_tpu.data.io import read_wav, write_wav
 
-    target = int(round(min_sec * fs))
     normal, extended = [], []
     os.makedirs(pad_dir, exist_ok=True)
     for ref_path, deg_path in pairs:
         ref, fs_r = read_wav(ref_path)
-        deg, _ = read_wav(deg_path)
+        deg, fs_d = read_wav(deg_path)
+        if fs_d != fs_r:
+            raise ValueError(
+                f"sample-rate mismatch: {ref_path} is {fs_r} Hz but "
+                f"{deg_path} is {fs_d} Hz — POLQA pairs must share a rate"
+            )
+        # the 3 s threshold is in samples of the pair's ACTUAL rate
+        target = int(round(min_sec * fs_r))
         if len(ref) >= target:
             normal.append((ref_path, deg_path))
             continue

@@ -73,7 +73,12 @@ def display_spectrogram(complex_spec, fs=16000, wlen_sec=64e-3, hop_percent=0.25
     if vad is not None:
         n_bins = np.asarray(complex_spec).shape[-1]
         m = vad_as_mask(vad, n_bins)
+        # fixed 0..1 limits like the reference (visualization.py passes
+        # vmin=0, vmax=1 for masks): without them a UNIFORM mask (the
+        # ones/zeros conditioning probes) autoscales to colormap 0 and an
+        # all-ones overlay renders identically to all-zeros
         ax.imshow(np.asarray(m).T, origin="lower", aspect="auto", alpha=0.25,
+                  vmin=0.0, vmax=1.0,
                   extent=[0, m.shape[0] * hop_sec, 0, fs / 2000.0], cmap="gray")
     plt.colorbar(im, ax=ax)
     return ax
@@ -113,6 +118,7 @@ def display_wav_spectro_mask(x, spec, mask, fs=16000, wlen_sec=64e-3,
         # display_multiple_signals, whose rows accept (None, None, mask)
         mask = vad_as_mask(mask, np.asarray(spec).shape[-1])
     axes[2].imshow(np.asarray(mask).T, origin="lower", aspect="auto",
+                   vmin=0.0, vmax=1.0,  # absolute mask scale (see above)
                    extent=[0, mask.shape[0] * hop_sec, 0, fs / 2000.0], cmap="gray")
     axes[2].set_xlabel("Time (s)")
     axes[2].set_ylabel("Frequency (kHz)")
@@ -144,6 +150,7 @@ def display_multiple_signals(signal_list, fs=16000, wlen_sec=64e-3,
                 n_bins = np.asarray(spec).shape[-1] if spec is not None else 513
                 m = vad_as_mask(m, n_bins)
             axes[2][j].imshow(m.T, origin="lower", aspect="auto",
+                              vmin=0.0, vmax=1.0,  # absolute mask scale
                               extent=[0, m.shape[0] * hop_sec, 0, fs / 2000.0],
                               cmap="gray")
     return fig
