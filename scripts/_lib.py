@@ -180,6 +180,10 @@ def shard_of(args) -> tuple[int, int] | None:
         k, n = (int(p) for p in s.split("/"))
     except ValueError:
         raise SystemExit(f"--shard must be K/N (got {s!r})")
+    if not 0 <= k < n:
+        # fail at parse time, not minutes later inside the sweep after the
+        # checkpoint load / cold compile
+        raise SystemExit(f"--shard K/N needs 0 <= K < N (got {s!r})")
     return k, n
 
 

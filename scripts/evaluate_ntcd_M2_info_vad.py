@@ -128,7 +128,7 @@ def main():
     # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode="dec_only",
-        ablation=ablation_of(args), norm=norm_stats_if(args)),
+        ablation=ablation_of(args), norm=norm),
         mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)
 

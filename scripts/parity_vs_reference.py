@@ -140,22 +140,26 @@ def main():
     cleans = [read_wav(c)[0] for _, c in pairs]
     Xs = [np.asarray(stft(jnp.asarray(x, jnp.float32))) for x in xs]
     Ss = [np.asarray(stft(jnp.asarray(s, jnp.float32))) for s in cleans]
-    n_max = max(X.shape[0] for X in Xs)
+    # both engines must see the SAME frame span: the torch leg trims each
+    # utterance to min(clean, mixture) frames (the reference's video-trim
+    # idiom), so ours masks to exactly that count too — otherwise a
+    # clean/noisy length mismatch would feed the engines different inputs
+    # and the comparison would measure input mismatch, not engine delta
+    n_utt = [min(S.shape[0], X.shape[0]) for S, X in zip(Ss, Xs)]
+    n_max = max(n_utt)
     b = len(Xs)
     x2 = np.zeros((b, n_max, 513), np.float32)
     mask = np.zeros((b, n_max), np.float32)
     y_np = np.zeros((b, n_max, 513), np.float32) if conditional else None
     for i, X in enumerate(Xs):
-        x2[i, : X.shape[0]] = np.abs(X) ** 2
-        mask[i, : X.shape[0]] = 1.0
+        n = n_utt[i]
+        x2[i, :n] = np.abs(X[:n]) ** 2
+        mask[i, :n] = 1.0
         if conditional:
             # oracle IBM from the clean spectrogram — the reference's eval
             # conditioning for its golden ntcd_M2_IBM family; BOTH engines
             # receive this identical y, so label-generation parity (tested
-            # separately in tests/test_targets.py) is not in play here.
-            # n guards a clean STFT shorter than its mixture (the torch leg
-            # min()s the same way below); padded tail keeps y=0
-            n = min(Ss[i].shape[0], X.shape[0])
+            # separately in tests/test_targets.py) is not in play here
             y_np[i, :n] = np.asarray(clean_speech_ibm(jnp.asarray(Ss[i][:n])))
     x2 = jnp.asarray(x2)
     y_j = jnp.asarray(y_np) if conditional else None
@@ -190,8 +194,9 @@ def main():
         elapsed = time.perf_counter() - t0
         rows = []
         for i, (X, x_noisy, s_clean) in enumerate(zip(Xs, xs, cleans)):
-            wf = np.asarray(res.wfs[i, : X.shape[0]])
-            s_hat = istft_np(wf * X, length=len(x_noisy)).astype(np.float64)
+            wf = np.asarray(res.wfs[i, : n_utt[i]])
+            s_hat = istft_np(wf * X[: n_utt[i]],
+                             length=len(x_noisy)).astype(np.float64)
             rows.append({
                 "wf_mean": float(wf.mean()),
                 "wf_median": float(np.median(wf)),
@@ -229,7 +234,7 @@ def main():
 
     # our batched cost is a masked mean over ALL valid cells (long utterances
     # weigh more); weight the per-utterance reference costs the same way
-    frames = np.asarray([X.shape[0] for X in Xs], np.float64)
+    frames = np.asarray(n_utt, np.float64)
     wavg = lambda v: float(np.average(np.asarray(v), weights=frames))
 
     def run_ref(seed: int):

@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--output-dir", default="figures/reconstruct_ntcd_M2_info")
     ap.add_argument("--max-utts", type=int, default=10)
     args = ap.parse_args()
+    if args.labels != "vad_labels":
+        # consistent with evaluate_ntcd_M2_info_vad.py: the M2-info model is
+        # VAD-conditioned; silently ignoring the flag would lie to the user
+        ap.error("the M2-info model is VAD-conditioned; use --labels vad_labels")
     maybe_force_platform(args)
 
     import jax

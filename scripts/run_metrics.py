@@ -139,6 +139,7 @@ def main():
     missing_classif = 0
     missing_oracle = 0
     clean_cache = {}
+    oracle_cache = {}
     classif_index = None  # built lazily on first use (one tree walk)
 
     for noisy_rel, clean_rel in items:
@@ -188,10 +189,14 @@ def main():
                 import glob
 
                 classif_index = {}
+                # sorted + .pt first: glob's scandir order is filesystem-
+                # dependent and setdefault keeps the first hit — the pick
+                # must be deterministic across machines (cf.
+                # evaluate.find_classifier_labels)
                 for pat in ("*_y_hat_hard.pt", "*_y_hat_hard.npy"):
-                    for path in glob.glob(os.path.join(args.classifier_dir,
-                                                       "**", pat),
-                                          recursive=True):
+                    for path in sorted(glob.glob(
+                            os.path.join(args.classifier_dir, "**", pat),
+                            recursive=True)):
                         spk_dir = os.path.basename(os.path.dirname(path))
                         base = os.path.basename(path).split("_y_hat_hard")[0]
                         classif_index.setdefault((spk_dir, base), path)
@@ -218,11 +223,16 @@ def main():
         if args.classifier_dir or args.with_figures:
             from dvae_tpu.enhance.evaluate import load_oracle_labels
 
-            try:
-                y_oracle = load_oracle_labels(os.path.join(proc, clean_rel))
-            except (FileNotFoundError, OSError):
-                y_oracle = None
-                missing_oracle += 1
+            # like clean_cache above: the same clean utterance's labels
+            # recur under every (noise x SNR) condition of the sweep
+            if clean_rel not in oracle_cache:
+                try:
+                    oracle_cache[clean_rel] = load_oracle_labels(
+                        os.path.join(proc, clean_rel))
+                except (FileNotFoundError, OSError):
+                    oracle_cache[clean_rel] = None
+                    missing_oracle += 1
+            y_oracle = oracle_cache[clean_rel]
         if args.classifier_dir:
             if y_hat_hard is not None and y_oracle is not None:
                 import jax.numpy as jnp

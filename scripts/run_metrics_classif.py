@@ -60,15 +60,27 @@ def main():
     if not label_files:
         raise SystemExit(f"no oracle label h5s under {proc}")
 
+    # one walk over the classifier tree, indexed by (speaker, filename) —
+    # not a recursive glob per utterance (O(N x tree) on the full corpus).
+    # Sorted walk + .pt-over-.npy preference keeps the pick deterministic
+    # across filesystems (cf. evaluate.find_classifier_labels).
+    cls_index: dict[tuple, list] = {}
+    for dirpath, dirnames, filenames in os.walk(args.classifier_dir):
+        dirnames.sort()
+        spk_dir = os.path.basename(dirpath)
+        for fn in sorted(filenames):
+            if args.label_suffix + "." in fn:
+                cls_index.setdefault((spk_dir, fn.rsplit(".", 1)[0]), []).append(
+                    os.path.join(dirpath, fn))
+
     rows, speakers = [], []
     missing = 0
     for lab_path in label_files:
         rel = os.path.relpath(lab_path, proc)
         spk = rel.split("/")[-2]
         utt = os.path.basename(rel).replace(suffix, "")
-        cand = glob.glob(os.path.join(args.classifier_dir, "**", spk,
-                                      utt + args.label_suffix + ".*"),
-                         recursive=True)
+        cand = sorted(cls_index.get((spk, utt + args.label_suffix), []),
+                      key=lambda p: (not p.endswith(".pt"), p))
         if not cand:
             missing += 1
             continue

@@ -102,8 +102,13 @@ def main():
 
     # the one reference script with multi-device training (DataParallel over
     # 4 GPUs, train_audio_net.py:150): here the sequence batch shards over
-    # the data mesh, params replicated; divisibility-breaking trailing
-    # batches run unsharded like the fit_vae validation path
+    # the data mesh, params replicated. Non-divisible trailing batches are
+    # ZERO-padded with fully-masked rows — exact for the masked BCE/F1
+    # (mask=0 rows enter no reduction), so EVERY training step runs sharded
+    # and the TrainState keeps its mesh sharding (an unsharded fallback
+    # would strip it and, under --multihost, mix host-local arrays into a
+    # global-mesh program — cf. loop.py's _pad_shardable for the frame
+    # trainers, where wrap-padding plays the same role)
     mesh = make_mesh_if(args)
     if mesh is not None:
         from dvae_tpu.parallel import replicate
@@ -111,11 +116,21 @@ def main():
         state = replicate(state, mesh)
 
     def maybe_shard(batch):
-        if mesh is not None and batch[0].shape[0] % mesh.devices.size == 0:
-            from dvae_tpu.parallel import distribute_batch
+        if mesh is None:
+            return batch
+        import jax.numpy as jnp
 
-            return distribute_batch(batch, mesh)
-        return batch
+        from dvae_tpu.parallel import distribute_batch
+
+        pad = (-batch[0].shape[0]) % mesh.devices.size
+        if pad:
+            batch = tuple(
+                jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                )
+                for a in batch
+            )
+        return distribute_batch(batch, mesh)
 
     model_dir = os.path.join(
         args.models_root,

@@ -51,22 +51,29 @@ def main():
     model = model_cls(x_dim=513, y_dim=1, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
     norm = "norm" if args.std_norm else "nonorm"
     hdim = "_".join(f"{h:03d}" for h in args.h_dim)
+    vtag = {"bce": "v1", "uniform": "v2", "entropy": "v3"}[args.enc_adversary]
     if args.model_variant == "v4":
         # the v4 golden families' grammar: ntcd_M2v4_VAD_alpha_{a}_beta_{b}
-        # [_hardlabel|_yhathard]_nonorm_... (gamma is not in the name)
+        # [_hardlabel|_yhathard]_nonorm_... (gamma is not in the name); a
+        # non-default adversary gets its Lenc_aux tag so distinct
+        # objectives never share a checkpoint dir
         cond_suffix = {"ytrue": "", "soft": "_ysoft", "yhathard": "_yhathard",
                        "hardlabel": "_hardlabel"}[args.y_cond]
+        adv_suffix = "" if args.enc_adversary == "bce" else f"_Lenc_aux_{vtag}"
         default_name = (
             f"ntcd_M2v4_VAD_alpha_{args.alpha}_beta_{args.beta}{cond_suffix}"
-            f"_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
+            f"{adv_suffix}_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
             f"_end_epoch_{args.end_epoch:03d}"
         )
     else:
-        vtag = {"bce": "v1", "uniform": "v2",
-                "entropy": "v3"}[args.enc_adversary]
+        # non-default y_cond enters the name too (the golden grammar has no
+        # segment for it because the reference only trains ytrue here)
+        cond_suffix = {"ytrue": "", "soft": "_ysoft", "yhathard": "_yhathard",
+                       "hardlabel": "_hardlabel"}[args.y_cond]
         default_name = (
             f"ntcd_M2_info_VAD_Lenc_aux_{vtag}_alpha_{args.alpha}_beta_{args.beta}"
-            f"_gamma_{args.gamma}_y_{norm}_hdim_{hdim}_zdim_{args.z_dim:03d}"
+            f"_gamma_{args.gamma}_y{cond_suffix}_{norm}_hdim_{hdim}"
+            f"_zdim_{args.z_dim:03d}"
             f"_end_epoch_{args.end_epoch:03d}"
         )
     model_name = args.run_name or default_name
