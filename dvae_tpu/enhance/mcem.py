@@ -238,8 +238,8 @@ def run_em_fixed_z(
 
     def em_iter(carry, _):
         w, h, g = carry
-        w, h, g = nmf_m_step(x2, vs_r, w, h, g, mask, cfg.eps)
-        vx = jnp.maximum(g[:, :, None] * vs + compute_vb(w, h), VX_FLOOR)
+        w, h, g, vb = nmf_m_step(x2, vs_r, w, h, g, mask, cfg.eps)
+        vx = jnp.maximum(g[:, :, None] * vs + vb, VX_FLOOR)
         cost = jnp.sum(
             (jnp.log(vx) + x2 / vx) * mask[:, :, None]
         ) / denom
@@ -356,8 +356,7 @@ def run_mcem(
             (zf, vs_samples), vb = chain(z, w, h, g, key, wf_mode=False)
             z = zf.reshape(b, n, l)
             vs_samples = vs_samples.reshape(cfg.nsamples_e_step, b, n, f)
-            w, h, g = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
-            vb = compute_vb(w, h)
+            w, h, g, vb = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
             vx = jnp.maximum(g[None, :, :, None] * vs_samples + vb[None], VX_FLOOR)
             return (z, w, h, g), masked_cost(vx)
 
@@ -402,9 +401,7 @@ def run_mcem(
         # through this scan — 352 vs 350 ms device time — the engine is not
         # limited by the collect carry's bandwidth)
 
-        w, h, g = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
-
-        vb = compute_vb(w, h)
+        w, h, g, vb = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
         vx = jnp.maximum(g[None, :, :, None] * vs_samples + vb[None], VX_FLOOR)
         cost = masked_cost(vx)
         return (z, w, h, g), cost

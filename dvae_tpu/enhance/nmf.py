@@ -103,7 +103,12 @@ def nmf_m_step(x2, vs, w, h, g, mask, eps: float = 1e-8):
     h = h * jnp.sqrt(num / jnp.maximum(den, eps))
 
     # --- renormalize columns of W into H (keeps W@H invariant) ---
-    norm = jnp.sum(jnp.abs(w), axis=1)  # (B, K)
+    # norm floored at eps: a digitally SILENT utterance (x2 == 0 at every
+    # valid frame) zeroes W's update numerator, so its columns collapse to
+    # 0 and an unfloored divide yields NaN masks for the whole batch (the
+    # reference divides unguarded, mcem.py:130-134 — silent input NaNs it
+    # too; here one corrupt file must not poison a batched sweep)
+    norm = jnp.maximum(jnp.sum(jnp.abs(w), axis=1), eps)  # (B, K)
     w = w / norm[:, None, :]
     h = h * norm[:, None, :]
 
@@ -116,4 +121,6 @@ def nmf_m_step(x2, vs, w, h, g, mask, eps: float = 1e-8):
     num, den = _sum2((x2[None] * vs32 * (r1 * r1), vs32 * r1), (0, 3))  # (B, N)
     g = g * jnp.sqrt(num / jnp.maximum(den, eps))
 
-    return w, h, g
+    # vb is the FINAL noise variance (g doesn't enter W@H): returning it
+    # saves every caller one redundant (B,N,F,K) einsum per EM iteration
+    return w, h, g, vb

@@ -63,7 +63,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dvae_tpu.enhance.nmf import VX_FLOOR
 
-_TILE = 128  # frame rows per grid step
+_TILE = 64  # frame rows per grid step — the VMEM-validated default: at the
+# m1-reference WF budget (105 steps) the noise + sample/accumulator blocks
+# stay ~8 MB at 64 rows and would double past the VMEM budget at 128
+# (mcem.py's caller passes 64 with the same analysis)
 
 
 def extract_decoder_mlp(params, z_dim: int):
@@ -227,6 +230,15 @@ def run_mh_chain(
         WF mode: (z_final, wfs_sum (rows, F), wfn_sum (rows, F)).
     """
     w1z, w1y, b1, w2, b2, w3, b3 = mats
+    if (y is None) != (w1y is None):
+        # the XLA engine fails loudly on this mismatch (make_mlp_decoder's
+        # concatenated matmul shape-errors); silently folding only the bias
+        # here would return plausible-but-wrong unconditioned masks
+        raise ValueError(
+            "conditioning mismatch: y is "
+            f"{'None' if y is None else 'given'} but the decoder mats "
+            f"{'have' if w1y is not None else 'lack'} a conditioning block"
+        )
     rows, f = x2.shape
     l = z.shape[-1]
     h1 = w1z.shape[1]

@@ -52,7 +52,9 @@ class StftConfig:
     center: bool = False
     pad_mode: str = "reflect"
     pad_at_end: bool = True
-    dtype: str = "complex64"
+    # (the reference stft() signature also takes a dtype parameter; here the
+    # analysis is always float32-real/complex64 — TPU-native, and the only
+    # precision every consumer uses — so no dtype knob is carried)
 
     @property
     def nfft(self) -> int:

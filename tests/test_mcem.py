@@ -42,7 +42,7 @@ def test_nmf_m_step_decreases_cost():
 
     costs = [cost(w, h, g)]
     for _ in range(20):
-        w, h, g = nmf_m_step(x2, vs, w, h, g, mask)
+        w, h, g, _ = nmf_m_step(x2, vs, w, h, g, mask)
         costs.append(cost(w, h, g))
     assert costs[-1] < costs[0]
     # multiplicative IS-NMF updates should be (near-)monotone
@@ -201,3 +201,32 @@ def test_fixed_z_em_conditional_and_cost_descends():
     c = np.asarray(res.cost)
     assert c[-1] < c[0]
     assert all(c2 <= c1 + 1e-4 for c1, c2 in zip(c, c[1:]))
+
+
+def test_silent_utterance_in_batch_stays_finite():
+    """A digitally silent utterance (all-zero wav — e.g. a corrupt file) in
+    a batched run: the NMF W-update collapses its dictionary to zero and an
+    unfloored column renormalization would NaN the masks for the WHOLE
+    batch (the reference divides unguarded, mcem.py:130-134). The floored
+    norm keeps everything finite: the silent row's masks go to ~0 and the
+    real row is unaffected."""
+    rng = np.random.default_rng(11)
+    b, n, f, l = 2, 24, 33, 3
+    x2 = jnp.asarray(
+        np.concatenate([
+            np.abs(rng.standard_normal((1, n, f))).astype(np.float32) + 0.01,
+            np.zeros((1, n, f), np.float32),  # silent utterance
+        ]))
+    mask = jnp.ones((b, n))
+    z0 = jnp.asarray(rng.standard_normal((b, n, l)).astype(np.float32))
+    wd = rng.standard_normal((l, f)).astype(np.float32) * 0.1
+    dec = lambda z: jnp.exp(jnp.clip(z @ jnp.asarray(wd), -10, 3))
+
+    cfg = McemConfig(niter=4, nsamples_e_step=2, burnin_e_step=2,
+                     nsamples_wf=2, burnin_wf=2, nmf_rank=4)
+    res = run_mcem(dec, x2, z0, mask, jax.random.PRNGKey(0), cfg)
+    assert np.isfinite(np.asarray(res.wfs)).all()
+    assert np.isfinite(np.asarray(res.wfn)).all()
+    assert np.isfinite(np.asarray(res.cost)).all()
+    # silent row: numerator energy is zero everywhere -> ~zero speech mask
+    assert float(jnp.max(res.wfs[1])) < 1e-3
