@@ -67,7 +67,8 @@ def nmf_m_step(x2, vs, w, h, g, mask, eps: float = 1e-8):
         w,h,g: current NMF parameters / gains.
         mask: (B, N) float frame-validity mask.
 
-    Returns updated (w, h, g).
+    Returns updated ``(w, h, g, vb)`` — ``vb`` is the final noise variance
+    ``W @ H`` (g never enters it), saving callers a recompute.
 
     Every reduction over the R samples is a single HBM pass (see
     :func:`_sum2`); the intermediate a1/a2 planes are stored at ``vs``'s
@@ -105,9 +106,10 @@ def nmf_m_step(x2, vs, w, h, g, mask, eps: float = 1e-8):
     # --- renormalize columns of W into H (keeps W@H invariant) ---
     # norm floored at eps: a digitally SILENT utterance (x2 == 0 at every
     # valid frame) zeroes W's update numerator, so its columns collapse to
-    # 0 and an unfloored divide yields NaN masks for the whole batch (the
-    # reference divides unguarded, mcem.py:130-134 — silent input NaNs it
-    # too; here one corrupt file must not poison a batched sweep)
+    # 0 and an unfloored divide NaNs that row's masks AND the batch-summed
+    # cost scalar (the divide is per-row, so other rows' masks stay clean;
+    # the reference divides unguarded, mcem.py:130-134 — silent input NaNs
+    # it too; here one corrupt file must not poison a batched sweep's cost)
     norm = jnp.maximum(jnp.sum(jnp.abs(w), axis=1), eps)  # (B, K)
     w = w / norm[:, None, :]
     h = h * norm[:, None, :]
@@ -122,5 +124,7 @@ def nmf_m_step(x2, vs, w, h, g, mask, eps: float = 1e-8):
     g = g * jnp.sqrt(num / jnp.maximum(den, eps))
 
     # vb is the FINAL noise variance (g doesn't enter W@H): returning it
-    # saves every caller one redundant (B,N,F,K) einsum per EM iteration
+    # removes the caller-side recompute from the source (XLA CSE likely
+    # already merged the two identical einsums — this is a clarity win,
+    # not a measured device-time one)
     return w, h, g, vb

@@ -206,10 +206,10 @@ def test_fixed_z_em_conditional_and_cost_descends():
 def test_silent_utterance_in_batch_stays_finite():
     """A digitally silent utterance (all-zero wav — e.g. a corrupt file) in
     a batched run: the NMF W-update collapses its dictionary to zero and an
-    unfloored column renormalization would NaN the masks for the WHOLE
-    batch (the reference divides unguarded, mcem.py:130-134). The floored
-    norm keeps everything finite: the silent row's masks go to ~0 and the
-    real row is unaffected."""
+    unfloored column renormalization would NaN that row's masks and the
+    batch-summed cost scalar (the reference divides unguarded,
+    mcem.py:130-134). The floored norm keeps everything finite: the silent
+    row's masks go to ~0 and the real row keeps the Wiener partition."""
     rng = np.random.default_rng(11)
     b, n, f, l = 2, 24, 33, 3
     x2 = jnp.asarray(
@@ -230,3 +230,6 @@ def test_silent_utterance_in_batch_stays_finite():
     assert np.isfinite(np.asarray(res.cost)).all()
     # silent row: numerator energy is zero everywhere -> ~zero speech mask
     assert float(jnp.max(res.wfs[1])) < 1e-3
+    # real row: unaffected by the degenerate neighbor — partition holds
+    np.testing.assert_allclose(np.asarray(res.wfs[0] + res.wfn[0]), 1.0,
+                               atol=1e-4)

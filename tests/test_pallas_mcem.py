@@ -170,6 +170,29 @@ def test_conditioned_chain_matches_concat_decoder(setup):
     np.testing.assert_allclose(np.asarray(samples[0]), want, rtol=2e-5, atol=1e-6)
 
 
+def test_conditioning_mismatch_raises(setup):
+    """The kernel must fail loudly on a y/decoder-conditioning mismatch
+    (the XLA engine shape-errors; silently folding only the bias would
+    return plausible-but-wrong unconditioned masks) — both directions."""
+    model, params, m1_mats, dec, x2, vb, g, z0 = setup
+    y = jnp.ones((ROWS, 2))
+    with pytest.raises(ValueError, match="conditioning mismatch"):
+        run_mh_chain(m1_mats, x2, vb, g, z0, y, jax.random.PRNGKey(0),
+                     n_burn=0, n_samples=1, var_rw=0.0, interpret=True,
+                     tile=16)
+
+    cvae = CVAE(x_dim=F, y_dim=2, z_dim=L, h_dim=(32, 32))
+    cparams = cvae.init(
+        {"params": jax.random.PRNGKey(8), "sample": jax.random.PRNGKey(9)},
+        jnp.ones((4, F)), jnp.ones((4, 2)))
+    m2_mats = extract_decoder_mlp(cparams, L)
+    assert m2_mats[1] is not None
+    with pytest.raises(ValueError, match="conditioning mismatch"):
+        run_mh_chain(m2_mats, x2, vb, g, z0, None, jax.random.PRNGKey(0),
+                     n_burn=0, n_samples=1, var_rw=0.0, interpret=True,
+                     tile=16)
+
+
 def test_run_mcem_kernel_path_interpret(setup):
     """Full MCEM with the kernel path (interpreter) produces sane masks that
     broadly agree with the XLA-scan engine on the same problem."""
