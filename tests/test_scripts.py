@@ -298,6 +298,22 @@ def test_m2_info_chain(tmp_path, subset_dir):
     assert "si_sdr" in r.stdout and "pesq" in r.stdout
     assert (out_dir / "stats.json").exists()
 
+    # pretrain leg: warm-start from the M2-info checkpoint just trained
+    # (surgical enc_dec_clf/classifier load) and train with the PRETRAIN
+    # script's live configuration — y_hat_soft forward + ENTROPY adversary
+    # (Lenc_aux_v3, its default here) + gamma=beta — for two epochs
+    pre_ckpt = sorted(model_dir.glob("*.msgpack"))[0]
+    _run([str(SCRIPTS / "training_M2_info_vad_pretrain.py"), "--dataset-size",
+          "subset", "--labels", "vad_labels", "--data-root", str(data_root),
+          "--models-root", str(models), "--end-epoch", "3",
+          "--pretrained-checkpoint", str(pre_ckpt),
+          "--platform", "cpu"], cwd=tmp_path)
+    pre_dir = next(d for d in models.iterdir()
+                   if d.is_dir() and "Lenc_aux_v3" in d.name)
+    assert "_pretrain_yhatsoft_" in pre_dir.name  # reference name grammar
+    assert "gamma" not in pre_dir.name  # default gamma==beta: no segment
+    assert len(list(pre_dir.glob("*.msgpack"))) == 2
+
     # M2 leg on the same vad frame h5: the conditional CVAE trains with y in
     # the encoder AND decoder, and enhancement runs the MCEM y_mode="enc_dec"
     # configuration (distinct engine path from M2-info's dec_only)
