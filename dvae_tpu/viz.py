@@ -166,3 +166,80 @@ def display_multiple_spectro(spec_list, fs=16000, wlen_sec=64e-3,
     for j, spec in enumerate(spec_list):
         _imshow_spec(axes[j], _spec_db(spec, power=True), fs, hop_sec, vmin, vmax)
     return fig
+
+
+def write_vad_demo_video(frames, vad, out_path, fps: float = 62.5,
+                         audio_wav: str | None = None) -> str:
+    """Lip-video VAD demo: white bottom-right square on active frames.
+
+    The reference carries this as a commented (and unrunnable — ``x_video``
+    is never defined there) experiment in run_metrics_classif.py:238-294:
+    write the upsampled 67x67 lip frames with ``frame[-9:, -9:] = 255`` on
+    frames where the label is 1, then mux the clean audio in. This is the
+    working version; soft labels scale the square's intensity (completing
+    the "#TODO: make video with y_hat_soft" at its :296).
+
+    Args:
+        frames: (H, W, n_frames) array, pixel range 0..255 (the builders'
+            ``<utt>_upsampled.h5`` ``X`` layout).
+        vad: per-frame label values in [0, 1]; length is reconciled with
+            the frame count by truncation (the reference trims audio/video
+            streams to their common length everywhere).
+        out_path: output video path (.mp4, mp4v).
+        fps: output frame rate — 62.5 = 1/(wlen_sec*hop_percent), the
+            builders' upsampled rate (create_video_train_files.py:57-58).
+        audio_wav: when given AND an ``ffmpeg`` binary is on PATH, the audio
+            is muxed into ``out_path`` (aac) like the reference's
+            ffmpeg-python calls; without ffmpeg the video is written silent
+            under the same name (cv2 cannot mux audio).
+    Returns the written path.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover - cv2 is present here
+        raise RuntimeError("write_vad_demo_video needs opencv (cv2)") from e
+
+    frames = np.asarray(frames)
+    if frames.ndim != 3:
+        raise ValueError(f"frames must be (H, W, n), got {frames.shape}")
+    v = np.asarray(vad, np.float32).reshape(-1)
+    n = min(frames.shape[-1], len(v))
+    h, w = frames.shape[:2]
+
+    mux = audio_wav is not None and shutil.which("ffmpeg") is not None
+    tmp = None
+    if mux:
+        tmp = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
+        tmp.close()
+    video_path = tmp.name if mux else str(out_path)
+    writer = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h), False)
+    if not writer.isOpened():  # pragma: no cover - mp4v verified available
+        raise RuntimeError(f"cv2.VideoWriter failed to open {video_path}")
+    try:
+        for j in range(n):
+            f = np.clip(frames[..., j], 0, 255).astype(np.uint8).copy()
+            if v[j] > 0:
+                # reference overlay: x_video_frame.T[-9:,-9:] = 255 on the
+                # transposed frame, written back transposed == the stored
+                # frame's own bottom-right corner (run_metrics_classif.py:254)
+                f[-9:, -9:] = int(round(255 * min(float(v[j]), 1.0)))
+            writer.write(f)
+    finally:
+        writer.release()
+    if mux:
+        import os
+
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-i", video_path, "-i", str(audio_wav),
+                 "-c:v", "copy", "-c:a", "aac", "-strict", "experimental",
+                 str(out_path)],
+                check=True, capture_output=True)
+        finally:
+            os.unlink(video_path)
+    return str(out_path)

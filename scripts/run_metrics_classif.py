@@ -39,6 +39,20 @@ def main():
                     help="SNR folder of the mixture drawn in figures")
     ap.add_argument("--noise-type", default="Babble",
                     help="noise folder of the mixture drawn in figures")
+    ap.add_argument("--with-videos", action="store_true",
+                    help="per-utterance lip-video VAD demos: the upsampled "
+                         "67x67 frames with a white bottom-right square on "
+                         "active frames, for the oracle labels "
+                         "(*_oracle_audio.mp4), the scored classifier "
+                         "decisions (*_pred_audio.mp4) and — when a "
+                         "*_y_hat_soft sibling exists — the soft posterior "
+                         "(*_soft_audio.mp4, intensity-scaled). The working "
+                         "version of the reference's commented/unrunnable "
+                         "experiment (run_metrics_classif.py:238-294) incl. "
+                         "its y_hat_soft TODO (:296); audio is muxed in when "
+                         "an ffmpeg binary is available, else the videos are "
+                         "silent. VAD labels only (needs a scalar per-frame "
+                         "label)")
     args = ap.parse_args()
     maybe_force_platform(args)
 
@@ -74,7 +88,7 @@ def main():
                     os.path.join(dirpath, fn))
 
     rows, speakers = [], []
-    missing = 0
+    missing = no_video = 0
     for lab_path in label_files:
         rel = os.path.relpath(lab_path, proc)
         spk = rel.split("/")[-2]
@@ -149,9 +163,53 @@ def main():
                             dpi=80)
                 plt.close(fig)
 
+        if args.with_videos:
+            # lip-video VAD demos (the reference's commented experiment;
+            # see the flag's help text). The upsampled frames live beside
+            # the labels' tree under matlab_raw/<split>/<speaker>/.
+            import h5py
+
+            from dvae_tpu.viz import write_vad_demo_video
+
+            if y.shape[-1] != 1:
+                no_video += 1
+            else:
+                video_h5 = os.path.join(
+                    proc, "ntcd_timit/matlab_raw/test", spk,
+                    utt + "_upsampled.h5")
+                clean_wav = os.path.join(os.path.dirname(lab_path),
+                                         utt + ".wav")
+                audio = clean_wav if os.path.exists(clean_wav) else None
+                if not os.path.exists(video_h5):
+                    no_video += 1
+                else:
+                    with h5py.File(video_h5, "r") as f:
+                        frames = f["X"][:]
+                    stem = os.path.splitext(cand[0])[0]
+                    if stem.endswith(args.label_suffix):
+                        stem = stem[: -len(args.label_suffix)]
+                    write_vad_demo_video(frames, y.ravel(),
+                                         stem + "_oracle_audio.mp4",
+                                         audio_wav=audio)
+                    write_vad_demo_video(frames, y_hat.ravel(),
+                                         stem + "_pred_audio.mp4",
+                                         audio_wav=audio)
+                    # the reference's "#TODO: make video with y_hat_soft"
+                    soft = [] if args.label_suffix != "_y_hat_hard" else \
+                        glob.glob(os.path.splitext(cand[0])[0].replace(
+                            "_y_hat_hard", "_y_hat_soft") + ".*")
+                    if soft:
+                        write_vad_demo_video(
+                            frames,
+                            load_classifier_labels(soft[0], 1).ravel(),
+                            stem + "_soft_audio.mp4", audio_wav=audio)
+
     if not rows:
         raise SystemExit(f"no classifier outputs matched under {args.classifier_dir} "
                          f"({missing} missing)")
+    if no_video:
+        print(f"note: {no_video} utterances skipped for --with-videos "
+              f"(no matlab_raw video h5, or non-scalar labels)")
     if missing:
         print(f"note: {missing} utterances had no classifier output")
     stats_dir = args.stats_dir or args.classifier_dir

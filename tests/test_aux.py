@@ -277,3 +277,38 @@ def test_load_classifier_labels_orientation(tmp_path):
     np.save(p6, np.zeros((250, 99), np.float32))
     with pytest.raises(ValueError, match="y_dim"):
         load_classifier_labels(p6, y_dim=513)
+
+
+def test_write_vad_demo_video_roundtrip(tmp_path):
+    """The lip-video VAD demo writer (the reference's commented/unrunnable
+    run_metrics_classif.py:238-294 experiment): active frames get the white
+    bottom-right square; frame count and order survive the mp4 round-trip."""
+    cv2 = pytest.importorskip("cv2")
+
+    from dvae_tpu.viz import write_vad_demo_video
+
+    n = 24
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(40, 120, size=(67, 67, n)).astype(np.float32)
+    vad = (np.arange(n) % 2).astype(np.float32)  # alternate off/on
+    out = tmp_path / "sa1_oracle_audio.mp4"
+    # audio_wav given but no ffmpeg binary here: writes the silent video
+    path = write_vad_demo_video(frames, vad, out, audio_wav=None)
+    assert path == str(out) and out.exists()
+
+    cap = cv2.VideoCapture(str(out))
+    corner_means, back = [], []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        g = f[..., 0].astype(np.float32)
+        corner_means.append(g[-9:, -9:].mean())
+        back.append(g[:20, :20].mean())
+    cap.release()
+    assert len(corner_means) == n
+    corner = np.asarray(corner_means)
+    # lossy codec: compare voiced vs unvoiced corners, not exact 255s
+    assert corner[1::2].min() > 200, "white square missing on active frames"
+    assert corner[0::2].max() < 150, "square bled onto inactive frames"
+    assert max(back) < 150  # background untouched everywhere

@@ -139,14 +139,20 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
     figs = list(out_dir.rglob("*_fig.png"))
     assert len(figs) == 6, figs
 
-    # 4. classifier metric sweep with per-utterance mask figures
+    # 4. classifier metric sweep with per-utterance mask figures and the
+    # lip-video VAD demos (the reference's commented video experiment)
     r = _run([str(SCRIPTS / "run_metrics_classif.py"), "--dataset-size", "subset",
               "--data-root", str(data_root / "data"),
               "--classifier-dir", str(tmp_path / "classif"),
-              "--with-figures", "--platform", "cpu"], cwd=data_root)
+              "--with-figures", "--with-videos",
+              "--platform", "cpu"], cwd=data_root)
     assert "f1" in r.stdout
     masks = list((tmp_path / "classif").rglob("*_hard_mask.png"))
     assert len(masks) == 3, masks
+    vids = sorted(v.name for v in (tmp_path / "classif").rglob("*.mp4"))
+    assert vids == sorted(
+        f"{u}_{kind}_audio.mp4" for u in ("sa1", "sa2", "si494")
+        for kind in ("oracle", "pred")), vids  # no soft artifacts -> no _soft
 
     # 5. reconstruction analysis figures from the trained checkpoint
     ckpt = sorted(model_dir.glob("M1_epoch_*.msgpack"))[-1]
