@@ -15,14 +15,22 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def add_common(ap: argparse.ArgumentParser, training: bool = False):
+def add_common(ap: argparse.ArgumentParser, training: bool = False,
+               host_job: bool = False):
     ap.add_argument("--dataset-size", default="subset", choices=["subset", "complete"])
     ap.add_argument("--labels", default="vad_labels",
                     choices=["vad_labels", "ibm_labels"])
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--models-root", default="models")
-    ap.add_argument("--platform", default=None,
-                    help="force a jax platform (e.g. cpu) before first use")
+    # Data builders are host-side I/O jobs (the reference's are pure
+    # numpy/librosa, e.g. create_train_set.py:152): their per-utterance
+    # STFTs are transfer-bound, so dispatching them to a remote-attached
+    # accelerator is both slower and needlessly coupled to its availability.
+    # They default to CPU; pass --platform explicitly to override.
+    ap.add_argument("--platform", default="cpu" if host_job else None,
+                    help="force a jax platform before first use"
+                         + (" (builders default to cpu — host-side I/O jobs)"
+                            if host_job else " (e.g. cpu)"))
     ap.add_argument("--no-jit-cache", action="store_true",
                     help="disable the persistent XLA compilation cache "
                          "(default ~/.cache/dvae_tpu/jit; cold compiles of "

@@ -9,7 +9,7 @@ from _lib import add_common, maybe_force_platform, processed_dir, raw_dir
 
 
 def main():
-    ap = add_common(argparse.ArgumentParser(description=__doc__))
+    ap = add_common(argparse.ArgumentParser(description=__doc__), host_job=True)
     ap.add_argument("--split", default="test")
     args = ap.parse_args()
     maybe_force_platform(args)

@@ -11,7 +11,7 @@ from _lib import add_common, maybe_force_platform, processed_dir, raw_dir
 
 
 def main():
-    ap = add_common(argparse.ArgumentParser(description=__doc__))
+    ap = add_common(argparse.ArgumentParser(description=__doc__), host_job=True)
     ap.add_argument("--noise-dir", default=None,
                     help="dir with preprocessed QUT noise wavs (default: data/complete/processed/qut_noise)")
     ap.add_argument("--snrs", type=float, nargs="+",

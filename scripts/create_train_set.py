@@ -12,7 +12,7 @@ from _lib import add_common, maybe_force_platform, processed_dir, raw_dir
 
 
 def main():
-    ap = add_common(argparse.ArgumentParser(description=__doc__))
+    ap = add_common(argparse.ArgumentParser(description=__doc__), host_job=True)
     ap.add_argument("--splits", nargs="+", default=["train", "validation"])
     ap.add_argument("--legacy-video-trim", action="store_true")
     args = ap.parse_args()

@@ -23,6 +23,27 @@ def test_script_help(script):
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+def test_builders_default_to_cpu_platform():
+    """Data builders are host-side I/O jobs (the reference's are pure
+    numpy/librosa): their --platform must default to cpu so a remote-attached
+    accelerator is never touched (or depended on) just to build h5 files.
+    Compute CLIs keep the unset default (use the best available platform)."""
+    import argparse
+
+    sys.path.insert(0, str(SCRIPTS))
+    from _lib import add_common
+
+    host = add_common(argparse.ArgumentParser(), host_job=True).parse_args([])
+    assert host.platform == "cpu"
+    compute = add_common(argparse.ArgumentParser()).parse_args([])
+    assert compute.platform is None
+    builders = [s for s in ALL_SCRIPTS if s.startswith("create_")]
+    assert len(builders) == 5
+    for script in builders:
+        src = (SCRIPTS / script).read_text()
+        assert "host_job=True" in src, script
+
+
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory, subset_dir):
     root = tmp_path_factory.mktemp("data_root")
