@@ -35,7 +35,7 @@ import numpy as np
 
 from dvae_tpu.data import catalog
 from dvae_tpu.data.io import read_wav, write_wav
-from dvae_tpu.ops.stft import StftConfig, stft
+from dvae_tpu.ops.stft import StftConfig, power_spectrogram, stft
 from dvae_tpu.ops.targets import clean_speech_ibm, clean_speech_vad
 from dvae_tpu.ops.video import preprocess_utterance, upsample_frames
 
@@ -193,8 +193,10 @@ def build_audio_train_set(input_dir, output_dir, dataset_types=("train", "valida
             # the reference's SETTINGS pass center=False + pad_at_end to
             # stft_pytorch here (create_audio_train_set.py:49-52,:245) —
             # exactly DEFAULT_STFT's parametrization
-            p = np.asarray(stft(jnp.asarray(x, jnp.float32), DEFAULT_STFT))
-            logp = np.log(np.abs(p) ** 2 + eps)
+            # fused |STFT|^2 (no complex intermediate — complex arrays also
+            # cannot be fetched over the axon tunnel, see ops/stft.py)
+            p2 = np.asarray(power_spectrogram(jnp.asarray(x, jnp.float32), DEFAULT_STFT))
+            logp = np.log(p2 + eps)
             # trim to the upsampled video frame count (reference :259-271)
             vid_rel = pathlib.Path(
                 clean_rel.replace("Clean", "matlab_raw")
@@ -261,8 +263,9 @@ def build_frame_dataset(input_dir, output_dir, labels="vad_labels",
                 peak = np.max(np.abs(speech))
                 if peak > 0:
                     speech = speech / peak
-                S = np.asarray(stft(jnp.asarray(speech, jnp.float32), DEFAULT_STFT))
-                spec = (np.abs(S) ** 2).T  # (513, frames), linear power
+                spec = np.asarray(power_spectrogram(
+                    jnp.asarray(speech, jnp.float32), DEFAULT_STFT)).T
+                # (513, frames), linear power — fused, no complex fetch
                 label = _labels_for(speech, labels, DEFAULT_STFT)
                 # trim to common length with the processed video stream
                 video_path = pathlib.Path(proc_video_dir) / pathlib.Path(mat_rel).with_suffix("")

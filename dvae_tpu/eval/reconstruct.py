@@ -17,12 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from dvae_tpu import viz
-from dvae_tpu.ops.stft import StftConfig, stft
+from dvae_tpu.ops.stft import StftConfig, stft_to_host
 from dvae_tpu.ops.targets import clean_speech_vad
 
 
 def power_spec(wav: np.ndarray, cfg: StftConfig = StftConfig()):
-    S = np.asarray(stft(jnp.asarray(wav, jnp.float32), cfg))
+    S = stft_to_host(wav, cfg)  # complex reads fail over the axon tunnel
     return S, np.abs(S) ** 2
 
 

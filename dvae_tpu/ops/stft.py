@@ -238,6 +238,19 @@ def stft(x: jnp.ndarray, cfg: StftConfig = StftConfig()) -> jnp.ndarray:
     return jax.lax.complex(re, im)
 
 
+def stft_to_host(x, cfg: StftConfig = StftConfig()) -> np.ndarray:
+    """Complex STFT fetched to HOST memory as two float reads.
+
+    Equivalent to ``np.asarray(stft(x, cfg))``, but safe on every backend:
+    the axon TPU tunnel cannot transfer complex arrays device->host (the
+    read fails with ``UNIMPLEMENTED: TPU backend error``; on-device complex
+    compute is fine — observed 2026-08-18). Use this wherever a spectrogram
+    is computed on the default device but consumed by host-side numpy
+    (figures, parity harnesses, builders)."""
+    re, im = stft_realimag(jnp.asarray(x, jnp.float32), cfg)
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
 def power_spectrogram(x: jnp.ndarray, cfg: StftConfig = StftConfig()) -> jnp.ndarray:
     """|STFT|^2 of a (..., T) signal -> (..., n_frames, n_bins), fully fused
 

@@ -24,7 +24,16 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.par
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# OUR engine runs on CPU by default (self-contained statistical comparison,
+# no dependence on the TPU tunnel); `--platform axon` runs our side on the
+# real chip while the torch reference stays on CPU — evidence that the
+# parity statistics are hardware-independent, and a same-inputs wall-clock
+# comparison. Peeked from argv (not argparse) because the platform must be
+# pinned before the first backend touch below.
+_plat = "cpu"
+if "--platform" in sys.argv:
+    _plat = sys.argv[sys.argv.index("--platform") + 1]
+jax.config.update("jax_platforms", _plat)
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +45,7 @@ from dvae_tpu.eval.pesq_native import pesq_wb
 from dvae_tpu.eval.si_sdr import si_sdr_leroux
 from dvae_tpu.eval.stoi import stoi
 from dvae_tpu.models import CVAE, CVAE_v2, VAE
-from dvae_tpu.ops.stft import istft_np, stft
+from dvae_tpu.ops.stft import istft_np, stft_to_host
 from dvae_tpu.ops.targets import clean_speech_ibm
 from dvae_tpu.train.steps import adam, init_train_state, make_train_step
 
@@ -109,6 +118,11 @@ def main():
                          "(distributions overlap) or engine bias (they "
                          "separate)")
     ap.add_argument("--out", default=None, help="optional JSON output path")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "axon", "tpu"],
+                    help="jax platform for OUR engine (the torch reference "
+                         "always runs on CPU). 'axon'/'tpu' measures parity "
+                         "with our side on the real chip — consumed before "
+                         "argparse at module import (see top of file)")
     ap.add_argument("--f32-stats", action="store_true",
                     help="run our engine with fast_stats=False (f32 HBM "
                          "residency instead of the default bf16) — isolates "
@@ -138,8 +152,10 @@ def main():
 
     xs = [read_wav(p)[0] for p, _ in pairs]
     cleans = [read_wav(c)[0] for _, c in pairs]
-    Xs = [np.asarray(stft(jnp.asarray(x, jnp.float32))) for x in xs]
-    Ss = [np.asarray(stft(jnp.asarray(s, jnp.float32))) for s in cleans]
+
+    # stft_to_host: complex dtypes cannot be read back over the axon tunnel
+    Xs = [stft_to_host(x) for x in xs]
+    Ss = [stft_to_host(s) for s in cleans]
     # both engines must see the SAME frame span: the torch leg trims each
     # utterance to min(clean, mixture) frames (the reference's video-trim
     # idiom), so ours masks to exactly that count too — otherwise a

@@ -256,7 +256,7 @@ def main():
             import matplotlib.pyplot as plt
 
             import jax.numpy as jnp
-            from dvae_tpu.ops.stft import StftConfig, stft
+            from dvae_tpu.ops.stft import StftConfig, stft_to_host
             from dvae_tpu.viz import display_multiple_signals
 
             x_t, _ = read_wav(os.path.join(proc, noisy_rel))
@@ -264,10 +264,9 @@ def main():
             cfg_s = StftConfig()
             # ops.stft already returns the (n_frames, n_bins) layout viz wants
             sig_items = [
-                (x_t, np.asarray(stft(jnp.asarray(x_t), cfg_s)), None),
-                (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)), y_oracle),
-                (s_hat_t, np.asarray(stft(jnp.asarray(s_hat_t), cfg_s)),
-                 y_hat_hard),
+                (x_t, stft_to_host(x_t, cfg_s), None),
+                (s_t, stft_to_host(s_t, cfg_s), y_oracle),
+                (s_hat_t, stft_to_host(s_hat_t, cfg_s), y_hat_hard),
             ]
             fig = display_multiple_signals(sig_items, fs=fs)
             fig.suptitle(f"Input SNR = {snr_db:.1f} dB \n"

@@ -124,7 +124,7 @@ def main():
             import matplotlib.pyplot as plt
 
             from dvae_tpu.data.io import read_wav
-            from dvae_tpu.ops.stft import StftConfig, stft
+            from dvae_tpu.ops.stft import StftConfig, stft_to_host
             from dvae_tpu.viz import display_multiple_signals
 
             clean_wav = os.path.join(os.path.dirname(lab_path), utt + ".wav")
@@ -138,8 +138,8 @@ def main():
                 s_t, x_t = s_t / norm, x_t / norm
                 cfg_s = StftConfig()
                 sig_items = [
-                    (x_t, np.asarray(stft(jnp.asarray(x_t), cfg_s)), None),
-                    (s_t, np.asarray(stft(jnp.asarray(s_t), cfg_s)), y),
+                    (x_t, stft_to_host(x_t, cfg_s), None),
+                    (s_t, stft_to_host(s_t, cfg_s), y),
                     (None, None, y_hat),
                 ]
                 # the reference also panels the soft posterior

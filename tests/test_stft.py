@@ -169,3 +169,18 @@ def test_n_stft_frames_boundary_lengths():
         for cfg in (CFG, StftConfig(center=True)):
             got = stft(x, cfg).shape[-2]
             assert got == n_stft_frames(n, cfg), (n, cfg.center, got)
+
+
+def test_stft_to_host_matches_complex_fetch():
+    """stft_to_host = np.asarray(stft(.)) via two float reads. It exists
+    because the axon TPU tunnel cannot transfer complex dtypes device->host
+    (UNIMPLEMENTED on the read — every host consumer of device spectra must
+    go through it to be chip-safe); on CPU both paths must agree exactly."""
+    from dvae_tpu.ops.stft import stft_to_host
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(12345).astype(np.float32)
+    via_host = stft_to_host(x, CFG)
+    via_complex = np.asarray(stft(jnp.asarray(x), CFG))
+    assert via_host.dtype == np.complex64
+    np.testing.assert_array_equal(via_host, via_complex)
