@@ -146,6 +146,11 @@ def main():
                          "numbers; the driver never passes this)")
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--steps-per-dispatch", type=int, default=16)
+    ap.add_argument("--niter", type=int, default=100,
+                    help="MCEM EM iterations (default 100 = the reference's "
+                         "production default; 500 = the budget behind the "
+                         "paper's reported results, evaluate_ntcd_M1.py:60 "
+                         "comment. The driver always runs the default)")
     args = ap.parse_args()
 
     # persistent jit cache: the driver invokes bench in a fresh process every
@@ -194,8 +199,25 @@ def main():
     batch = [wavs[i % len(wavs)] for i in range(BATCH)]
     audio_sec = sum(len(w) for w in batch) / 16000.0 * N_BATCHES
 
-    enh = Enhancer(model, params, EnhancerConfig(mcem=McemConfig(niter=100)))
-    enh.enhance_batch(batch, key=jax.random.PRNGKey(0))  # compile + warm up
+    enh = Enhancer(model, params, EnhancerConfig(mcem=McemConfig(niter=args.niter)))
+    # compile + warm up, with retries: right after a busy period the tunnel
+    # can transiently fail device transfers with `UNIMPLEMENTED: TPU backend
+    # error` even though backend init (the probe above) succeeds — observed
+    # twice on 2026-08-18; it clears within ~1 min. Don't let one transient
+    # kill the round's headline measurement.
+    for attempt in range(3):
+        try:
+            enh.enhance_batch(batch, key=jax.random.PRNGKey(0))
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            import sys
+
+            print(f"warning: warmup attempt {attempt + 1} failed "
+                  f"({type(e).__name__}: {e}); retrying in 60 s",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
 
     # steady-state serving throughput: batches flow through enhance_stream,
     # which overlaps host<->device transfers with device compute. The
@@ -235,16 +257,20 @@ def main():
 
     elapsed = best_elapsed
     utt_per_sec = (BATCH * N_BATCHES) / elapsed
-    baseline_utt_per_sec = 1.0 / REFERENCE_CPU_SEC_PER_UTT
+    # the reference engine's cost is ~linear in niter (per-iter MH budget
+    # dominates; the fixed final-WF pass is ~2.5 iters' worth), so scale the
+    # measured niter=100 baseline for non-default budgets
+    baseline_utt_per_sec = 1.0 / (REFERENCE_CPU_SEC_PER_UTT * args.niter / 100.0)
     print(
         json.dumps(
             {
                 "metric": "mcem_enhancement_throughput",
                 "value": round(utt_per_sec, 3),
-                "unit": "utterances/sec/chip (niter=100, ~5.1s utts; "
+                "unit": "utterances/sec/chip (niter=%d, ~5.1s utts; "
                         "RTF=%.4f; device_ms_per_batch=%.0f; "
                         "device_utt_per_sec=%.1f)"
-                        % (elapsed / audio_sec, dev_sec * 1e3, BATCH / dev_sec),
+                        % (args.niter, elapsed / audio_sec, dev_sec * 1e3,
+                           BATCH / dev_sec),
                 "vs_baseline": round(utt_per_sec / baseline_utt_per_sec, 1),
             }
         )

@@ -49,7 +49,12 @@ def clean_speech_ibm(
     eps: float = 1e-8,
     ibm_threshold: float = 50.0,
 ) -> jnp.ndarray:
-    """IBM from a complex spectrogram (..., n_frames, n_bins) -> float32 mask."""
+    """IBM from a spectrogram (..., n_frames, n_bins) -> float32 mask.
+
+    Accepts the complex STFT or its magnitude (abs is taken first, so the
+    two are equivalent). Host callers targeting the real chip should pass
+    the MAGNITUDE: complex arrays cannot cross the axon tunnel in either
+    direction (see ops/stft.py::stft_to_host)."""
     mag = jnp.abs(speech_tf)
     power_db = 20.0 * jnp.log10(mag + eps)
     peak = jnp.max(power_db, axis=(-2, -1), keepdims=True)

@@ -176,7 +176,11 @@ def main():
             # conditioning for its golden ntcd_M2_IBM family; BOTH engines
             # receive this identical y, so label-generation parity (tested
             # separately in tests/test_targets.py) is not in play here
-            y_np[i, :n] = np.asarray(clean_speech_ibm(jnp.asarray(Ss[i][:n])))
+            # upload the magnitude, not the complex spectrogram: complex
+            # host->device transfers also fail over the axon tunnel, and
+            # clean_speech_ibm takes abs() first anyway
+            y_np[i, :n] = np.asarray(clean_speech_ibm(
+                jnp.asarray(np.abs(Ss[i][:n]), np.float32)))
     x2 = jnp.asarray(x2)
     y_j = jnp.asarray(y_np) if conditional else None
 

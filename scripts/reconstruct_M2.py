@@ -65,7 +65,9 @@ def main():
         if y_dim == 1:
             y = rec.oracle_vad(s_wav)[:, None]
         else:
-            y = np.asarray(clean_speech_ibm(jnp.asarray(S)))
+            # magnitude upload: complex host->device transfers fail over the
+            # axon tunnel; clean_speech_ibm takes abs() first anyway
+            y = np.asarray(clean_speech_ibm(jnp.asarray(np.abs(S), np.float32)))
         recon_s = rec.reconstruct(model, params, s2, y)
         variants = rec.label_variants(y)
         recon_x = {tag: rec.reconstruct(model, params, x2, yv)
