@@ -31,8 +31,11 @@ import jax
 # comparison. Peeked from argv (not argparse) because the platform must be
 # pinned before the first backend touch below.
 _plat = "cpu"
-if "--platform" in sys.argv:
-    _plat = sys.argv[sys.argv.index("--platform") + 1]
+for _i, _a in enumerate(sys.argv):
+    if _a == "--platform" and _i + 1 < len(sys.argv):
+        _plat = sys.argv[_i + 1]
+    elif _a.startswith("--platform="):  # argparse's --platform=axon form
+        _plat = _a.split("=", 1)[1]
 jax.config.update("jax_platforms", _plat)
 
 import jax.numpy as jnp

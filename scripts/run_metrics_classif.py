@@ -61,7 +61,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from dvae_tpu.data.catalog import ntcd_timit
     from dvae_tpu.enhance.evaluate import load_classifier_labels, load_oracle_labels
     from dvae_tpu.eval.stats import compute_stats
     from dvae_tpu.models.losses import f1_loss
