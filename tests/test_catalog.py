@@ -48,10 +48,14 @@ def test_noisy_clean_pair_dict_parity(ref, split, size):
 
 
 @pytest.mark.parametrize("split", ["train", "test"])
+@pytest.mark.parametrize("size", ["subset", "complete"])
 @pytest.mark.parametrize("upsampled", [True, False])
-def test_proc_noisy_clean_pair_dict_parity(ref, split, upsampled):
-    assert ours.proc_noisy_clean_pair_dict(PROC, split, "subset", "vad_labels", upsampled) == \
-        ref.proc_noisy_clean_pair_dict(PROC, split, "subset", "vad_labels", upsampled)
+def test_proc_noisy_clean_pair_dict_parity(ref, split, size, upsampled):
+    # complete mode is non-trivial on the shipped tree too: the full
+    # noise-type x SNR grid globs 90 pairs for (test, upsampled) and
+    # (train, plain) — both engines must agree on all four combinations
+    assert ours.proc_noisy_clean_pair_dict(PROC, split, size, "vad_labels", upsampled) == \
+        ref.proc_noisy_clean_pair_dict(PROC, split, size, "vad_labels", upsampled)
 
 
 @pytest.mark.parametrize("upsampled", [True, False])
