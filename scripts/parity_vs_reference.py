@@ -38,6 +38,10 @@ for _i, _a in enumerate(sys.argv):
         _plat = _a.split("=", 1)[1]
 jax.config.update("jax_platforms", _plat)
 
+from _lib import enable_jit_cache  # noqa: E402  (scripts/ is on sys.path)
+
+enable_jit_cache()  # repeat runs skip the minutes-cold MCEM compile
+
 import jax.numpy as jnp
 import numpy as np
 
