@@ -200,6 +200,17 @@ def evaluate_sweep(
             continue
         todo.append((noisy_rel, clean_rel, out_base))
 
+    # Length-bucketed batching: each device batch pads every utterance to
+    # the batch max (pipeline.Enhancer._prepare), so catalog order — which
+    # interleaves 1–6 s utterances — wastes device time on padding. Sorting
+    # the pending list by mixture file size (∝ samples for PCM wavs; no
+    # decode needed) groups near-equal lengths per batch. Outputs are
+    # per-utterance files, so processing order is free; the path tiebreak
+    # keeps batch composition deterministic across filesystems. Applied
+    # after shard_slice/skip so shard membership and resume stay stable.
+    todo.sort(key=lambda t: (
+        os.path.getsize(os.path.join(processed_dir, t[0])), t[0]))
+
     chunks = [todo[s : s + batch_size] for s in range(0, len(todo), batch_size)]
 
     def clean_wav_path(clean_rel):
