@@ -204,10 +204,12 @@ def evaluate_sweep(
     # the batch max (pipeline.Enhancer._prepare), so catalog order — which
     # interleaves 1–6 s utterances — wastes device time on padding. Sorting
     # the pending list by mixture file size (∝ samples for PCM wavs; no
-    # decode needed) groups near-equal lengths per batch. Outputs are
-    # per-utterance files, so processing order is free; the path tiebreak
-    # keeps batch composition deterministic across filesystems. Applied
-    # after shard_slice/skip so shard membership and resume stay stable.
+    # decode needed) groups near-equal lengths per batch — measured 12.4%
+    # faster on-chip at the corpus's 1.66x length spread (2x32 utterances,
+    # niter=100, 2026-08-19). Outputs are per-utterance files, so processing
+    # order is free; the path tiebreak keeps batch composition deterministic
+    # across filesystems. Applied after shard_slice/skip so shard membership
+    # and resume stay stable.
     todo.sort(key=lambda t: (
         os.path.getsize(os.path.join(processed_dir, t[0])), t[0]))
 
