@@ -78,6 +78,23 @@ def make_lstm_vad_eval(model, eps: float = 1e-8, norm=None) -> Callable:
     return evaluate
 
 
+def make_lstm_vad_predict(model, eps: float = 1e-8, norm=None) -> Callable:
+    """jitted ``predict(params, x (B,T,F)) -> p (B,T)`` frame-VAD posterior.
+
+    The inference counterpart of :func:`make_lstm_vad_eval` — no labels, no
+    metrics; feeds scripts/predict_vad_labels.py, the in-framework producer
+    of the ``*_y_hat_hard`` classifier outputs the reference consumed from
+    its sibling audio-visual-vad repo (reference evaluate_ntcd_M2.py:85,
+    180-189). ``norm`` as in :func:`make_lstm_vad_step`."""
+    normalize = _normalizer(norm, eps)
+
+    @jax.jit
+    def predict(params, x):
+        return model.apply(params, normalize(x))
+
+    return predict
+
+
 def batch_utterances(ds, indices, stft_cfg: StftConfig, pad_to_multiple: int = 64):
     """Assemble (x (B,T,F) log-power, y (B,T), mask (B,T)) from an
     UtteranceDataset; the spectrogram is computed on-device."""

@@ -446,3 +446,71 @@ def test_run_metrics_score_input(data_root):
 
     m = re.search(r"si_sdr\s+(-?\d+\.?\d*)", r.stdout)
     assert m and float(m.group(1)) < 0.0
+
+
+def test_audio_vad_predict_chain(data_root, tmp_path):
+    """train_audio_net -> predict_vad_labels -> run_metrics_classif: the
+    in-framework producer of the *_y_hat_hard classifier outputs the
+    reference could only consume (its files came from the sibling
+    audio-visual-vad repo, evaluate_ntcd_M2.py:85,180-189). Asserts the
+    produced layout is read back by every consumer lookup: the evaluate
+    CLIs' find_classifier_labels and the classif metric sweep (hard and
+    binarized-soft)."""
+    models = tmp_path / "models"
+    root = str(data_root / "data")
+    _run([str(SCRIPTS / "train_audio_net.py"), "--dataset-size", "subset",
+          "--labels", "vad_labels", "--data-root", root,
+          "--models-root", str(models), "--train-split", "test",
+          "--valid-split", "test", "--end-epoch", "2", "--hidden", "8",
+          "--num-layers", "1", "--seq-batch-size", "4", "--platform", "cpu"],
+         cwd=tmp_path)
+    model_dir = models / "ntcd_audio_vad_lstm_8x1"
+    assert model_dir.is_dir()
+
+    r = _run([str(SCRIPTS / "predict_vad_labels.py"), "--dataset-size",
+              "subset", "--labels", "vad_labels", "--data-root", root,
+              "--models-root", str(models), "--model-dir", str(model_dir),
+              "--hidden", "8", "--num-layers", "1", "--snr", "-5",
+              "--seq-batch-size", "4", "--platform", "cpu"], cwd=tmp_path)
+    assert "vs oracle:" in r.stdout
+    pred_root = next((models / "predictions" / "ntcd_audio_vad_lstm_8x1").iterdir())
+    hard = sorted(pred_root.rglob("*_y_hat_hard.npy"))
+    soft = sorted(pred_root.rglob("*_y_hat_soft.npy"))
+    assert len(hard) == 6 and len(soft) == 6  # 2 noise types x 3 utterances
+
+    # label lengths match the oracle h5s exactly (frame-trim contract)
+    import h5py
+
+    from dvae_tpu.enhance.evaluate import find_classifier_labels
+
+    y = find_classifier_labels(str(pred_root), "34M", "sa1", 1)
+    with h5py.File(data_root / "data" / "subset" / "processed" / "ntcd_timit"
+                   / "Clean" / "test" / "34M"
+                   / "sa1_vad_labels_upsampled.h5") as f:
+        n_oracle = f["Y"].shape[-1]
+    assert y.shape == (n_oracle, 1)
+    assert set(np.unique(y)) <= {0.0, 1.0}
+    p = np.load(soft[0])
+    assert p.ndim == 1 and np.all((p >= 0) & (p <= 1)) and not np.all(p == p[0])
+
+    # resume-by-skip: a rerun predicts nothing
+    r2 = _run([str(SCRIPTS / "predict_vad_labels.py"), "--dataset-size",
+               "subset", "--labels", "vad_labels", "--data-root", root,
+               "--models-root", str(models), "--model-dir", str(model_dir),
+               "--hidden", "8", "--num-layers", "1", "--snr", "-5",
+               "--platform", "cpu"], cwd=tmp_path)
+    assert "done: 0 utterances" in r2.stdout
+
+    # hard decisions score through the classif sweep...
+    r3 = _run([str(SCRIPTS / "run_metrics_classif.py"), "--dataset-size",
+               "subset", "--labels", "vad_labels", "--data-root", root,
+               "--classifier-dir", str(pred_root), "--platform", "cpu"],
+              cwd=tmp_path)
+    assert "f1" in r3.stdout and (pred_root / "stats.json").exists()
+    # ...and the soft posteriors score after in-sweep binarization
+    r4 = _run([str(SCRIPTS / "run_metrics_classif.py"), "--dataset-size",
+               "subset", "--labels", "vad_labels", "--data-root", root,
+               "--classifier-dir", str(pred_root), "--label-suffix",
+               "_y_hat_soft", "--binarize", "0.5", "--platform", "cpu"],
+              cwd=tmp_path)
+    assert "f1" in r4.stdout
