@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Enhance arbitrary wav files with a trained model — the serving CLI.
+
+The reference can only enhance the NTCD-TIMIT corpus layout (its
+evaluate_ntcd_* scripts walk `proc_noisy_clean_pair_dict`,
+evaluate_ntcd_M1.py:100-113); there is no way to point it at a plain
+recording. This CLI runs the same batched MCEM engine over any list of wav
+files or directories: no corpus, no oracle labels, no fixed tree — the
+deployment surface.
+
+    python scripts/enhance_wav.py noisy1.wav recordings/ \\
+        --model-dir models/ntcd_M1_... --output-dir enhanced/
+
+Conditional models work without oracle labels: `--y-source self-soft` runs
+the model's OWN x->y classifier on the NOISY mixture spectrogram (the
+corpus CLI's self-soft uses the clean wav, reference
+evaluate_ntcd_M2_info_vad.py:174-176 — a serving run has no clean side);
+`--y-source npy` reads a `<stem>_y.npy` sibling next to each input (e.g.
+from predict_vad_labels.py or any external VAD); `ones`/`zeros` are the
+constant-label ablations. Outputs are `<stem>_s_est.wav` / `<stem>_n_est.wav`
+(the Wiener-complementary speech/noise split: s_est + n_est reconstructs the
+input). Length-agnostic — the engine is verified to 120 s utterances."""
+
+import argparse
+import os
+import pathlib
+
+from _lib import add_common, make_mesh_if, maybe_force_platform
+
+
+def gather_inputs(paths):
+    out = []
+    for p in paths:
+        p = pathlib.Path(p)
+        if p.is_dir():
+            out.extend(sorted(q for q in p.rglob("*.wav")
+                              if not q.name.endswith(("_s_est.wav",
+                                                      "_n_est.wav"))))
+        elif p.suffix.lower() == ".wav":
+            out.append(p)
+        else:
+            raise SystemExit(f"{p}: not a wav file or directory")
+    if not out:
+        raise SystemExit("no input wav files found")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("inputs", nargs="+", help="wav files and/or directories "
+                    "(searched recursively for *.wav)")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--model-dir", default=None,
+                    help="training output dir (best checkpoint auto-selected)")
+    ap.add_argument("--model-class", default="m1",
+                    choices=["m1", "m2", "m2v2", "v3", "v4", "v5"],
+                    help="m1 = unconditional VAE; m2/m2v2 = label-conditioned "
+                         "CVAEs; v3/v4/v5 = the M2-info families (own x->y "
+                         "classifier, so --y-source self-soft needs no labels)")
+    ap.add_argument("--y-dim", type=int, default=1,
+                    help="label width for conditional classes (1=VAD, 513=IBM)")
+    ap.add_argument("--z-dim", type=int, default=16)
+    ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
+    ap.add_argument("--niter", type=int, default=100)
+    ap.add_argument("--nmf-rank", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each batch over all visible devices")
+    ap.add_argument("--y-source", default="self-soft",
+                    choices=["self-soft", "npy", "ones", "zeros"],
+                    help="labels for conditional classes (ignored for m1): "
+                         "self-soft = the model's own classifier on the "
+                         "mixture (v3/v4/v5 only); npy = <stem>_y.npy next "
+                         "to each input")
+    ap.add_argument("--std-norm", action="store_true",
+                    help="the model was trained with --std-norm; requires "
+                         "--norm-h5 (no corpus tree to default from here)")
+    ap.add_argument("--norm-h5", default=None,
+                    help="h5 with X_train_mean/X_train_std for --std-norm")
+    ap.add_argument("--output-dir", default="enhanced",
+                    help="where <stem>_s_est.wav/_n_est.wav land (flat; "
+                         "name collisions across input dirs get _2, _3, ...)")
+    ap.add_argument("--resample", action="store_true",
+                    help="polyphase-resample inputs whose rate differs from "
+                         "the model's 16 kHz (outputs stay at 16 kHz); "
+                         "without it a mismatched file is an error")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform before first use (e.g. cpu)")
+    ap.add_argument("--no-jit-cache", action="store_true")
+    args = ap.parse_args()
+    if not (args.checkpoint or args.model_dir):
+        ap.error("need --checkpoint or --model-dir")
+    if args.std_norm and not args.norm_h5:
+        ap.error("--std-norm requires --norm-h5 (this CLI has no corpus "
+                 "tree to locate the training statistics in)")
+    conditional = args.model_class != "m1"
+    if conditional and args.y_source == "self-soft" and args.model_class in (
+            "m2", "m2v2"):
+        ap.error(f"{args.model_class} has no classifier; use --y-source "
+                 "npy/ones/zeros")
+    maybe_force_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvae_tpu.data.io import read_wav, write_wav
+    from dvae_tpu.enhance.mcem import McemConfig
+    from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
+    from dvae_tpu.models import (CVAE, CVAE_v2, CVAE_v3, CVAE_v4,
+                                 DisentangledVAE, VAE, init_params)
+    from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped, power_spectrogram
+    from dvae_tpu.train import checkpoint as ckpt
+
+    cls = {"m1": VAE, "m2": CVAE, "m2v2": CVAE_v2, "v3": CVAE_v3,
+           "v4": CVAE_v4, "v5": DisentangledVAE}[args.model_class]
+    if conditional:
+        model = cls(x_dim=513, y_dim=args.y_dim, z_dim=args.z_dim,
+                    h_dim=tuple(args.h_dim))
+        init_args = (jnp.ones((4, 513)), jnp.ones((4, args.y_dim)))
+    else:
+        model = cls(x_dim=513, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+        init_args = (jnp.ones((4, 513)),)
+    params_t = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        *init_args)
+    path = args.checkpoint or ckpt.best_checkpoint(args.model_dir)
+    params = ckpt.load_checkpoint(path, params_t)
+    print(f"loaded {path}")
+
+    norm = None
+    if args.std_norm:
+        import h5py
+
+        with h5py.File(args.norm_h5, "r") as f:
+            norm = (f["X_train_mean"][:], f["X_train_std"][:])
+
+    stft_cfg = StftConfig()
+    classify_method = {"v3": "classify", "v4": "classify_from_x",
+                       "v5": "classify_from_x"}.get(args.model_class)
+
+    def load_input(p):
+        x, fs = read_wav(p)
+        if x.ndim > 1:
+            x = x.mean(axis=-1)  # downmix multi-channel
+        if fs != stft_cfg.fs:
+            if not args.resample:
+                raise SystemExit(
+                    f"{p}: {fs} Hz != model rate {stft_cfg.fs} Hz "
+                    "(pass --resample to convert)")
+            from math import gcd
+
+            from scipy.signal import resample_poly
+
+            g = gcd(fs, stft_cfg.fs)
+            x = resample_poly(x, stft_cfg.fs // g, fs // g)
+        return x.astype(np.float32)
+
+    def labels_for(p, x):
+        if not conditional:
+            return None
+        n = max(1, n_stft_frames_clamped(len(x), stft_cfg))
+        if args.y_source in ("ones", "zeros"):
+            return np.full((n, args.y_dim),
+                           1.0 if args.y_source == "ones" else 0.0, np.float32)
+        if args.y_source == "npy":
+            side = p.with_name(p.stem + "_y.npy")
+            if not side.exists():
+                raise SystemExit(f"--y-source npy: {side} not found")
+            y = np.load(side).astype(np.float32).reshape(-1, args.y_dim)
+            if len(y) < n:
+                raise SystemExit(f"{side}: {len(y)} labels < {n} frames")
+            return y[:n]
+        # self-soft: the model's own classifier on the NOISY mixture
+        x2 = power_spectrogram(jnp.asarray(x), stft_cfg)
+        if norm is not None:
+            mean, std = (jnp.asarray(a, jnp.float32).reshape(-1) for a in norm)
+            x2 = (x2 - mean) / (std + 1e-8)
+        y = model.apply(params, x2, method=classify_method)
+        return np.asarray(y, np.float32).reshape(-1, args.y_dim)
+
+    y_mode = {"m1": "none", "m2": "enc_dec"}.get(args.model_class, "dec_only")
+    enh = Enhancer(model, params, EnhancerConfig(
+        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank),
+        y_mode=y_mode, norm=norm), mesh=make_mesh_if(args))
+
+    files = gather_inputs(args.inputs)
+    out_dir = pathlib.Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    # flat output names; disambiguate duplicate stems from different dirs
+    names, used = [], set()
+    for p in files:
+        stem, k = p.stem, 2
+        while stem in used:
+            stem, k = f"{p.stem}_{k}", k + 1
+        used.add(stem)
+        names.append(stem)
+
+    # length-bucketed batches (same lever as the corpus sweep): sort by
+    # file size, batch, restore nothing — outputs are per-file
+    order = sorted(range(len(files)),
+                   key=lambda i: (os.path.getsize(files[i]), str(files[i])))
+    chunks = [order[s:s + args.batch_size]
+              for s in range(0, len(order), args.batch_size)]
+
+    def batches():
+        for chunk in chunks:
+            wavs = [load_input(files[i]) for i in chunk]
+            ys = [labels_for(files[i], w)
+                  for i, w in zip(chunk, wavs)] if conditional else None
+            yield wavs, ys, None
+
+    n_done = 0
+    for chunk, out in zip(chunks, enh.enhance_stream(
+            batches(), key=jax.random.PRNGKey(args.seed))):
+        for i, (s_hat, n_hat) in zip(chunk, out):
+            write_wav(out_dir / f"{names[i]}_n_est.wav", n_hat, stft_cfg.fs)
+            write_wav(out_dir / f"{names[i]}_s_est.wav", s_hat, stft_cfg.fs)
+            n_done += 1
+        print(f"enhanced {n_done}/{len(files)}")
+    print(f"done: {n_done} files -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -195,6 +195,45 @@ def test_train_enhance_metrics_chain(data_root, tmp_path):
     assert len(list(qut_fig.glob("*_s_recon.png"))) >= 2
     assert len(list(qut_fig.glob("*_x_recon.png"))) >= 2
 
+    # 7. the serving CLI: arbitrary wavs outside any corpus tree (the
+    # reference's evaluators can only walk the NTCD layout), including a
+    # 48 kHz input through --resample; the Wiener partition must
+    # reconstruct each mixture
+    import shutil
+
+    from scipy.signal import resample_poly
+
+    from dvae_tpu.data.io import read_wav as _rw, write_wav as _ww
+
+    serve_in = tmp_path / "serve_in"
+    serve_in.mkdir()
+    src = (data_root / "data" / "subset" / "processed" / "ntcd_timit"
+           / "Noisy" / "Babble" / "-5" / "test" / "34M")
+    shutil.copy(src / "sa1.wav", serve_in / "meeting.wav")
+    x16, _ = _rw(src / "si494.wav")
+    _ww(serve_in / "call48k.wav", resample_poly(x16, 3, 1), 48000)
+    serve_out = tmp_path / "serve_out"
+    _run([str(SCRIPTS / "enhance_wav.py"), str(serve_in),
+          "--model-dir", str(model_dir), "--niter", "2",
+          "--output-dir", str(serve_out), "--resample", "--platform", "cpu"],
+         cwd=tmp_path)
+    s, fs_s = _rw(serve_out / "meeting_s_est.wav")
+    n, _ = _rw(serve_out / "meeting_n_est.wav")
+    x, _ = _rw(serve_in / "meeting.wav")
+    m = min(len(s), len(x))
+    assert fs_s == 16000
+    assert np.corrcoef(s[:m] + n[:m], x[:m])[0, 1] > 0.99
+    s48, fs48 = _rw(serve_out / "call48k_s_est.wav")
+    # 48 kHz input comes back enhanced at the model's 16 kHz analysis rate
+    assert fs48 == 16000 and np.isfinite(s48).all() and np.abs(s48).max() > 0
+    # a 16 kHz-mismatched file without --resample must fail loudly
+    r = subprocess.run([sys.executable, str(SCRIPTS / "enhance_wav.py"),
+                        str(serve_in / "call48k.wav"), "--model-dir",
+                        str(model_dir), "--output-dir", str(serve_out),
+                        "--platform", "cpu"],
+                       capture_output=True, text=True, env=ENV, cwd=tmp_path)
+    assert r.returncode != 0 and "--resample" in r.stderr + r.stdout
+
 
 def test_std_norm_train_enhance_chain(data_root, tmp_path):
     """--std-norm end-to-end: train a normalized-input M1 (model dir gets
