@@ -28,18 +28,32 @@ def load_oracle_labels(label_h5_path) -> np.ndarray:
 
 
 def find_classifier_labels(classifier_dir, speaker, utt,
-                           y_dim: int | None = None) -> np.ndarray:
+                           y_dim: int | None = None,
+                           rel_dir: str | None = None) -> np.ndarray:
     """Locate and load ``<utt>_y_hat_hard.{pt,npy}`` for a speaker.
 
-    Tries the reference's direct layout ``<dir>/<spk>/<utt>_y_hat_hard.pt``
-    (evaluate_ntcd_M2.py:85,180-189) first, then .npy, then a recursive
-    search for either extension under any split subdirectory. ``y_dim``
-    resolves 2-D orientation exactly (see load_classifier_labels)."""
+    Tries the condition-mirrored layout ``<dir>/<rel_dir>/<utt>_...`` first
+    when ``rel_dir`` (the noisy utterance's directory relative to the
+    processed root) is given — predict_vad_labels.py's ``--source noisy``
+    writes one prediction per noise/SNR condition into that mirror, and an
+    utterance must be conditioned on the labels predicted from ITS OWN
+    mixture, not a same-named file from another condition. Then the
+    reference's direct layout ``<dir>/<spk>/<utt>_y_hat_hard.pt``
+    (evaluate_ntcd_M2.py:85,180-189), then .npy, then a recursive search
+    for either extension under any split subdirectory. ``y_dim`` resolves
+    2-D orientation exactly (see load_classifier_labels)."""
     import glob
     import os
 
-    for ext in (".pt", ".npy"):
-        direct = os.path.join(classifier_dir, speaker, f"{utt}_y_hat_hard{ext}")
+    candidates = []
+    if rel_dir is not None:
+        candidates += [os.path.join(classifier_dir, rel_dir,
+                                    f"{utt}_y_hat_hard{ext}")
+                       for ext in (".pt", ".npy")]
+    candidates += [os.path.join(classifier_dir, speaker,
+                                f"{utt}_y_hat_hard{ext}")
+                   for ext in (".pt", ".npy")]
+    for direct in candidates:
         if os.path.exists(direct):
             return load_classifier_labels(direct, y_dim)
     # sorted: glob's os.scandir order is filesystem-dependent — sharded

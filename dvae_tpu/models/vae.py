@@ -3,7 +3,14 @@
 Capability parity with ``VariationalAutoencoder`` in
 /root/reference/packages/models/models.py:125-182 (forward returns the
 reconstruction/variance, posterior mean and log-variance; ``sample`` decodes
-an arbitrary latent).
+an arbitrary latent — the ``decode`` method here).
+
+Deliberately not carried: the reference's normalizing-flow hook
+(``add_flow``/``_kld``, models.py:143-170) is dead code there — ``forward``
+always computes the closed-form ``_kld_v2`` (:175), ``_kld`` is never
+called, no flow class exists anywhere in its tree, and ``_kld``'s own body
+is marked "#TODO: bug here" twice. The closed-form Gaussian KL (our
+``losses.elbo``) is the only KL the reference ever trains with.
 """
 
 from __future__ import annotations

@@ -74,7 +74,11 @@ def main():
         if args.y_source == "classifier":
             base = os.path.splitext(os.path.basename(noisy_rel))[0]
             spk = noisy_rel.split("/")[-2]
-            return find_classifier_labels(args.classifier_dir, spk, base, y_dim)
+            # rel_dir: prefer labels predicted from THIS noise/SNR condition
+            # (predict_vad_labels --source noisy mirrors the noisy tree)
+            return find_classifier_labels(args.classifier_dir, spk, base,
+                                          y_dim,
+                                          rel_dir=os.path.dirname(noisy_rel))
         n = load_oracle_labels(os.path.join(proc, clean_rel)).shape[0]
         const = 1.0 if args.y_source == "ones" else 0.0
         return np.full((n, y_dim), const, dtype=np.float32)

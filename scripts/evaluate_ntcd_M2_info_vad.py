@@ -114,7 +114,10 @@ def main():
         if args.y_source == "classifier":
             base = os.path.splitext(os.path.basename(noisy_rel))[0]
             spk = noisy_rel.split("/")[-2]
-            return find_classifier_labels(args.classifier_dir, spk, base, 1)
+            # rel_dir: prefer labels predicted from THIS noise/SNR condition
+            # (predict_vad_labels --source noisy mirrors the noisy tree)
+            return find_classifier_labels(args.classifier_dir, spk, base, 1,
+                                          rel_dir=os.path.dirname(noisy_rel))
         if args.y_source == "self-soft":
             return self_soft_labels(clean_rel)
         n = load_oracle_labels(os.path.join(proc, clean_rel)).shape[0]

@@ -245,6 +245,23 @@ def test_find_classifier_labels_layouts(tmp_path):
     with pytest.raises(FileNotFoundError, match="nope"):
         find_classifier_labels(d, "09F", "nope")
 
+    # rel_dir preference: with per-condition predictions (predict_vad_labels
+    # --source noisy mirrors the noisy tree) an utterance must get the
+    # labels predicted from ITS OWN noise/SNR condition, not a same-named
+    # file from another condition or the flat layout
+    for cond, val in (("Babble/-5", 1.0), ("LR/-5", 0.25)):
+        p = d / "ntcd_timit" / "Noisy" / cond / "test" / "34M"
+        p.mkdir(parents=True)
+        np.save(p / "sa1_y_hat_hard.npy", np.full(9, val, np.float32))
+    got = find_classifier_labels(
+        d, "34M", "sa1", rel_dir="ntcd_timit/Noisy/LR/-5/test/34M")
+    assert got.shape == (9, 1) and float(got[0, 0]) == 0.25
+    # without the hint, the direct <spk>/ layout still wins (back-compat)
+    assert find_classifier_labels(d, "34M", "sa1").shape == (7, 1)
+    # a hint that matches nothing falls through to the other layouts
+    got = find_classifier_labels(d, "34M", "sa1", rel_dir="no/such/dir")
+    assert got.shape == (7, 1)
+
 
 def test_load_classifier_labels_orientation(tmp_path):
     """The y_dim hint resolves 2-D orientation exactly: an IBM-style
