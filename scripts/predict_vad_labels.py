@@ -27,7 +27,7 @@ video classifier exactly.
 import argparse
 import os
 
-from _lib import add_common, maybe_force_platform, processed_dir
+from _lib import add_common, add_shard, maybe_force_platform, processed_dir, shard_of
 
 
 def main():
@@ -65,6 +65,7 @@ def main():
     ap.add_argument("--overwrite", action="store_true",
                     help="re-predict even when both output files exist "
                          "(default: resume-by-skip, like the eval sweeps)")
+    add_shard(ap)
     args = ap.parse_args()
     if args.labels != "vad_labels":
         # the LSTM head emits one scalar per frame; IBM (513-dim) labels
@@ -79,7 +80,7 @@ def main():
 
     from dvae_tpu.data.catalog import ntcd_timit
     from dvae_tpu.data.datasets import UtteranceDataset
-    from dvae_tpu.enhance.evaluate import clean_audio_rel
+    from dvae_tpu.enhance.evaluate import clean_audio_rel, shard_slice
     from dvae_tpu.models import LSTMVad
     from dvae_tpu.models.losses import f1_loss
     from dvae_tpu.ops.stft import StftConfig
@@ -108,6 +109,9 @@ def main():
             seen.setdefault(wav_rel, (wav_rel, clean_rel,
                                       os.path.splitext(wav_rel)[0]))
         todo = sorted(seen.values())
+    # --shard K/N: same contiguous-chunk semantics as the eval sweeps,
+    # applied before the skip filter so membership is stable across restarts
+    todo = shard_slice(todo, shard_of(args))
 
     norm = None
     if args.std_norm:
