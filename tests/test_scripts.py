@@ -471,6 +471,37 @@ def test_m2_info_chain(tmp_path, subset_dir):
           "--output-dir", str(out_v4), "--platform", "cpu"], cwd=tmp_path)
     assert len(list(out_v4.rglob("*_s_est_oracle_y.wav"))) == 6
 
+    # serving CLI with a CONDITIONAL model: the v5 checkpoint self-labels
+    # via its own classifier on the mixture (no corpus, no oracle labels)
+    import shutil
+
+    serve_in = tmp_path / "serve_in"
+    serve_in.mkdir()
+    shutil.copy(data_root / "subset" / "processed" / "ntcd_timit" / "Noisy"
+                / "LR" / "-5" / "test" / "34M" / "sa2.wav",
+                serve_in / "field_recording.wav")
+    serve_out = tmp_path / "serve_out"
+    _run([str(SCRIPTS / "enhance_wav.py"), str(serve_in / "field_recording.wav"),
+          "--checkpoint", str(mi_ckpt), "--model-class", "v5",
+          "--y-source", "self-soft", "--niter", "2",
+          "--output-dir", str(serve_out), "--platform", "cpu"], cwd=tmp_path)
+    from dvae_tpu.data.io import read_wav as _rw2
+
+    s, _ = _rw2(serve_out / "field_recording_s_est.wav")
+    n, _ = _rw2(serve_out / "field_recording_n_est.wav")
+    x, _ = _rw2(serve_in / "field_recording.wav")
+    m = min(len(s), len(x))
+    assert np.corrcoef(s[:m] + n[:m], x[:m])[0, 1] > 0.99
+    # the npy sibling label path too (labels from any external VAD)
+    np.save(serve_in / "field_recording_y.npy",
+            np.ones(1000, np.float32))  # longer than needed: truncated
+    _run([str(SCRIPTS / "enhance_wav.py"), str(serve_in / "field_recording.wav"),
+          "--checkpoint", str(mi_ckpt), "--model-class", "v5",
+          "--y-source", "npy", "--niter", "2",
+          "--output-dir", str(tmp_path / "serve_out_npy"),
+          "--platform", "cpu"], cwd=tmp_path)
+    assert (tmp_path / "serve_out_npy" / "field_recording_s_est.wav").exists()
+
 
 def test_run_metrics_score_input(data_root):
     """--score-input scores the raw mixtures as the paper's 'noisy input'
