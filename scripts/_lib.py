@@ -170,6 +170,46 @@ def add_std_norm_eval(ap: argparse.ArgumentParser):
                          "eval sweep reads")
 
 
+def add_mcem_budgets(ap: argparse.ArgumentParser):
+    """The MCEM sampling budgets of the reference's SETTINGS blocks
+    (evaluate_ntcd_M1.py:57-65: niter, nsamples/burnin for the E-step and
+    the Wiener-filter expectation, the random-walk variance, NMF rank).
+    Defaults = the reference's nominal production values; None sentinels
+    let McemConfig own the defaults in one place."""
+    ap.add_argument("--niter", type=int, default=100,
+                    help="EM iterations (reference production 100; the "
+                         "paper's tables used 500)")
+    ap.add_argument("--nmf-rank", type=int, default=10)
+    ap.add_argument("--nsamples-e-step", type=int, default=None,
+                    help="MH samples per E-step (default 10)")
+    ap.add_argument("--burnin-e-step", type=int, default=None,
+                    help="MH burn-in per E-step (default 30)")
+    ap.add_argument("--nsamples-wf", type=int, default=None,
+                    help="MH samples for the Wiener expectation (default 25)")
+    ap.add_argument("--burnin-wf", type=int, default=None,
+                    help="MH burn-in for the Wiener expectation (default 75)")
+    ap.add_argument("--var-rw", type=float, default=None,
+                    help="MH random-walk proposal variance (default 0.01)")
+    return ap
+
+
+def mcem_config_of(args, **overrides):
+    """McemConfig from the add_mcem_budgets flags (None = class default)."""
+    from dvae_tpu.enhance.mcem import McemConfig
+
+    kw = dict(niter=args.niter, nmf_rank=args.nmf_rank)
+    for flag, field in [("nsamples_e_step", "nsamples_e_step"),
+                        ("burnin_e_step", "burnin_e_step"),
+                        ("nsamples_wf", "nsamples_wf"),
+                        ("burnin_wf", "burnin_wf"),
+                        ("var_rw", "var_rw")]:
+        v = getattr(args, flag, None)
+        if v is not None:
+            kw[field] = v
+    kw.update(overrides)
+    return McemConfig(**kw)
+
+
 def add_shard(ap: argparse.ArgumentParser):
     ap.add_argument("--shard", default=None, metavar="K/N",
                     help="enhance only the K-th of N contiguous chunks of "

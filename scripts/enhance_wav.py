@@ -25,7 +25,8 @@ import argparse
 import os
 import pathlib
 
-from _lib import add_common, make_mesh_if, maybe_force_platform
+from _lib import (add_common, add_mcem_budgets, make_mesh_if,
+                  maybe_force_platform, mcem_config_of)
 
 
 def gather_inputs(paths):
@@ -62,8 +63,7 @@ def main():
                     help="label width for conditional classes (1=VAD, 513=IBM)")
     ap.add_argument("--z-dim", type=int, default=16)
     ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
-    ap.add_argument("--niter", type=int, default=100)
-    ap.add_argument("--nmf-rank", type=int, default=10)
+    add_mcem_budgets(ap)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard each batch over all visible devices")
@@ -107,7 +107,6 @@ def main():
     import numpy as np
 
     from dvae_tpu.data.io import read_wav, write_wav
-    from dvae_tpu.enhance.mcem import McemConfig
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
     from dvae_tpu.models import (CVAE, CVAE_v2, CVAE_v3, CVAE_v4,
                                  DisentangledVAE, VAE, init_params)
@@ -183,7 +182,7 @@ def main():
 
     y_mode = {"m1": "none", "m2": "enc_dec"}.get(args.model_class, "dec_only")
     enh = Enhancer(model, params, EnhancerConfig(
-        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank),
+        mcem=mcem_config_of(args),
         y_mode=y_mode, norm=norm), mesh=make_mesh_if(args))
 
     files = gather_inputs(args.inputs)

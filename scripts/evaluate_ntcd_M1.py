@@ -9,8 +9,9 @@ resume-by-skip."""
 import argparse
 import os
 
-from _lib import (ablation_of, add_ablation, add_common, add_shard, add_std_norm_eval,
-                  default_out_dir, make_mesh_if,
+from _lib import (ablation_of, add_ablation, add_common, add_mcem_budgets,
+                  add_shard, add_std_norm_eval,
+                  default_out_dir, make_mesh_if, mcem_config_of,
                   maybe_force_platform, norm_stats_if, shard_of, processed_dir)
 
 
@@ -21,15 +22,15 @@ def main():
     ap.add_argument("--model-dir", default=None)
     ap.add_argument("--z-dim", type=int, default=16)
     ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
-    ap.add_argument("--niter", type=int, default=100)
+    add_mcem_budgets(ap)
     ap.add_argument("--m1-reference-budgets", action="store_true",
                     help="use the MH budgets the reference's MCEM_M1 "
                          "ACTUALLY runs (E-step 30/30, WF 75/30) rather "
                          "than its nominal settings — its E_step passes the "
                          "budgets positionally into an unused y parameter "
                          "(reference mcem.py:207,297,314); see "
-                         "McemConfig.m1_reference_effective")
-    ap.add_argument("--nmf-rank", type=int, default=10)
+                         "McemConfig.m1_reference_effective. Explicit "
+                         "budget flags override the corresponding fields")
     ap.add_argument("--snr", default="10", help="SNR filter ('all' = every SNR)")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--data-parallel", action="store_true",
@@ -59,13 +60,21 @@ def main():
     params = ckpt.load_checkpoint(path, params_t)
     print(f"loaded {path}")
 
+    if args.m1_reference_budgets:
+        # the reference M1's EFFECTIVE budgets as the baseline, with any
+        # explicitly-passed budget flag still winning
+        eff = McemConfig.m1_reference_effective()
+        mcem = mcem_config_of(
+            args, **{f: getattr(args, f) if getattr(args, f) is not None
+                     else getattr(eff, f)
+                     for f in ("nsamples_e_step", "burnin_e_step",
+                               "nsamples_wf", "burnin_wf")})
+    else:
+        mcem = mcem_config_of(args)
     enh = Enhancer(model, params,
-                   EnhancerConfig(mcem=(
-                       McemConfig.m1_reference_effective(
-                           niter=args.niter, nmf_rank=args.nmf_rank)
-                       if args.m1_reference_budgets else
-                       McemConfig(niter=args.niter, nmf_rank=args.nmf_rank)),
-                       ablation=ablation_of(args), norm=norm_stats_if(args)),
+                   EnhancerConfig(mcem=mcem,
+                                  ablation=ablation_of(args),
+                                  norm=norm_stats_if(args)),
                    mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)
     n = evaluate_sweep(

@@ -8,8 +8,9 @@ produced by the sibling audio-visual-vad repo)."""
 import argparse
 import os
 
-from _lib import (ablation_of, add_ablation, add_common, add_shard, add_std_norm_eval,
-                  default_out_dir, make_mesh_if,
+from _lib import (ablation_of, add_ablation, add_common, add_mcem_budgets,
+                  add_shard, add_std_norm_eval,
+                  default_out_dir, make_mesh_if, mcem_config_of,
                   maybe_force_platform, norm_stats_if, shard_of, processed_dir, y_dim_for)
 
 
@@ -19,8 +20,7 @@ def main():
     ap.add_argument("--model-dir", default=None)
     ap.add_argument("--z-dim", type=int, default=16)
     ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
-    ap.add_argument("--niter", type=int, default=100)
-    ap.add_argument("--nmf-rank", type=int, default=10)
+    add_mcem_budgets(ap)
     ap.add_argument("--snr", default="10")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--data-parallel", action="store_true",
@@ -50,7 +50,6 @@ def main():
     from dvae_tpu.enhance.evaluate import (evaluate_sweep,
                                            find_classifier_labels,
                                            load_oracle_labels)
-    from dvae_tpu.enhance.mcem import McemConfig
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
     from dvae_tpu.models import CVAE, CVAE_v2
     from dvae_tpu.train import checkpoint as ckpt
@@ -88,7 +87,7 @@ def main():
 
     y_mode = "enc_dec" if args.model_variant == "v1" else "dec_only"
     enh = Enhancer(model, params, EnhancerConfig(
-        mcem=McemConfig(niter=args.niter, nmf_rank=args.nmf_rank), y_mode=y_mode,
+        mcem=mcem_config_of(args), y_mode=y_mode,
         ablation=ablation_of(args), norm=norm_stats_if(args)),
         mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)

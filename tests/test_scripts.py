@@ -584,3 +584,29 @@ def test_audio_vad_predict_chain(data_root, tmp_path):
                "_y_hat_soft", "--binarize", "0.5", "--platform", "cpu"],
               cwd=tmp_path)
     assert "f1" in r4.stdout
+
+
+def test_mcem_budget_flags():
+    """The reference's SETTINGS MH budgets (nsamples/burnin for E-step and
+    WF, var_RW — evaluate_ntcd_M1.py:57-65) are CLI flags on every
+    evaluate surface; unset flags defer to McemConfig's defaults."""
+    import argparse
+
+    sys.path.insert(0, str(SCRIPTS))
+    from _lib import add_mcem_budgets, mcem_config_of
+
+    ap = add_mcem_budgets(argparse.ArgumentParser())
+    cfg = mcem_config_of(ap.parse_args([]))
+    from dvae_tpu.enhance.mcem import McemConfig
+
+    assert cfg == McemConfig()  # all-defaults parse = the class defaults
+    cfg = mcem_config_of(ap.parse_args(
+        ["--niter", "7", "--nsamples-e-step", "3", "--burnin-wf", "11",
+         "--var-rw", "0.02"]))
+    assert (cfg.niter, cfg.nsamples_e_step, cfg.burnin_wf, cfg.var_rw) == \
+        (7, 3, 11, 0.02)
+    assert cfg.burnin_e_step == 30 and cfg.nsamples_wf == 25  # untouched
+    for script in ("evaluate_ntcd_M1.py", "evaluate_ntcd_M2.py",
+                   "evaluate_ntcd_M2_info_vad.py", "enhance_wav.py"):
+        src = (SCRIPTS / script).read_text()
+        assert "add_mcem_budgets" in src and "mcem_config_of" in src, script
