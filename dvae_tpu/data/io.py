@@ -15,6 +15,30 @@ from scipy.io import wavfile
 _PCM_SCALE = {np.dtype(np.int16): 1.0 / 32768.0, np.dtype(np.int32): 1.0 / 2147483648.0}
 
 
+def wav_sample_rate(path) -> int:
+    """Sample rate from the RIFF header alone (no data read).
+
+    Walks the chunk list to the ``fmt `` chunk instead of assuming byte 24
+    (files with LIST/JUNK chunks before fmt are valid RIFF). Lets callers
+    fail fast on a rate mismatch across a large input list before any
+    decode or device work (scripts/enhance_wav.py's pre-scan)."""
+    import struct
+
+    with open(path, "rb") as f:
+        riff, _, wave = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"{path}: no fmt chunk found")
+            cid, size = struct.unpack("<4sI", hdr)
+            if cid == b"fmt ":
+                fmt = f.read(min(size, 16))
+                return struct.unpack("<HHI", fmt[:8])[2]
+            f.seek(size + (size & 1), 1)  # chunks are word-aligned
+
+
 def read_wav(path) -> tuple[np.ndarray, int]:
     """Read a wav file -> (float64 samples in [-1, 1), sample rate)."""
     fs, data = wavfile.read(path)

@@ -27,6 +27,26 @@ def load_oracle_labels(label_h5_path) -> np.ndarray:
     return np.ascontiguousarray(y.T, dtype=np.float32)
 
 
+def classifier_label_candidates(classifier_dir, speaker, utt,
+                                rel_dir: str | None = None) -> list[str]:
+    """Ordered direct-layout candidate paths for ``<utt>_y_hat_hard.{pt,npy}``
+    — the ONE home of the path grammar (condition-mirrored layout first,
+    then the reference's ``<spk>/`` layout; .pt preferred like everywhere
+    else). Shared by :func:`find_classifier_labels` and run_metrics.py's
+    in-sweep F1 probe so the two cannot drift."""
+    import os
+
+    candidates = []
+    if rel_dir is not None:
+        candidates += [os.path.join(classifier_dir, rel_dir,
+                                    f"{utt}_y_hat_hard{ext}")
+                       for ext in (".pt", ".npy")]
+    candidates += [os.path.join(classifier_dir, speaker,
+                                f"{utt}_y_hat_hard{ext}")
+                   for ext in (".pt", ".npy")]
+    return candidates
+
+
 def find_classifier_labels(classifier_dir, speaker, utt,
                            y_dim: int | None = None,
                            rel_dir: str | None = None) -> np.ndarray:
@@ -45,15 +65,8 @@ def find_classifier_labels(classifier_dir, speaker, utt,
     import glob
     import os
 
-    candidates = []
-    if rel_dir is not None:
-        candidates += [os.path.join(classifier_dir, rel_dir,
-                                    f"{utt}_y_hat_hard{ext}")
-                       for ext in (".pt", ".npy")]
-    candidates += [os.path.join(classifier_dir, speaker,
-                                f"{utt}_y_hat_hard{ext}")
-                   for ext in (".pt", ".npy")]
-    for direct in candidates:
+    for direct in classifier_label_candidates(classifier_dir, speaker, utt,
+                                              rel_dir):
         if os.path.exists(direct):
             return load_classifier_labels(direct, y_dim)
     # sorted: glob's os.scandir order is filesystem-dependent — sharded

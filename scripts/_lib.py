@@ -198,12 +198,9 @@ def mcem_config_of(args, **overrides):
     from dvae_tpu.enhance.mcem import McemConfig
 
     kw = dict(niter=args.niter, nmf_rank=args.nmf_rank)
-    for flag, field in [("nsamples_e_step", "nsamples_e_step"),
-                        ("burnin_e_step", "burnin_e_step"),
-                        ("nsamples_wf", "nsamples_wf"),
-                        ("burnin_wf", "burnin_wf"),
-                        ("var_rw", "var_rw")]:
-        v = getattr(args, flag, None)
+    for field in ("nsamples_e_step", "burnin_e_step", "nsamples_wf",
+                  "burnin_wf", "var_rw"):
+        v = getattr(args, field, None)
         if v is not None:
             kw[field] = v
     kw.update(overrides)

@@ -25,7 +25,7 @@ import argparse
 import os
 import pathlib
 
-from _lib import (add_common, add_mcem_budgets, make_mesh_if,
+from _lib import (add_mcem_budgets, make_mesh_if,
                   maybe_force_platform, mcem_config_of)
 
 
@@ -85,6 +85,9 @@ def main():
                     help="polyphase-resample inputs whose rate differs from "
                          "the model's 16 kHz (outputs stay at 16 kHz); "
                          "without it a mismatched file is an error")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="re-enhance files whose outputs already exist "
+                         "(default: resume-by-skip, like the corpus sweeps)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None,
                     help="force a jax platform before first use (e.g. cpu)")
@@ -160,7 +163,7 @@ def main():
     def labels_for(p, x):
         if not conditional:
             return None
-        n = max(1, n_stft_frames_clamped(len(x), stft_cfg))
+        n = n_stft_frames_clamped(len(x), stft_cfg)  # already floored at 1
         if args.y_source in ("ones", "zeros"):
             return np.full((n, args.y_dim),
                            1.0 if args.y_source == "ones" else 0.0, np.float32)
@@ -197,9 +200,32 @@ def main():
         used.add(stem)
         names.append(stem)
 
+    # fail fast BEFORE any decode or device work: a rate mismatch or a
+    # missing label sibling in the LAST size-ordered batch must not abort
+    # a long run halfway through (header-only rate probe, no data read)
+    from dvae_tpu.data.io import wav_sample_rate
+
+    for p in files:
+        fs_in = wav_sample_rate(p)
+        if fs_in != stft_cfg.fs and not args.resample:
+            raise SystemExit(f"{p}: {fs_in} Hz != model rate {stft_cfg.fs} Hz "
+                             "(pass --resample to convert)")
+        if conditional and args.y_source == "npy" and \
+                not p.with_name(p.stem + "_y.npy").exists():
+            raise SystemExit(f"--y-source npy: {p.with_name(p.stem + '_y.npy')}"
+                             " not found")
+
+    # resume-by-skip like the corpus sweeps (stems stay deterministic for
+    # an unchanged input list — collision suffixes are assigned in input
+    # order before filtering)
+    todo = [i for i in range(len(files))
+            if args.overwrite
+            or not ((out_dir / f"{names[i]}_s_est.wav").exists()
+                    and (out_dir / f"{names[i]}_n_est.wav").exists())]
+
     # length-bucketed batches (same lever as the corpus sweep): sort by
     # file size, batch, restore nothing — outputs are per-file
-    order = sorted(range(len(files)),
+    order = sorted(todo,
                    key=lambda i: (os.path.getsize(files[i]), str(files[i])))
     chunks = [order[s:s + args.batch_size]
               for s in range(0, len(order), args.batch_size)]
@@ -218,7 +244,10 @@ def main():
             write_wav(out_dir / f"{names[i]}_n_est.wav", n_hat, stft_cfg.fs)
             write_wav(out_dir / f"{names[i]}_s_est.wav", s_hat, stft_cfg.fs)
             n_done += 1
-        print(f"enhanced {n_done}/{len(files)}")
+        print(f"enhanced {n_done}/{len(order)}")
+    if len(order) < len(files):
+        print(f"skipped {len(files) - len(order)} already-enhanced files "
+              "(--overwrite redoes them)")
     print(f"done: {n_done} files -> {out_dir}")
 
 

@@ -76,7 +76,10 @@ def main():
         else:
             base = os.path.splitext(os.path.basename(noisy_rel))[0]
             spk = noisy_rel.split("/")[-2]
-            y = find_classifier_labels(args.classifier_dir, spk, base, y_dim)
+            # rel_dir: prefer labels predicted from THIS noise/SNR condition
+            # (predict_vad_labels --source noisy mirrors the noisy tree)
+            y = find_classifier_labels(args.classifier_dir, spk, base, y_dim,
+                                       rel_dir=os.path.dirname(noisy_rel))
         n = min(len(y), s2.shape[0], x2.shape[0])
         y = y[:n]
         recon_s = rec.reconstruct(model, params, s2[:n], y)

@@ -200,18 +200,15 @@ def main():
                         spk_dir = os.path.basename(os.path.dirname(path))
                         base = os.path.basename(path).split("_y_hat_hard")[0]
                         classif_index.setdefault((spk_dir, base), path)
-            # condition-mirrored layout first (predict_vad_labels --source
-            # noisy): this utterance's OWN noise/SNR condition, not a
-            # same-named file from another (cf. find_classifier_labels)
-            cand = None
-            for ext in (".pt", ".npy"):
-                p_cond = os.path.join(args.classifier_dir,
-                                      os.path.dirname(noisy_rel),
-                                      f"{utt}_y_hat_hard{ext}")
-                if os.path.exists(p_cond):
-                    cand = p_cond
-                    break
-            cand = cand or classif_index.get((speaker, utt))
+            # condition-mirrored/direct layouts first (the shared grammar:
+            # this utterance's OWN noise/SNR condition beats a same-named
+            # file from another), then the recursive index
+            from dvae_tpu.enhance.evaluate import classifier_label_candidates
+
+            cand = next((p for p in classifier_label_candidates(
+                args.classifier_dir, speaker, utt,
+                rel_dir=os.path.dirname(noisy_rel)) if os.path.exists(p)),
+                None) or classif_index.get((speaker, utt))
             if cand:
                 # the y_dim hint resolves 2-D orientation exactly — without
                 # it an IBM-style (frames, 513) file with < 513 frames would
