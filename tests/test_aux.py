@@ -329,3 +329,34 @@ def test_write_vad_demo_video_roundtrip(tmp_path):
     assert corner[1::2].min() > 200, "white square missing on active frames"
     assert corner[0::2].max() < 150, "square bled onto inactive frames"
     assert max(back) < 150  # background untouched everywhere
+
+
+def test_wav_sample_rate_header_probe(tmp_path):
+    """wav_sample_rate reads the rate from the RIFF header alone, walking
+    the chunk list (a JUNK chunk before fmt is valid RIFF and common in
+    pro-audio tools; byte-24 assumptions break on it)."""
+    import struct
+
+    from dvae_tpu.data.io import read_wav, wav_sample_rate, write_wav
+
+    p = tmp_path / "a.wav"
+    write_wav(p, np.zeros(100, np.float32), 22050)
+    assert wav_sample_rate(p) == read_wav(p)[1] == 22050
+
+    # hand-build a wav with a JUNK chunk before fmt
+    data = np.zeros(10, np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 48000, 96000, 2, 16)
+    junk = b"\x00" * 7  # odd size: exercises word-alignment seek
+    body = (b"JUNK" + struct.pack("<I", len(junk)) + junk + b"\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    q = tmp_path / "junk.wav"
+    q.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    assert wav_sample_rate(q) == 48000
+
+    import pytest
+
+    bad = tmp_path / "not.wav"
+    bad.write_bytes(b"NOTRIFFatall")
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_sample_rate(bad)
