@@ -24,8 +24,6 @@ from dvae_tpu.parallel.distributed import distribute_batch
 from dvae_tpu.parallel.mesh import replicate
 from dvae_tpu.train import checkpoint as ckpt
 from dvae_tpu.train.steps import (
-    AdversarialState,
-    TrainState,
     adam,
     init_adversarial_state,
     init_train_state,

@@ -7,7 +7,6 @@ Outputs land in <models-root>/<model>/<noisy rel path>_{s,n}_est.wav with
 resume-by-skip."""
 
 import argparse
-import os
 
 from _lib import (ablation_of, add_ablation, add_common, add_mcem_budgets,
                   add_shard, add_std_norm_eval,

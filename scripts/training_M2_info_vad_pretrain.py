@@ -41,7 +41,6 @@ def main():
     maybe_force_platform(args)
 
     import jax
-    import optax
 
     from dvae_tpu.data.datasets import FrameDataset
     from dvae_tpu.models import DisentangledVAE, init_params
