@@ -57,6 +57,23 @@ def preprocess_noise(noise_audio: np.ndarray, fs_noise: int, fs: int) -> np.ndar
     return noise_audio
 
 
+_PREPROCESSED_SPLIT_DIRS = {"train": "si_tr_s", "validation": "si_dt_05"}
+
+
+def noise_list_preprocessed(preprocessed_noise_dir, dataset_type="train"):
+    """{wav stem -> path} over the split's preprocessed tree
+    (demand_database.py:87-115; its 'test' branch prints 'Not implemented'
+    and then globs the unsplit root — here an undefined split raises, like
+    the other noise catalogs)."""
+    if dataset_type not in _PREPROCESSED_SPLIT_DIRS:
+        raise NotImplementedError(
+            f"DEMAND preprocessed {dataset_type} split not defined")
+    data_dir = os.path.join(preprocessed_noise_dir,
+                            _PREPROCESSED_SPLIT_DIRS[dataset_type])
+    paths = glob(os.path.join(data_dir, "**/*.wav"), recursive=True)
+    return {os.path.splitext(os.path.basename(p))[0]: p for p in sorted(paths)}
+
+
 def noise_segment(noise_audios: dict, noise_type: str, speech: np.ndarray,
                   rng: np.random.Generator | None = None) -> np.ndarray:
     """Random speech-length crop of the chosen noise."""

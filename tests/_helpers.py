@@ -59,9 +59,18 @@ def load_reference_module(relpath: str):
         lib.core = core
         sys.modules["librosa.core"] = core
 
-    if "packages" not in sys.modules:
+    ref_pkg_path = str(REFERENCE / "packages")
+    existing = sys.modules.get("packages")
+    if existing is None or ref_pkg_path not in getattr(existing, "__path__", []):
+        # Purge a previously-imported repo-root compat shim (packages/ at the
+        # repo root shadows this name): oracles must import the REFERENCE
+        # tree. Shim tests run in subprocesses, so nothing in-process relies
+        # on the shim staying cached.
+        for name in [n for n in sys.modules if n == "packages"
+                     or n.startswith("packages.")]:
+            del sys.modules[name]
         pkg = types.ModuleType("packages")
-        pkg.__path__ = [str(REFERENCE / "packages")]
+        pkg.__path__ = [ref_pkg_path]
         sys.modules["packages"] = pkg
 
     from dvae_tpu.utils import get_key

@@ -161,3 +161,25 @@ def test_demand_noise_list_matches_reference(tmp_path):
         assert set(got[k]) == set(want[k])  # same sample ids
         for sid in got[k]:
             assert os.path.basename(got[k][sid]) == os.path.basename(want[k][sid])
+
+
+def test_demand_noise_list_preprocessed_matches_reference(tmp_path):
+    """Defined splits match the reference's glob exactly; the undefined
+    'test' split raises here instead of the reference's print-then-glob-
+    the-unsplit-root (demand_database.py:106-112)."""
+    from dvae_tpu.data.catalog import demand
+
+    ref = _load_reference_noise_module("demand_database")
+    for split_dir, stem in (("si_tr_s/env1", "tr_a"), ("si_tr_s/env2", "tr_b"),
+                            ("si_dt_05/env1", "dt_a")):
+        d = tmp_path / split_dir
+        d.mkdir(parents=True)
+        (d / f"{stem}.wav").write_bytes(b"")
+    for split in ("train", "validation"):
+        want = ref.noise_list_preprocessed(str(tmp_path) + "/", split)
+        got = demand.noise_list_preprocessed(str(tmp_path), split)
+        assert set(got) == set(want)
+        for k in got:
+            assert os.path.basename(got[k]) == os.path.basename(want[k])
+    with pytest.raises(NotImplementedError):
+        demand.noise_list_preprocessed(str(tmp_path), "test")

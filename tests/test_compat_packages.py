@@ -1,0 +1,302 @@
+"""The repo-root ``packages/`` drop-in compat layer for reference user code.
+
+Reference users import the library as ``packages.*`` (its scripts do
+``sys.path.append('.')`` — reference training_M1.py:2); the shim resolves
+those imports against dvae_tpu with the reference's signatures/layouts.
+
+Every check runs in a SUBPROCESS with cwd=repo root: in-process, the name
+``packages`` is owned by the REFERENCE tree whenever an oracle test loaded
+it first (tests/_helpers.py purges/installs it), so importing the shim here
+would race with test ordering. A subprocess is exactly the reference user's
+situation anyway — a fresh interpreter run from the project root.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def run_shim(code: str) -> str:
+    # env JAX_PLATFORMS=cpu is NOT enough here: the axon sitecustomize
+    # force-registers the TPU platform over it. Pin in-process like
+    # tests/conftest.py, so these tests never ride (or depend on) the tunnel.
+    pin = ("import jax\n"
+           "jax.config.update('jax_platforms', 'cpu')\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run([sys.executable, "-c", pin + code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+    return res.stdout
+
+
+def test_stft_istft_reference_signature_roundtrip():
+    out = run_shim("""
+import numpy as np
+from packages.processing.stft import stft, istft
+from dvae_tpu.ops.stft import StftConfig, stft_to_host
+
+x = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+# reference production config (its scripts override the 50 ms defaults)
+S = stft(x, fs=16e3, wlen_sec=64e-3, win="hann", hop_percent=0.25,
+         center=False, pad_mode="reflect", pad_at_end=True)
+assert S.dtype == np.complex64 and S.shape[0] == 513, S.shape  # freq-major
+# same values as the native frames-major path, transposed
+cfg = StftConfig(fs=16000, wlen_sec=64e-3, hop_percent=0.25, center=False)
+native = stft_to_host(x, cfg)
+assert np.allclose(S, native.T, atol=1e-4)
+# round trip: interior exact, edges limited by the analysis window taper
+xr = istft(S, fs=16000, wlen_sec=64e-3, hop_percent=0.25, center=False,
+           max_len=len(x))
+assert xr.dtype == np.float32 and len(xr) == len(x)
+w = int(64e-3 * 16000)
+assert np.abs(xr[w:-w] - x[w:-w]).max() < 1e-3
+# non-integer window length raises like the reference (its stft.py:37)
+try:
+    stft(x, fs=16e3, wlen_sec=1e-4 / 3)
+except ValueError as e:
+    assert "integer" in str(e)
+else:
+    raise AssertionError("expected ValueError")
+# the torch-feeder variants raise with guidance
+from packages.processing.stft import stft_pytorch
+try:
+    stft_pytorch(x)
+except NotImplementedError as e:
+    assert "MIGRATING.md" in str(e)
+else:
+    raise AssertionError("expected NotImplementedError")
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_target_shims_reference_layouts():
+    out = run_shim("""
+import numpy as np
+from packages.processing.stft import stft
+from packages.processing.target import (
+    clean_speech_VAD, clean_speech_IBM, noise_robust_clean_speech_IBM,
+    noise_aware_IBM, threshold_IBM, _voiced_unvoiced_split_characteristic)
+
+rng = np.random.default_rng(1)
+t = np.arange(16000) / 16000.0
+x = (np.sin(2 * np.pi * 220 * t) * (t > 0.4)).astype(np.float32)
+x += 0.001 * rng.standard_normal(16000).astype(np.float32)
+vad = clean_speech_VAD(x, center=False, wlen_sec=64e-3, hop_percent=0.25)
+assert vad.shape[0] == 1 and vad.dtype == np.float32      # (1, frames) row
+assert set(np.unique(vad)) <= {0.0, 1.0}
+S = stft(x, wlen_sec=64e-3, hop_percent=0.25, center=False)
+ibm = clean_speech_IBM(S)
+assert ibm.shape == S.shape and ibm.dtype == np.float32   # freq-major
+nr = noise_robust_clean_speech_IBM(x, S, center=False, wlen_sec=64e-3,
+                                   hop_percent=0.25)
+assert nr.shape == S.shape
+assert (nr <= ibm).all()                                  # VAD only gates off
+v, u = _voiced_unvoiced_split_characteristic(513)
+assert v.shape == u.shape == (513,)
+assert np.allclose((v + u)[8:498], 1.0)   # interior: complementary split
+assert (v[:4] == 0).all() and (u[:150] == 0).all()  # edge zero regions
+sm, nm = noise_aware_IBM(np.abs(S).T, 0.1 * np.abs(S).T)  # (frames, bins) in
+assert sm.shape == (S.shape[1], S.shape[0]) and sm.dtype == bool
+tm = threshold_IBM(np.abs(S).T)
+assert tm.shape == (S.shape[1], S.shape[0])
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_metrics_utils_variational_shims():
+    out = run_shim("""
+import numpy as np
+from packages.metrics import (mean_confidence_interval, si_sdr_leroux,
+                              si_sdr_components, energy_ratios, compute_stats)
+from packages.utils import count_parameters, get_key
+from packages.models.variational import (DeterministicWarmup,
+                                         ImportanceWeightedSampler)
+
+m, h = mean_confidence_interval([1.0, 2.0, 3.0])
+assert m == 2.0 and h > 0                       # reference rounding applied
+rng = np.random.default_rng(2)
+s = rng.standard_normal(8000)
+n = 0.1 * rng.standard_normal(8000)
+assert si_sdr_leroux(s + 0.01 * n, s) > 20
+assert get_key({"a": 1, "b": 2}, 2) == "b"
+# count_parameters: torch path and flax-tree path both work
+import torch
+lin = torch.nn.Linear(3, 4)
+assert count_parameters(lin) == 3 * 4 + 4
+assert count_parameters({"w": np.zeros((3, 4)), "b": np.zeros(4)}) == 16
+w = DeterministicWarmup(n=4, t_max=1)
+assert [next(w) for _ in range(6)] == [0.25, 0.5, 0.75, 1.0, 1.0, 1.0]
+iw = ImportanceWeightedSampler(mc=2, iw=3)
+assert iw.resample(np.arange(5)).shape[0] == 30
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_dataset_shims_and_demand_defaults(tmp_path):
+    out = run_shim(f"""
+import numpy as np
+from packages.dataset import ntcd_timit, qut_database, demand_database
+
+# the reference's own module is unimportable (stale python.utils import);
+# the shim resolves and carries the full surface
+for mod, names in [
+    (ntcd_timit, ["speech_list", "video_list", "kaldi_list",
+                  "noisy_speech_dict", "noisy_clean_pair_dict",
+                  "proc_noisy_clean_pair_dict", "proc_video_audio_pair_dict"]),
+    (qut_database, ["noise_list", "preprocess_noise",
+                    "noise_list_preprocessed", "noise_segment"]),
+    (demand_database, ["noise_list", "preprocess_noise",
+                       "noise_list_preprocessed", "noise_segment"]),
+]:
+    for n in names:
+        assert callable(getattr(mod, n)), (mod.__name__, n)
+
+# DEMAND keeps the reference's dataset_type='test' DEFAULT, which the
+# reference crashes on (UnboundLocalError / root glob); here it raises
+for fn in (demand_database.noise_list, demand_database.noise_list_preprocessed):
+    try:
+        fn("{tmp_path}/")
+    except NotImplementedError:
+        pass
+    else:
+        raise AssertionError(f"expected NotImplementedError from {{fn}}")
+
+# preprocessed split dirs match the reference's (demand_database.py:99-105)
+import pathlib
+for split, d in [("train", "si_tr_s"), ("validation", "si_dt_05")]:
+    p = pathlib.Path("{tmp_path}") / d / "env"
+    p.mkdir(parents=True, exist_ok=True)
+    (p / f"a_{{split}}.wav").write_bytes(b"")
+    got = demand_database.noise_list_preprocessed("{tmp_path}/", split)
+    assert list(got) == [f"a_{{split}}"], got
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_hdf5_dataset_drop_in(subset_dir):
+    out = run_shim("""
+import numpy as np
+from packages.data_handling import HDF5CleanSpectrogramLabeledFrames
+
+ds = HDF5CleanSpectrogramLabeledFrames(
+    input_video_dir="/root/reference/data/subset/processed/",
+    dataset_name="ntcd_timit", dataset_type="train",
+    dataset_size="subset", labels="ibm_labels", upsampled=True)
+assert len(ds) > 0
+x, y = ds[0]                                   # torch CPU tensors, like ref
+import torch
+assert isinstance(x, torch.Tensor) and x.shape[0] == 513
+assert y.shape[0] == 513
+# matches the h5 column directly
+import h5py
+with h5py.File(ds.input_data_file, "r") as f:
+    assert np.allclose(x.numpy(), f["X_train"][..., 0])
+# wav-based sequence datasets raise with the native pointer
+from packages.data_handling import AudioVisualSequenceLabeledFrames
+try:
+    AudioVisualSequenceLabeledFrames("d", "n", "t", "s")
+except NotImplementedError as e:
+    assert "av_dataset" in str(e)
+else:
+    raise AssertionError("expected NotImplementedError")
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_model_guidance_errors_name_the_native():
+    out = run_shim("""
+# every torch-native reference symbol raises a pointed error naming its
+# dvae-tpu equivalent; unknown names raise AttributeError
+from packages.models import models, utils, distributions, variational, mcem
+
+cases = [
+    (models, "DeepGenerativeModel_v3", "CVAE_v3"),
+    (models, "VariationalAutoencoder", "dvae_tpu.models"),
+    (utils, "ikatura_saito_divergence", "itakura_saito_divergence"),
+    (utils, "U_loss", "losses"),
+    (distributions, "log_gaussian", "losses"),
+    (variational, "SVI", "svi_loss"),
+    (mcem, "MCEM_M1", "Enhancer"),
+]
+for mod, name, needle in cases:
+    try:
+        getattr(mod, name)
+    except NotImplementedError as e:
+        assert needle in str(e), (name, str(e))
+    else:
+        raise AssertionError(f"{mod.__name__}.{name} should raise")
+for mod in (models, utils, distributions, variational, mcem):
+    try:
+        mod.not_a_reference_symbol
+    except AttributeError:
+        pass
+    else:
+        raise AssertionError("unknown names must AttributeError")
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_visualization_shim_renders_reference_figures(tmp_path):
+    out = run_shim(f"""
+import numpy as np
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+from packages.processing.stft import stft
+from packages import visualization as V
+
+x = np.random.default_rng(3).standard_normal(8000).astype(np.float32)
+S = stft(x, wlen_sec=64e-3, hop_percent=0.25, center=False)
+mask = (np.abs(S) > np.abs(S).mean()).astype(np.float32)
+vad = mask[:1]                                  # (1, frames) row broadcast
+fig = V.display_wav_spectro_mask(x, S, vad)
+fig.savefig("{tmp_path}/wsm.png"); plt.close(fig)
+fig = V.display_multiple_signals([[x, S, mask], [None, S, None]])
+fig.savefig("{tmp_path}/multi.png"); plt.close(fig)
+fig = V.display_multiple_spectro([[x, 20 * np.log10(np.abs(S) + 1e-8)]])
+fig.savefig("{tmp_path}/spec.png"); plt.close(fig)
+plt.figure(); V.display_waveplot(x); plt.close("all")
+plt.figure(); V.display_spectrogram(S, convert_to_db=True); plt.close("all")
+plt.figure(); V.display_power_spectro(np.abs(S) ** 2); plt.close("all")
+import pathlib
+for f in ("wsm.png", "multi.png", "spec.png"):
+    assert (pathlib.Path("{tmp_path}") / f).stat().st_size > 0
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_shim_does_not_shadow_reference_oracles():
+    """In-process ordering hazard: importing the shim FIRST must not break a
+    later reference-oracle load (tests/_helpers.py purges and re-installs
+    ``packages`` pointing into /root/reference)."""
+    if not pathlib.Path("/root/reference/packages").exists():
+        pytest.skip("reference checkout not available")
+    out = run_shim("""
+import sys
+sys.path.insert(0, "tests")
+import packages.metrics                       # shim cached in sys.modules
+import _helpers
+_helpers.load_reference_module("packages/processing/target.py")
+import packages
+assert "/root/reference/packages" in packages.__path__[0], packages.__path__
+from packages.models import models as ref_models
+import inspect
+assert "nn.Module" in inspect.getsource(ref_models.VariationalAutoencoder)
+print("OK")
+""")
+    assert "OK" in out
