@@ -1,0 +1,383 @@
+"""Persistent enhancement service: warm compiled engine, micro-batched HTTP.
+
+Beyond-reference serving surface. The reference's deployment story is "run
+the eval script over the corpus tree" — a cold process per sweep
+(evaluate_ntcd_M1.py:222-259); `scripts/enhance_wav.py` gives dvae-tpu a
+one-shot CLI over arbitrary wavs, but every invocation still pays the cold
+jit compile (~minutes over a remote-attached chip). This module keeps ONE
+process bound to the chip with the compiled MCEM program warm and answers
+enhancement requests over plain HTTP (stdlib `http.server` — no framework
+dependencies).
+
+The TPU-serving shape:
+
+* **Micro-batching.** Concurrent requests are drained from a queue for up
+  to ``batch_window_ms`` and enhanced as one device batch — single
+  requests don't leave the MXU at batch-1 utilization when traffic
+  overlaps. The batch is padded to a FIXED ``batch_size`` with 1-frame
+  silent utterances, so the jitted program is keyed only by the frame
+  bucket (Enhancer pads frames to multiples of 64), not by how many
+  requests happened to coincide: a warm server never recompiles.
+* **Warmup.** ``EnhanceService.warmup()`` pushes dummy batches through the
+  chosen frame buckets at startup, paying every expected compile before
+  the first request arrives.
+* **Self-labeling.** Conditional models (v3/v4/v5) label requests with
+  their own x->y classifier on the mixture spectrogram, like
+  `enhance_wav.py --y-source self-soft`; ``ones``/``zeros`` are the
+  constant ablations. m2/m2v2 (no classifier) must be served with a
+  constant y_source.
+
+Wire protocol (see ``RequestHandler``):
+  POST /enhance?return=speech|noise|stereo&resample=1&y_source=...
+      body: a RIFF/WAVE file -> 200 with an audio/wav body (16 kHz PCM16;
+      stereo = channel 0 speech, channel 1 noise — they sum to the input
+      by the Wiener partition).
+  GET /healthz    -> {"status": "ok", ...}
+  GET /stats      -> request/batch/audio-seconds counters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
+from dvae_tpu.ops.stft import n_stft_frames_clamped, samples_for_frames
+
+_CLASSIFY_METHOD = {"v3": "classify", "v4": "classify_from_x",
+                    "v5": "classify_from_x"}
+_Y_SOURCES = ("self-soft", "ones", "zeros")
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    batch_size: int = 8            # fixed device batch (pad with silence)
+    batch_window_ms: float = 25.0  # max wait to fill a micro-batch
+    y_source: str = "self-soft"    # default labels for conditional models
+    y_dim: int = 1
+    seed: int = 0
+    max_audio_seconds: float = 600.0   # reject oversized requests up front
+    warmup_buckets: tuple = (64, 256)  # frame buckets to pre-compile
+
+
+class EnhanceService:
+    """Owns the Enhancer, the request queue, and the micro-batching worker.
+
+    ``model_class`` is the enhance_wav.py family name (m1/m2/m2v2/v3/v4/v5);
+    it decides label handling. Thread-safe: ``submit`` may be called from
+    any number of HTTP handler threads.
+    """
+
+    def __init__(self, model, params, model_class: str,
+                 enh_cfg: EnhancerConfig = EnhancerConfig(),
+                 cfg: ServeConfig = ServeConfig(), mesh=None):
+        if cfg.y_source not in _Y_SOURCES:
+            raise ValueError(f"bad y_source {cfg.y_source!r}")
+        self.model = model
+        self.params = params
+        self.model_class = model_class
+        self.cfg = cfg
+        self.enh_cfg = enh_cfg
+        self.conditional = model_class != "m1"
+        self.classify_method = _CLASSIFY_METHOD.get(model_class)
+        if (self.conditional and self.classify_method is None
+                and cfg.y_source == "self-soft"):
+            raise ValueError(f"{model_class} has no classifier; serve with "
+                             "y_source ones/zeros")
+        self.enhancer = Enhancer(model, params, enh_cfg, mesh=mesh)
+        self._q: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "failed": 0, "batches": 0,
+                      "utterances": 0, "audio_seconds": 0.0,
+                      "busy_seconds": 0.0}
+        self.started = time.time()
+        self.warm_buckets: list[int] = []
+        self._batch_counter = 0
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="enhance-worker")
+        self._worker.start()
+
+    # -- labels ---------------------------------------------------------------
+    def _labels_for(self, wav: np.ndarray, y_source: str) -> np.ndarray | None:
+        if not self.conditional:
+            return None
+        n = n_stft_frames_clamped(len(wav), self.enh_cfg.stft)
+        if y_source in ("ones", "zeros"):
+            return np.full((n, self.cfg.y_dim),
+                           1.0 if y_source == "ones" else 0.0, np.float32)
+        # self-soft: the model's own classifier on the NOISY mixture
+        # (eager jax — a tiny MLP, no jit compile to key on the length)
+        import jax.numpy as jnp
+
+        from dvae_tpu.ops.stft import power_spectrogram
+
+        x2 = power_spectrogram(jnp.asarray(wav, jnp.float32), self.enh_cfg.stft)
+        if self.enh_cfg.norm is not None:
+            mean, std = (jnp.asarray(a, jnp.float32).reshape(-1)
+                         for a in self.enh_cfg.norm)
+            x2 = (x2 - mean) / (std + self.enh_cfg.norm_eps)
+        y = self.model.apply(self.params, x2, method=self.classify_method)
+        return np.asarray(y, np.float32).reshape(-1, self.cfg.y_dim)
+
+    # -- request path ---------------------------------------------------------
+    def submit(self, wav: np.ndarray, y_source: str | None = None,
+               timeout: float = 900.0) -> tuple[np.ndarray, np.ndarray]:
+        """Enhance one waveform (float, 16 kHz). Blocks until its micro-batch
+        returns; raises on worker-side failure. Returns (s_hat, n_hat)."""
+        y_source = y_source or self.cfg.y_source
+        if y_source not in _Y_SOURCES:
+            raise ValueError(f"bad y_source {y_source!r}")
+        if self.conditional and y_source == "self-soft" \
+                and self.classify_method is None:
+            raise ValueError(f"{self.model_class} has no classifier; use "
+                             "y_source ones/zeros")
+        limit = self.cfg.max_audio_seconds * self.enh_cfg.stft.fs
+        if len(wav) > limit:
+            raise ValueError(f"request audio {len(wav) / self.enh_cfg.stft.fs:.1f}s"
+                             f" exceeds the {self.cfg.max_audio_seconds:.0f}s cap")
+        if len(wav) == 0:
+            raise ValueError("empty audio")
+        item = _Item(np.asarray(wav, np.float32), y_source)
+        self._q.put(item)
+        if not item.done.wait(timeout):
+            raise TimeoutError("enhancement timed out")
+        if item.error is not None:
+            raise item.error
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["audio_seconds"] += len(wav) / self.enh_cfg.stft.fs
+        return item.result
+
+    # -- worker ---------------------------------------------------------------
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.cfg.batch_window_ms / 1e3
+            while len(batch) < self.cfg.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._process(batch)
+
+    def _process(self, batch: list["_Item"]):
+        import jax
+
+        t0 = time.monotonic()
+        try:
+            wavs = [it.wav for it in batch]
+            ys = None
+            if self.conditional:
+                ys = [self._labels_for(it.wav, it.y_source) for it in batch]
+            # pad to the FIXED batch size with 1-frame silence so the jitted
+            # program's shape is (batch_size, bucket) — no recompile on the
+            # number of coinciding requests
+            n_pad = self.cfg.batch_size - len(batch)
+            if n_pad > 0:
+                silence = np.zeros(self.enh_cfg.stft.nfft, np.float32)
+                wavs = wavs + [silence] * n_pad
+                if ys is not None:
+                    ys = ys + [np.zeros((1, self.cfg.y_dim), np.float32)] * n_pad
+            with self._lock:
+                key_idx = self._batch_counter
+                self._batch_counter += 1
+            out = self.enhancer.enhance_batch(
+                wavs, ys,
+                key=jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed),
+                                       key_idx))
+            for it, (s, n) in zip(batch, out):
+                it.result = (s, n)
+                it.done.set()
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["utterances"] += len(batch)
+                self.stats["busy_seconds"] += time.monotonic() - t0
+        except Exception as e:  # surface to every waiter, keep serving
+            for it in batch:
+                it.error = e
+                it.done.set()
+            with self._lock:
+                self.stats["failed"] += len(batch)
+
+    # -- lifecycle --------------------------------------------------------------
+    def warmup(self, buckets=None):
+        """Compile the device program for each frame bucket before serving."""
+        buckets = tuple(buckets if buckets is not None else self.cfg.warmup_buckets)
+        for b in buckets:
+            t = samples_for_frames(int(b), self.enh_cfg.stft)
+            wav = np.zeros(t, np.float32)
+            self.submit(wav, "zeros" if (self.conditional and
+                                         self.classify_method is None)
+                        else None)
+            self.warm_buckets.append(int(b))
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+
+class _Item:
+    __slots__ = ("wav", "y_source", "done", "result", "error")
+
+    def __init__(self, wav, y_source):
+        self.wav = wav
+        self.y_source = y_source
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+# -- HTTP layer ----------------------------------------------------------------
+
+
+def _wav_bytes(channels: list[np.ndarray], fs: int) -> bytes:
+    """Float waveform(s) -> in-memory 16-bit PCM RIFF (io.write_wav contract:
+    scale by 32768, round-half-even, clip)."""
+    from scipy.io import wavfile
+
+    x = channels[0] if len(channels) == 1 else np.stack(channels, axis=-1)
+    pcm = np.clip(np.rint(np.asarray(x, np.float64) * 32768.0),
+                  -32768, 32767).astype(np.int16)
+    buf = _io.BytesIO()
+    wavfile.write(buf, fs, pcm)
+    return buf.getvalue()
+
+
+def _parse_wav_bytes(body: bytes) -> tuple[np.ndarray, int]:
+    """RIFF bytes -> (float64 mono samples in [-1, 1), rate). Multi-channel
+    inputs are downmixed like enhance_wav.py."""
+    from scipy.io import wavfile
+
+    from dvae_tpu.data.io import _PCM_SCALE
+
+    fs, data = wavfile.read(_io.BytesIO(body))
+    if data.dtype in _PCM_SCALE:
+        data = data.astype(np.float64) * _PCM_SCALE[data.dtype]
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float64) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float64)
+    if data.ndim > 1:
+        data = data.mean(axis=-1)
+    return data, int(fs)
+
+
+class RequestHandler(BaseHTTPRequestHandler):
+    """Bound to a service via ``make_server`` (class attribute injection)."""
+
+    service: EnhanceService = None  # set by make_server
+    max_content_length = 256 * 1024 * 1024
+    protocol_version = "HTTP/1.1"
+
+    # quiet by default; scripts/serve.py re-enables logging with --verbose
+    def log_message(self, fmt, *args):
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, code: int, obj):
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):
+        svc = self.service
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            import jax
+
+            self._json(200, {
+                "status": "ok",
+                "model_class": svc.model_class,
+                "platform": jax.devices()[0].platform,
+                "warm_buckets": svc.warm_buckets,
+                "uptime_seconds": round(time.time() - svc.started, 1),
+            })
+        elif path == "/stats":
+            with svc._lock:
+                stats = dict(svc.stats)
+            stats["rtf"] = (round(stats["busy_seconds"] / stats["audio_seconds"], 5)
+                            if stats["audio_seconds"] else None)
+            self._json(200, stats)
+        else:
+            self._json(404, {"error": f"unknown path {path}"})
+
+    def do_POST(self):
+        svc = self.service
+        url = urlparse(self.path)
+        if url.path != "/enhance":
+            self._json(404, {"error": f"unknown path {url.path}"})
+            return
+        q = parse_qs(url.query)
+        want = q.get("return", ["speech"])[0]
+        if want not in ("speech", "noise", "stereo"):
+            self._json(400, {"error": f"bad return={want!r}"})
+            return
+        y_source = q.get("y_source", [None])[0]
+        length = int(self.headers.get("Content-Length", 0))
+        if length <= 0:
+            self._json(400, {"error": "empty body (POST a RIFF/WAVE file)"})
+            return
+        if length > self.max_content_length:
+            self._json(413, {"error": "request too large"})
+            return
+        body = self.rfile.read(length)
+        try:
+            wav, fs = _parse_wav_bytes(body)
+        except Exception as e:
+            self._json(400, {"error": f"cannot parse wav: {e}"})
+            return
+        model_fs = svc.enh_cfg.stft.fs
+        if fs != model_fs:
+            if q.get("resample", ["0"])[0] not in ("1", "true"):
+                self._json(400, {"error": f"{fs} Hz != model rate {model_fs} "
+                                          "Hz (pass ?resample=1 to convert; "
+                                          "the response stays at the model "
+                                          "rate)"})
+                return
+            from math import gcd
+
+            from scipy.signal import resample_poly
+
+            g = gcd(fs, model_fs)
+            wav = resample_poly(wav, model_fs // g, fs // g)
+        try:
+            s, n = svc.submit(wav.astype(np.float32), y_source)
+        except (ValueError, TimeoutError) as e:
+            self._json(400, {"error": str(e)})
+            return
+        except Exception as e:
+            self._json(500, {"error": f"enhancement failed: {e}"})
+            return
+        chans = {"speech": [s], "noise": [n], "stereo": [s, n]}[want]
+        self._send(200, _wav_bytes(chans, model_fs), "audio/wav")
+
+
+def make_server(service: EnhanceService, host: str = "127.0.0.1",
+                port: int = 0, verbose: bool = False) -> ThreadingHTTPServer:
+    """A ThreadingHTTPServer bound to ``service`` (port 0 = auto-assign;
+    the chosen port is ``server.server_address[1]``). Call
+    ``serve_forever()`` (blocking) or drive it from a thread in tests."""
+    handler = type("BoundHandler", (RequestHandler,), {"service": service})
+    if verbose:
+        handler.log_message = BaseHTTPRequestHandler.log_message
+    return ThreadingHTTPServer((host, port), handler)

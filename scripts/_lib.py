@@ -273,3 +273,48 @@ def make_mesh_if(args):
 
         return make_mesh()
     return None
+
+
+def add_model_family(ap: argparse.ArgumentParser):
+    """Flags describing a trained model of any family — shared by the
+    serving surfaces (enhance_wav.py, serve.py), which take a checkpoint
+    directly instead of walking the corpus/models tree."""
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--model-dir", default=None,
+                    help="training output dir (best checkpoint auto-selected)")
+    ap.add_argument("--model-class", default="m1",
+                    choices=["m1", "m2", "m2v2", "v3", "v4", "v5"],
+                    help="m1 = unconditional VAE; m2/m2v2 = label-conditioned "
+                         "CVAEs; v3/v4/v5 = the M2-info families (own x->y "
+                         "classifier, so self-soft labels need no label input)")
+    ap.add_argument("--y-dim", type=int, default=1,
+                    help="label width for conditional classes (1=VAD, 513=IBM)")
+    ap.add_argument("--z-dim", type=int, default=16)
+    ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
+
+
+def load_family_model(args):
+    """(model, params, checkpoint_path) from the add_model_family flags.
+
+    Call after maybe_force_platform (first jax use binds the platform)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvae_tpu.models import (CVAE, CVAE_v2, CVAE_v3, CVAE_v4,
+                                 DisentangledVAE, VAE, init_params)
+    from dvae_tpu.train import checkpoint as ckpt
+
+    cls = {"m1": VAE, "m2": CVAE, "m2v2": CVAE_v2, "v3": CVAE_v3,
+           "v4": CVAE_v4, "v5": DisentangledVAE}[args.model_class]
+    if args.model_class != "m1":
+        model = cls(x_dim=513, y_dim=args.y_dim, z_dim=args.z_dim,
+                    h_dim=tuple(args.h_dim))
+        init_args = (jnp.ones((4, 513)), jnp.ones((4, args.y_dim)))
+    else:
+        model = cls(x_dim=513, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
+        init_args = (jnp.ones((4, 513)),)
+    params_t = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        *init_args)
+    path = args.checkpoint or ckpt.best_checkpoint(args.model_dir)
+    return model, ckpt.load_checkpoint(path, params_t), path

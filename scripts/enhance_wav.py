@@ -25,8 +25,8 @@ import argparse
 import os
 import pathlib
 
-from _lib import (add_mcem_budgets, make_mesh_if,
-                  maybe_force_platform, mcem_config_of)
+from _lib import (add_mcem_budgets, add_model_family, load_family_model,
+                  make_mesh_if, maybe_force_platform, mcem_config_of)
 
 
 def gather_inputs(paths):
@@ -51,18 +51,7 @@ def main():
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("inputs", nargs="+", help="wav files and/or directories "
                     "(searched recursively for *.wav)")
-    ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--model-dir", default=None,
-                    help="training output dir (best checkpoint auto-selected)")
-    ap.add_argument("--model-class", default="m1",
-                    choices=["m1", "m2", "m2v2", "v3", "v4", "v5"],
-                    help="m1 = unconditional VAE; m2/m2v2 = label-conditioned "
-                         "CVAEs; v3/v4/v5 = the M2-info families (own x->y "
-                         "classifier, so --y-source self-soft needs no labels)")
-    ap.add_argument("--y-dim", type=int, default=1,
-                    help="label width for conditional classes (1=VAD, 513=IBM)")
-    ap.add_argument("--z-dim", type=int, default=16)
-    ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
+    add_model_family(ap)
     add_mcem_budgets(ap)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--data-parallel", action="store_true",
@@ -111,25 +100,9 @@ def main():
 
     from dvae_tpu.data.io import read_wav, write_wav
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
-    from dvae_tpu.models import (CVAE, CVAE_v2, CVAE_v3, CVAE_v4,
-                                 DisentangledVAE, VAE, init_params)
     from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped, power_spectrogram
-    from dvae_tpu.train import checkpoint as ckpt
 
-    cls = {"m1": VAE, "m2": CVAE, "m2v2": CVAE_v2, "v3": CVAE_v3,
-           "v4": CVAE_v4, "v5": DisentangledVAE}[args.model_class]
-    if conditional:
-        model = cls(x_dim=513, y_dim=args.y_dim, z_dim=args.z_dim,
-                    h_dim=tuple(args.h_dim))
-        init_args = (jnp.ones((4, 513)), jnp.ones((4, args.y_dim)))
-    else:
-        model = cls(x_dim=513, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
-        init_args = (jnp.ones((4, 513)),)
-    params_t = init_params(
-        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        *init_args)
-    path = args.checkpoint or ckpt.best_checkpoint(args.model_dir)
-    params = ckpt.load_checkpoint(path, params_t)
+    model, params, path = load_family_model(args)
     print(f"loaded {path}")
 
     norm = None

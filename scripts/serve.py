@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Persistent enhancement server — the warm-engine deployment surface.
+
+`enhance_wav.py` is the one-shot CLI; every invocation pays the cold jit
+compile (~minutes over a remote-attached chip). This daemon binds the chip
+once, pre-compiles the MCEM program for the expected utterance-length
+buckets, then serves enhancement over plain HTTP with micro-batching:
+concurrent requests are merged into fixed-size device batches (padded with
+silence), so the compiled program is reused forever and overlapping
+traffic fills the MXU instead of running at batch-1. See
+dvae_tpu/serving.py for the protocol; the reference has no serving story
+at all (its eval scripts walk the corpus tree, evaluate_ntcd_M1.py).
+
+    python scripts/serve.py --model-dir models/ntcd_M1_... --port 8571
+    curl -s --data-binary @noisy.wav 'localhost:8571/enhance' > s_est.wav
+    curl -s --data-binary @noisy.wav 'localhost:8571/enhance?return=stereo' \\
+        > both.wav   # ch0 speech + ch1 noise, sums to the input
+    curl -s localhost:8571/healthz; curl -s localhost:8571/stats
+"""
+
+import argparse
+
+from _lib import (add_mcem_budgets, add_model_family, load_family_model,
+                  make_mesh_if, maybe_force_platform, mcem_config_of)
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_model_family(ap)
+    add_mcem_budgets(ap)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (0.0.0.0 to accept remote clients)")
+    ap.add_argument("--port", type=int, default=8571)
+    ap.add_argument("--batch-size", type=int, default=8,
+                    help="fixed device batch; concurrent requests micro-"
+                         "batch up to this, the rest is silence padding")
+    ap.add_argument("--batch-window-ms", type=float, default=25.0,
+                    help="max wait to fill a micro-batch before dispatching")
+    ap.add_argument("--y-source", default="self-soft",
+                    choices=["self-soft", "ones", "zeros"],
+                    help="default labels for conditional classes (per-request "
+                         "override via ?y_source=...)")
+    ap.add_argument("--std-norm", action="store_true",
+                    help="the model was trained with --std-norm; requires "
+                         "--norm-h5")
+    ap.add_argument("--norm-h5", default=None)
+    ap.add_argument("--warmup-buckets", type=int, nargs="*", default=[64, 256],
+                    help="frame buckets (multiples of 64) to pre-compile "
+                         "before accepting traffic; 64 frames = 1 s, 256 = "
+                         "4.1 s of audio. Empty = no warmup (first requests "
+                         "pay the compiles)")
+    ap.add_argument("--max-audio-seconds", type=float, default=600.0)
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each device batch over all visible devices")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--no-jit-cache", action="store_true")
+    ap.add_argument("--verbose", action="store_true",
+                    help="log every HTTP request")
+    args = ap.parse_args()
+    if not (args.checkpoint or args.model_dir):
+        ap.error("need --checkpoint or --model-dir")
+    if args.std_norm and not args.norm_h5:
+        ap.error("--std-norm requires --norm-h5")
+    if args.model_class in ("m2", "m2v2") and args.y_source == "self-soft":
+        ap.error(f"{args.model_class} has no classifier; use --y-source "
+                 "ones/zeros")
+    maybe_force_platform(args)
+
+    from dvae_tpu.enhance.pipeline import EnhancerConfig
+    from dvae_tpu.serving import EnhanceService, ServeConfig, make_server
+
+    model, params, path = load_family_model(args)
+    print(f"loaded {path}")
+
+    norm = None
+    if args.std_norm:
+        import h5py
+
+        with h5py.File(args.norm_h5, "r") as f:
+            norm = (f["X_train_mean"][:], f["X_train_std"][:])
+
+    y_mode = {"m1": "none", "m2": "enc_dec"}.get(args.model_class, "dec_only")
+    svc = EnhanceService(
+        model, params, args.model_class,
+        enh_cfg=EnhancerConfig(mcem=mcem_config_of(args), y_mode=y_mode,
+                               norm=norm),
+        cfg=ServeConfig(batch_size=args.batch_size,
+                        batch_window_ms=args.batch_window_ms,
+                        y_source=args.y_source, y_dim=args.y_dim,
+                        seed=args.seed,
+                        max_audio_seconds=args.max_audio_seconds,
+                        warmup_buckets=tuple(args.warmup_buckets)),
+        mesh=make_mesh_if(args))
+    if args.warmup_buckets:
+        print(f"warming {len(args.warmup_buckets)} bucket(s) "
+              "(cold compile — minutes on a remote-attached chip)...")
+        svc.warmup()
+        print(f"warm: {svc.warm_buckets}")
+
+    server = make_server(svc, args.host, args.port, verbose=args.verbose)
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          f"(model_class={args.model_class}, batch={args.batch_size}, "
+          f"window={args.batch_window_ms}ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        svc.close()
+
+
+if __name__ == "__main__":
+    main()

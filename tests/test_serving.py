@@ -1,0 +1,324 @@
+"""The persistent HTTP serving surface (dvae_tpu/serving.py, scripts/serve.py).
+
+Beyond-reference: the reference has no serving story (its eval scripts walk
+the corpus tree, evaluate_ntcd_M1.py:100-113). Contracts pinned here:
+
+* one warm compiled program: micro-batches are padded to the FIXED batch
+  size, so the jit cache is keyed only by the frame bucket;
+* the HTTP wire protocol (wav in -> wav out, stereo speech+noise partition,
+  resampling, error codes);
+* concurrent requests coalesce into shared device batches.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from dvae_tpu.enhance.mcem import McemConfig
+from dvae_tpu.enhance.pipeline import EnhancerConfig
+from dvae_tpu.models import CVAE_v3, VAE, init_params
+from dvae_tpu.serving import EnhanceService, ServeConfig, make_server
+
+QUICK_MCEM = McemConfig(niter=3, nsamples_e_step=2, burnin_e_step=2,
+                        nsamples_wf=3, burnin_wf=3)
+
+
+def _noisy_wav(seconds=0.6, fs=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * fs)) / fs
+    x = 0.4 * np.sin(2 * np.pi * 210 * t) + 0.1 * rng.standard_normal(len(t))
+    return x.astype(np.float32)
+
+
+def _wav_body(x, fs=16000):
+    buf = io.BytesIO()
+    pcm = np.clip(np.rint(np.asarray(x, np.float64) * 32768.0),
+                  -32768, 32767).astype(np.int16)
+    wavfile.write(buf, fs, pcm)
+    return buf.getvalue()
+
+
+def _post(url, body, timeout=300):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+@pytest.fixture(scope="module")
+def m1_service():
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(
+        model, params, "m1",
+        enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=4, batch_window_ms=40.0,
+                        max_audio_seconds=30.0, warmup_buckets=(64,)))
+    svc.warmup()
+    yield svc
+    svc.close()
+
+
+@pytest.fixture(scope="module")
+def server(m1_service):
+    srv = make_server(m1_service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_http_enhance_roundtrip_and_partition(server):
+    x = _noisy_wav()
+    status, ctype, body = _post(f"{server}/enhance?return=stereo",
+                                _wav_body(x))
+    assert status == 200 and ctype == "audio/wav"
+    fs, data = wavfile.read(io.BytesIO(body))
+    assert fs == 16000 and data.dtype == np.int16
+    assert data.shape == (len(x), 2)  # ch0 speech, ch1 noise, input length
+    s, n = data[:, 0] / 32768.0, data[:, 1] / 32768.0
+    # Wiener partition: s + n reconstructs the input (PCM16 wire: ~1e-3)
+    resid = np.abs((s + n) - x)[: len(x) - 1024]
+    assert np.median(resid) < 5e-3, np.median(resid)
+    # speech-only and noise-only responses are the stereo channels
+    _, _, sp = _post(f"{server}/enhance", _wav_body(x))
+    _, sp_data = wavfile.read(io.BytesIO(sp))
+    assert sp_data.ndim == 1 and len(sp_data) == len(x)
+
+
+def test_http_resample_and_errors(server):
+    # wrong rate without ?resample=1 -> 400 with a pointed message
+    x8k = _noisy_wav(fs=8000)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/enhance", _wav_body(x8k, fs=8000))
+    assert ei.value.code == 400
+    assert b"resample" in ei.value.read()
+    # with ?resample=1 the response is at the model rate, 2x the samples
+    status, _, body = _post(f"{server}/enhance?resample=1",
+                            _wav_body(x8k, fs=8000))
+    assert status == 200
+    fs, data = wavfile.read(io.BytesIO(body))
+    assert fs == 16000 and abs(len(data) - 2 * len(x8k)) <= 2
+    # garbage body -> 400, not a crashed worker
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/enhance", b"not a wav file at all")
+    assert ei.value.code == 400
+    # over the audio-length cap -> 400 naming the cap
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/enhance", _wav_body(np.zeros(16000 * 31, np.float32)))
+    assert ei.value.code == 400 and b"cap" in ei.value.read()
+    # bad return selector / unknown path
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/enhance?return=sidechannel", _wav_body(_noisy_wav()))
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/nope", _wav_body(_noisy_wav()))
+    assert ei.value.code == 404
+
+
+def test_healthz_and_stats(server, m1_service):
+    with urllib.request.urlopen(f"{server}/healthz", timeout=60) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["model_class"] == "m1"
+    assert h["warm_buckets"] == [64]  # warmup compiled before serving
+    with urllib.request.urlopen(f"{server}/stats", timeout=60) as r:
+        st = json.loads(r.read())
+    assert st["requests"] >= 1 and st["batches"] >= 1
+    assert st["audio_seconds"] > 0 and st["rtf"] is not None
+
+
+def test_concurrent_requests_microbatch(server, m1_service):
+    """Parallel clients coalesce: utterances advance by 4, batches by <4."""
+    with m1_service._lock:
+        before = dict(m1_service.stats)
+    xs = [_noisy_wav(seed=i) for i in range(4)]
+    results = [None] * 4
+    errors = []
+
+    def post(i):
+        try:
+            results[i] = _post(f"{server}/enhance", _wav_body(xs[i]))
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert all(r is not None and r[0] == 200 for r in results)
+    with m1_service._lock:
+        after = dict(m1_service.stats)
+    assert after["utterances"] - before["utterances"] == 4
+    # at least one batch carried more than one request (40 ms window;
+    # requests were fired concurrently against a warm engine)
+    assert after["batches"] - before["batches"] < 4
+
+
+def test_fixed_batch_shape_means_one_compile(m1_service):
+    """Same frame bucket, different request counts -> the SAME jitted shape
+    (the padding contract that keeps a warm server from recompiling)."""
+    svc = m1_service
+    core = svc.enhancer._core
+    # jax caches jit signatures; count distinct (shape, n_frames) seen via
+    # the cache size before/after
+    before = core._cache_size()
+    svc.submit(_noisy_wav(seconds=0.3, seed=7))          # 1 request
+    mid = core._cache_size()
+    outs = [svc.submit(_noisy_wav(seconds=0.35, seed=i)) for i in (8, 9)]
+    after = core._cache_size()
+    assert all(np.isfinite(s).all() for s, _ in outs)
+    # 0.3 s and 0.35 s both land in the 64-frame bucket, batch always
+    # padded to 4 -> no new compile after the first bucket visit (which
+    # warmup already paid: before == mid == after)
+    assert before == mid == after
+
+
+def test_conditional_self_soft_service():
+    """v3 serves with its own classifier labels; ones/zeros also work."""
+    model = CVAE_v3(x_dim=513, y_dim=1, z_dim=4, h_dim=(16, 16))
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32), np.ones((4, 1), np.float32))
+    svc = EnhanceService(
+        model, params, "v3",
+        enh_cfg=EnhancerConfig(mcem=QUICK_MCEM, y_mode="dec_only"),
+        cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                        warmup_buckets=()))
+    try:
+        x = _noisy_wav(seconds=0.4)
+        for src in ("self-soft", "ones", "zeros"):
+            s, n = svc.submit(x, src)
+            assert s.shape == x.shape and np.isfinite(s).all()
+            resid = np.abs((s + n) - x)[: len(x) - 1024]
+            assert np.median(resid) < 5e-3
+    finally:
+        svc.close()
+
+
+def test_worker_survives_bad_batch():
+    """A failing batch reports the error to its waiters and keeps serving."""
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(model, params, "m1",
+                         enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+                         cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                                         max_audio_seconds=30.0,
+                                         warmup_buckets=()))
+    try:
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros(0, np.float32))  # rejected up front
+        s, n = svc.submit(_noisy_wav(seconds=0.3))
+        assert np.isfinite(s).all()
+        with svc._lock:
+            assert svc.stats["requests"] >= 1
+    finally:
+        svc.close()
+
+
+def test_m2_requires_constant_labels():
+    model = CVAE_v3(x_dim=513, y_dim=1, z_dim=4, h_dim=(16, 16))
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32), np.ones((4, 1), np.float32))
+    with pytest.raises(ValueError, match="no classifier"):
+        EnhanceService(model, params, "m2v2",
+                       enh_cfg=EnhancerConfig(mcem=QUICK_MCEM,
+                                              y_mode="dec_only"),
+                       cfg=ServeConfig(warmup_buckets=()))
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    """scripts/serve.py boots from a checkpoint, serves a request, shuts
+    down cleanly (subprocess, CPU-pinned like the other CLI chains)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    import time
+
+    from dvae_tpu.train.checkpoint import save_checkpoint
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    save_checkpoint(tmp_path, "M1_epoch_001_vloss_1.00", params)
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, str(repo / "scripts/serve.py"),
+         "--checkpoint", str(tmp_path / "M1_epoch_001_vloss_1.00.msgpack"),
+         "--z-dim", "4", "--h-dim", "16", "16",
+         "--niter", "3", "--nsamples-e-step", "2", "--burnin-e-step", "2",
+         "--nsamples-wf", "3", "--burnin-wf", "3",
+         "--batch-size", "2", "--port", "0", "--warmup-buckets", "64",
+         "--platform", "cpu"],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        # parse the bound port from the startup line
+        url, deadline = None, time.time() + 240
+        lines = []
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                assert proc.poll() is None, "".join(lines)
+                continue
+            lines.append(line)
+            if line.startswith("serving on "):
+                url = line.split()[2]
+                break
+        assert url, "".join(lines)
+        status, ctype, body = _post(f"{url}/enhance?return=stereo",
+                                    _wav_body(_noisy_wav()), timeout=120)
+        assert status == 200 and ctype == "audio/wav"
+        fs, data = wavfile.read(io.BytesIO(body))
+        assert fs == 16000 and data.shape[1] == 2
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["warm_buckets"] == [64]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_service_on_device_mesh():
+    """Multi-chip serving: the service's fixed batch shards over a data
+    mesh (the deployment shape for a pod host — requests micro-batch, the
+    batch splits over ICI). Results keep every per-request contract."""
+    from dvae_tpu.parallel import make_mesh
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(
+        model, params, "m1",
+        enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=8, batch_window_ms=5.0,
+                        warmup_buckets=()),
+        mesh=make_mesh(8))
+    try:
+        x = _noisy_wav(seconds=0.5)
+        s, n = svc.submit(x)   # 1 request -> padded to the 8-way batch
+        assert s.shape == x.shape and np.isfinite(s).all()
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+    finally:
+        svc.close()
