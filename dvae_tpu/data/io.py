@@ -51,6 +51,20 @@ def read_wav(path) -> tuple[np.ndarray, int]:
     return data, int(fs)
 
 
+def resample(x: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
+    """Polyphase resample ``x`` from ``fs_in`` to ``fs_out`` Hz
+    (``scipy.signal.resample_poly`` at the reduced up/down ratio). Shared
+    by every serving surface that accepts non-model-rate audio."""
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    if fs_in == fs_out:
+        return x
+    g = gcd(int(fs_in), int(fs_out))
+    return resample_poly(x, int(fs_out) // g, int(fs_in) // g)
+
+
 def write_wav(path, data: np.ndarray, fs: int) -> None:
     """Write float samples as 16-bit PCM (libsndfile float->PCM_16 contract:
     scale by 32768 then lrint — round to nearest, ties to even — not floor,

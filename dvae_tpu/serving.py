@@ -49,11 +49,11 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from dvae_tpu.enhance.labeling import (classify_method_of, constant_labels,
+                                       self_soft_labels)
 from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
 from dvae_tpu.ops.stft import n_stft_frames_clamped, samples_for_frames
 
-_CLASSIFY_METHOD = {"v3": "classify", "v4": "classify_from_x",
-                    "v5": "classify_from_x"}
 _Y_SOURCES = ("self-soft", "ones", "zeros")
 
 
@@ -87,7 +87,7 @@ class EnhanceService:
         self.cfg = cfg
         self.enh_cfg = enh_cfg
         self.conditional = model_class != "m1"
-        self.classify_method = _CLASSIFY_METHOD.get(model_class)
+        self.classify_method = classify_method_of(model_class)
         if (self.conditional and self.classify_method is None
                 and cfg.y_source == "self-soft"):
             raise ValueError(f"{model_class} has no classifier; serve with "
@@ -97,7 +97,7 @@ class EnhanceService:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "failed": 0, "batches": 0,
                       "utterances": 0, "audio_seconds": 0.0,
-                      "busy_seconds": 0.0}
+                      "busy_seconds": 0.0, "warmup_seconds": 0.0}
         self.started = time.time()
         self.warm_buckets: list[int] = []
         self._batch_counter = 0
@@ -107,30 +107,29 @@ class EnhanceService:
         self._worker.start()
 
     # -- labels ---------------------------------------------------------------
-    def _labels_for(self, wav: np.ndarray, y_source: str) -> np.ndarray | None:
-        if not self.conditional:
-            return None
-        n = n_stft_frames_clamped(len(wav), self.enh_cfg.stft)
-        if y_source in ("ones", "zeros"):
-            return np.full((n, self.cfg.y_dim),
-                           1.0 if y_source == "ones" else 0.0, np.float32)
-        # self-soft: the model's own classifier on the NOISY mixture
-        # (eager jax — a tiny MLP, no jit compile to key on the length)
-        import jax.numpy as jnp
-
-        from dvae_tpu.ops.stft import power_spectrogram
-
-        x2 = power_spectrogram(jnp.asarray(wav, jnp.float32), self.enh_cfg.stft)
-        if self.enh_cfg.norm is not None:
-            mean, std = (jnp.asarray(a, jnp.float32).reshape(-1)
-                         for a in self.enh_cfg.norm)
-            x2 = (x2 - mean) / (std + self.enh_cfg.norm_eps)
-        y = self.model.apply(self.params, x2, method=self.classify_method)
-        return np.asarray(y, np.float32).reshape(-1, self.cfg.y_dim)
+    def _labels_for_batch(self, batch: list["_Item"]) -> list[np.ndarray]:
+        """Per-item (n_frames, y_dim) labels: constants per item; every
+        self-soft item answered by ONE batched classifier call
+        (labeling.self_soft_labels — shared with scripts/enhance_wav.py)."""
+        ys: list = [None] * len(batch)
+        soft = [i for i, it in enumerate(batch) if it.y_source == "self-soft"]
+        for i, it in enumerate(batch):
+            if it.y_source in ("ones", "zeros"):
+                n = n_stft_frames_clamped(len(it.wav), self.enh_cfg.stft)
+                ys[i] = constant_labels(n, self.cfg.y_dim, it.y_source)
+        if soft:
+            labels = self_soft_labels(
+                self.model, self.params, [batch[i].wav for i in soft],
+                self.enh_cfg.stft, self.cfg.y_dim, self.classify_method,
+                norm=self.enh_cfg.norm, norm_eps=self.enh_cfg.norm_eps)
+            for i, lab in zip(soft, labels):
+                ys[i] = lab
+        return ys
 
     # -- request path ---------------------------------------------------------
     def submit(self, wav: np.ndarray, y_source: str | None = None,
-               timeout: float = 900.0) -> tuple[np.ndarray, np.ndarray]:
+               timeout: float = 900.0,
+               _count_stats: bool = True) -> tuple[np.ndarray, np.ndarray]:
         """Enhance one waveform (float, 16 kHz). Blocks until its micro-batch
         returns; raises on worker-side failure. Returns (s_hat, n_hat)."""
         y_source = y_source or self.cfg.y_source
@@ -146,15 +145,21 @@ class EnhanceService:
                              f" exceeds the {self.cfg.max_audio_seconds:.0f}s cap")
         if len(wav) == 0:
             raise ValueError("empty audio")
-        item = _Item(np.asarray(wav, np.float32), y_source)
+        item = _Item(np.asarray(wav, np.float32), y_source, _count_stats)
         self._q.put(item)
         if not item.done.wait(timeout):
-            raise TimeoutError("enhancement timed out")
+            # mark abandoned so the worker drops it instead of burning a
+            # device batch for a waiter that already gave up — exactly the
+            # overload situation that caused the timeout
+            item.abandoned = True
+            raise TimeoutError("enhancement timed out (server overloaded "
+                               "or device stalled)")
         if item.error is not None:
             raise item.error
-        with self._lock:
-            self.stats["requests"] += 1
-            self.stats["audio_seconds"] += len(wav) / self.enh_cfg.stft.fs
+        if _count_stats:
+            with self._lock:
+                self.stats["requests"] += 1
+                self.stats["audio_seconds"] += len(wav) / self.enh_cfg.stft.fs
         return item.result
 
     # -- worker ---------------------------------------------------------------
@@ -174,7 +179,9 @@ class EnhanceService:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._process(batch)
+            batch = [it for it in batch if not it.abandoned]
+            if batch:
+                self._process(batch)
 
     def _process(self, batch: list["_Item"]):
         import jax
@@ -184,7 +191,7 @@ class EnhanceService:
             wavs = [it.wav for it in batch]
             ys = None
             if self.conditional:
-                ys = [self._labels_for(it.wav, it.y_source) for it in batch]
+                ys = self._labels_for_batch(batch)
             # pad to the FIXED batch size with 1-frame silence so the jitted
             # program's shape is (batch_size, bucket) — no recompile on the
             # number of coinciding requests
@@ -204,16 +211,23 @@ class EnhanceService:
             for it, (s, n) in zip(batch, out):
                 it.result = (s, n)
                 it.done.set()
+            # warmup batches (count=False) are tracked separately so the
+            # cold jit compiles never pollute the serving rtf/throughput
+            # counters an operator or autoscaler reads from /stats
+            counted = [it for it in batch if it.count]
             with self._lock:
-                self.stats["batches"] += 1
-                self.stats["utterances"] += len(batch)
-                self.stats["busy_seconds"] += time.monotonic() - t0
+                if counted:
+                    self.stats["batches"] += 1
+                    self.stats["utterances"] += len(counted)
+                    self.stats["busy_seconds"] += time.monotonic() - t0
+                else:
+                    self.stats["warmup_seconds"] += time.monotonic() - t0
         except Exception as e:  # surface to every waiter, keep serving
             for it in batch:
                 it.error = e
                 it.done.set()
             with self._lock:
-                self.stats["failed"] += len(batch)
+                self.stats["failed"] += sum(1 for it in batch if it.count)
 
     # -- lifecycle --------------------------------------------------------------
     def warmup(self, buckets=None):
@@ -224,7 +238,7 @@ class EnhanceService:
             wav = np.zeros(t, np.float32)
             self.submit(wav, "zeros" if (self.conditional and
                                          self.classify_method is None)
-                        else None)
+                        else None, _count_stats=False)
             self.warm_buckets.append(int(b))
 
     def close(self):
@@ -233,46 +247,41 @@ class EnhanceService:
 
 
 class _Item:
-    __slots__ = ("wav", "y_source", "done", "result", "error")
+    __slots__ = ("wav", "y_source", "done", "result", "error", "count",
+                 "abandoned")
 
-    def __init__(self, wav, y_source):
+    def __init__(self, wav, y_source, count=True):
         self.wav = wav
         self.y_source = y_source
         self.done = threading.Event()
         self.result = None
         self.error = None
+        self.count = count        # False for warmup traffic (stats-exempt)
+        self.abandoned = False    # set by a timed-out waiter; worker drops it
 
 
 # -- HTTP layer ----------------------------------------------------------------
 
 
 def _wav_bytes(channels: list[np.ndarray], fs: int) -> bytes:
-    """Float waveform(s) -> in-memory 16-bit PCM RIFF (io.write_wav contract:
-    scale by 32768, round-half-even, clip)."""
-    from scipy.io import wavfile
+    """Float waveform(s) -> in-memory 16-bit PCM RIFF. Delegates to
+    data.io.write_wav (scipy accepts file-like targets), so the PCM
+    quantization contract has exactly one implementation."""
+    from dvae_tpu.data.io import write_wav
 
     x = channels[0] if len(channels) == 1 else np.stack(channels, axis=-1)
-    pcm = np.clip(np.rint(np.asarray(x, np.float64) * 32768.0),
-                  -32768, 32767).astype(np.int16)
     buf = _io.BytesIO()
-    wavfile.write(buf, fs, pcm)
+    write_wav(buf, x, fs)
     return buf.getvalue()
 
 
 def _parse_wav_bytes(body: bytes) -> tuple[np.ndarray, int]:
-    """RIFF bytes -> (float64 mono samples in [-1, 1), rate). Multi-channel
-    inputs are downmixed like enhance_wav.py."""
-    from scipy.io import wavfile
+    """RIFF bytes -> (float64 mono samples in [-1, 1), rate) via
+    data.io.read_wav; multi-channel inputs are downmixed like
+    enhance_wav.py."""
+    from dvae_tpu.data.io import read_wav
 
-    from dvae_tpu.data.io import _PCM_SCALE
-
-    fs, data = wavfile.read(_io.BytesIO(body))
-    if data.dtype in _PCM_SCALE:
-        data = data.astype(np.float64) * _PCM_SCALE[data.dtype]
-    elif data.dtype == np.uint8:
-        data = (data.astype(np.float64) - 128.0) / 128.0
-    else:
-        data = data.astype(np.float64)
+    data, fs = read_wav(_io.BytesIO(body))
     if data.ndim > 1:
         data = data.mean(axis=-1)
     return data, int(fs)

@@ -95,12 +95,13 @@ def main():
     maybe_force_platform(args)
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from dvae_tpu.data.io import read_wav, write_wav
+    from dvae_tpu.data.io import read_wav, resample, write_wav
+    from dvae_tpu.enhance.labeling import (classify_method_of, constant_labels,
+                                           self_soft_labels)
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
-    from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped, power_spectrogram
+    from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped
 
     model, params, path = load_family_model(args)
     print(f"loaded {path}")
@@ -113,48 +114,31 @@ def main():
             norm = (f["X_train_mean"][:], f["X_train_std"][:])
 
     stft_cfg = StftConfig()
-    classify_method = {"v3": "classify", "v4": "classify_from_x",
-                       "v5": "classify_from_x"}.get(args.model_class)
+    classify_method = classify_method_of(args.model_class)
 
     def load_input(p):
         x, fs = read_wav(p)
         if x.ndim > 1:
             x = x.mean(axis=-1)  # downmix multi-channel
-        if fs != stft_cfg.fs:
-            if not args.resample:
-                raise SystemExit(
-                    f"{p}: {fs} Hz != model rate {stft_cfg.fs} Hz "
-                    "(pass --resample to convert)")
-            from math import gcd
-
-            from scipy.signal import resample_poly
-
-            g = gcd(fs, stft_cfg.fs)
-            x = resample_poly(x, stft_cfg.fs // g, fs // g)
-        return x.astype(np.float32)
+        if fs != stft_cfg.fs and not args.resample:
+            raise SystemExit(f"{p}: {fs} Hz != model rate {stft_cfg.fs} Hz "
+                             "(pass --resample to convert)")
+        return resample(x, fs, stft_cfg.fs).astype(np.float32)
 
     def labels_for(p, x):
-        if not conditional:
-            return None
+        """Per-file labels for the constant/npy sources (self-soft is
+        answered per BATCH by labeling.self_soft_labels — one classifier
+        call per chunk instead of one per utterance)."""
         n = n_stft_frames_clamped(len(x), stft_cfg)  # already floored at 1
         if args.y_source in ("ones", "zeros"):
-            return np.full((n, args.y_dim),
-                           1.0 if args.y_source == "ones" else 0.0, np.float32)
-        if args.y_source == "npy":
-            side = p.with_name(p.stem + "_y.npy")
-            if not side.exists():
-                raise SystemExit(f"--y-source npy: {side} not found")
-            y = np.load(side).astype(np.float32).reshape(-1, args.y_dim)
-            if len(y) < n:
-                raise SystemExit(f"{side}: {len(y)} labels < {n} frames")
-            return y[:n]
-        # self-soft: the model's own classifier on the NOISY mixture
-        x2 = power_spectrogram(jnp.asarray(x), stft_cfg)
-        if norm is not None:
-            mean, std = (jnp.asarray(a, jnp.float32).reshape(-1) for a in norm)
-            x2 = (x2 - mean) / (std + 1e-8)
-        y = model.apply(params, x2, method=classify_method)
-        return np.asarray(y, np.float32).reshape(-1, args.y_dim)
+            return constant_labels(n, args.y_dim, args.y_source)
+        side = p.with_name(p.stem + "_y.npy")
+        if not side.exists():
+            raise SystemExit(f"--y-source npy: {side} not found")
+        y = np.load(side).astype(np.float32).reshape(-1, args.y_dim)
+        if len(y) < n:
+            raise SystemExit(f"{side}: {len(y)} labels < {n} frames")
+        return y[:n]
 
     y_mode = {"m1": "none", "m2": "enc_dec"}.get(args.model_class, "dec_only")
     enh = Enhancer(model, params, EnhancerConfig(
@@ -206,8 +190,15 @@ def main():
     def batches():
         for chunk in chunks:
             wavs = [load_input(files[i]) for i in chunk]
-            ys = [labels_for(files[i], w)
-                  for i, w in zip(chunk, wavs)] if conditional else None
+            ys = None
+            if conditional:
+                if args.y_source == "self-soft":
+                    ys = self_soft_labels(model, params, wavs, stft_cfg,
+                                          args.y_dim, classify_method,
+                                          norm=norm)
+                else:
+                    ys = [labels_for(files[i], w)
+                          for i, w in zip(chunk, wavs)]
             yield wavs, ys, None
 
     n_done = 0

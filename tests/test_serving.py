@@ -208,6 +208,94 @@ def test_conditional_self_soft_service():
         svc.close()
 
 
+def test_self_soft_labels_batched_matches_per_utterance():
+    """labeling.self_soft_labels: ONE padded batched classifier call over a
+    ragged list equals per-utterance eager calls exactly (the zero pad to
+    the longest wav is indistinguishable from the STFT's own zero end-pad,
+    and the frame-wise classifier's padded tail is sliced off)."""
+    import jax.numpy as jnp
+
+    from dvae_tpu.enhance.labeling import self_soft_labels
+    from dvae_tpu.ops.stft import StftConfig, power_spectrogram
+
+    model = CVAE_v3(x_dim=513, y_dim=1, z_dim=4, h_dim=(16, 16))
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32), np.ones((4, 1), np.float32))
+    cfg = StftConfig()
+    wavs = [_noisy_wav(seconds=s, seed=i)
+            for i, s in enumerate((0.31, 0.62, 0.45))]
+    rng = np.random.default_rng(3)
+    norm = (rng.standard_normal(513).astype(np.float32) * 0.1,
+            1.0 + 0.1 * rng.random(513).astype(np.float32))
+
+    for nrm in (None, norm):
+        batched = self_soft_labels(model, params, wavs, cfg, 1,
+                                   "classify", norm=nrm)
+        for w, yb in zip(wavs, batched):
+            x2 = power_spectrogram(jnp.asarray(w, jnp.float32), cfg)
+            if nrm is not None:
+                x2 = (x2 - nrm[0].reshape(-1)) / (nrm[1].reshape(-1) + 1e-8)
+            y1 = np.asarray(model.apply(params, x2, method="classify"),
+                            np.float32).reshape(-1, 1)
+            assert yb.shape == y1.shape
+            np.testing.assert_allclose(yb, y1, rtol=0, atol=1e-6)
+
+
+def test_warmup_traffic_is_stats_exempt():
+    """Cold-compile warmup batches land in warmup_seconds, never in the
+    request/throughput counters an autoscaler reads from /stats."""
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(model, params, "m1",
+                         enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+                         cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                                         warmup_buckets=(64,)))
+    try:
+        svc.warmup()
+        with svc._lock:
+            st = dict(svc.stats)
+        assert st["requests"] == 0 and st["utterances"] == 0
+        assert st["batches"] == 0 and st["busy_seconds"] == 0.0
+        assert st["warmup_seconds"] > 0.0
+        svc.submit(_noisy_wav(seconds=0.3))
+        with svc._lock:
+            st = dict(svc.stats)
+        assert st["requests"] == 1 and st["batches"] == 1
+        assert st["busy_seconds"] > 0.0
+    finally:
+        svc.close()
+
+
+def test_abandoned_items_are_dropped():
+    """A waiter that timed out marks its item abandoned; the worker skips it
+    (no device batch burnt for a client that already gave up) while live
+    items keep being served."""
+    from dvae_tpu.serving import _Item
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(model, params, "m1",
+                         enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+                         cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                                         warmup_buckets=()))
+    try:
+        ghost = _Item(_noisy_wav(seconds=0.3, seed=5), None)
+        ghost.abandoned = True
+        svc._q.put(ghost)
+        s, _ = svc.submit(_noisy_wav(seconds=0.3, seed=6))
+        assert np.isfinite(s).all()
+        assert not ghost.done.is_set()  # never processed, never answered
+        with svc._lock:
+            assert svc.stats["utterances"] == 1
+    finally:
+        svc.close()
+
+
 def test_worker_survives_bad_batch():
     """A failing batch reports the error to its waiters and keeps serving."""
     model = VAE(h_dim=(16, 16), z_dim=4)
