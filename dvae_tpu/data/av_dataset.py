@@ -22,6 +22,30 @@ import numpy as np
 from dvae_tpu.data.io import read_wav
 
 
+class VideoDataset:
+    """Per-utterance (video (N, 67, 67), labels (N,)) pairs — the video-only
+    VAD training set (models/video_vad.VideoVad). ``pairs`` is a list of
+    (video_h5_path, label_h5_path); video and labels are trimmed to the
+    common frame count like the AV loader (reference data_handling.py:321-324)."""
+
+    def __init__(self, pairs):
+        self.pairs = [(pathlib.Path(v), pathlib.Path(l)) for v, l in pairs]
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, i):
+        video_path, label_path = self.pairs[i]
+        with h5py.File(video_path, "r") as f:
+            v = f["X"][:]  # (67, 67, n_frames)
+        v = np.ascontiguousarray(np.moveaxis(v, -1, 0), dtype=np.float32)
+        with h5py.File(label_path, "r") as f:
+            y = f["Y"][:]  # (y_dim, n_frames)
+        y = np.ascontiguousarray(y.T, dtype=np.float32)
+        n = min(v.shape[0], y.shape[0])
+        return v[:n], y[:n]
+
+
 class AudioVisualDataset:
     """Per-utterance (waveform, video (N, 67, 67), labels (N, y_dim)) triples.
 

@@ -22,6 +22,14 @@ subtree (or at ``<out>`` itself — the recursive lookup picks
 deterministically). ``--source clean`` predicts once per utterance from the
 clean wav, matching the one-file-per-utterance layout of the reference's
 video classifier exactly.
+
+``--modality`` selects the classifier family: ``audio`` (default, a
+train_audio_net.py checkpoint over the wavs), ``video`` (a
+train_video_net.py checkpoint over the lip h5s — THE reference setup: its
+consumed labels came from a video classifier, README.md:6; one prediction
+per utterance, clean layout), or ``av`` (a train_video_net.py
+--modality av checkpoint over noisy-audio+video pairs; per-condition noisy
+layout).
 """
 
 import argparse
@@ -38,12 +46,24 @@ def main():
                          "auto-selected)")
     ap.add_argument("--checkpoint", default=None,
                     help="explicit checkpoint path (overrides --model-dir)")
-    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--modality", default="audio",
+                    choices=["audio", "video", "av"],
+                    help="classifier family: audio LSTM (train_audio_net), "
+                         "lip-video (train_video_net), or the AV fusion "
+                         "(train_video_net --modality av)")
+    ap.add_argument("--hidden", type=int, default=None,
+                    help="LSTM width (default: 1024 for audio — the "
+                         "reference's, train_audio_net.py:69 — 512 for "
+                         "video/av, matching the trainers)")
     ap.add_argument("--num-layers", type=int, default=2)
-    ap.add_argument("--source", default="noisy", choices=["noisy", "clean"],
-                    help="predict from the noisy mixtures (per-condition "
-                         "output tree) or from the clean wavs (one file per "
-                         "utterance, the reference's video-classifier layout)")
+    ap.add_argument("--emb-dim", type=int, default=128,
+                    help="lip-encoder embedding width (video/av)")
+    ap.add_argument("--source", default=None, choices=["noisy", "clean"],
+                    help="audio modality only: predict from the noisy "
+                         "mixtures (default; per-condition output tree) or "
+                         "from the clean wavs (one file per utterance, the "
+                         "reference's video-classifier layout). video is "
+                         "always per-utterance; av always per-condition")
     ap.add_argument("--dataset-type", default="test")
     ap.add_argument("--snr", default="10",
                     help="only this SNR condition for --source noisy "
@@ -57,9 +77,13 @@ def main():
                     help="the model was trained with --std-norm: normalize "
                          "inputs with the noisy log-power train statistics")
     ap.add_argument("--stats-h5", default=None,
-                    help="statistics h5 for --std-norm (default: the "
+                    help="audio statistics h5 for --std-norm (default: the "
                          "create_audio_train_set builder's noisy stats file, "
                          "as in train_audio_net.py)")
+    ap.add_argument("--video-stats-h5", default=None,
+                    help="pixel statistics h5 for --std-norm with "
+                         "--modality video/av (default: the "
+                         "create_video_train_files output under matlab_raw/)")
     ap.add_argument("--output-dir", default=None,
                     help="default: <models-root>/predictions/<model>/<ckpt>")
     ap.add_argument("--overwrite", action="store_true",
@@ -73,40 +97,63 @@ def main():
         ap.error("predict_vad_labels is VAD-only (--labels vad_labels)")
     if not (args.checkpoint or args.model_dir):
         ap.error("need --checkpoint or --model-dir")
+    if args.modality == "audio":
+        args.source = args.source or "noisy"
+    elif args.source is not None:
+        ap.error("--source applies to --modality audio only (video is "
+                 "per-utterance, av per-condition by construction)")
+    if args.hidden is None:
+        args.hidden = 1024 if args.modality == "audio" else 512
     maybe_force_platform(args)
 
     import jax
     import numpy as np
 
+    from dvae_tpu.data.av_dataset import AudioVisualDataset, VideoDataset
     from dvae_tpu.data.catalog import ntcd_timit
     from dvae_tpu.data.datasets import UtteranceDataset
     from dvae_tpu.enhance.evaluate import clean_audio_rel, shard_slice
-    from dvae_tpu.models import LSTMVad
+    from dvae_tpu.models import AVVad, LSTMVad, VideoVad
     from dvae_tpu.models.losses import f1_loss
     from dvae_tpu.ops.stft import StftConfig
     from dvae_tpu.train import checkpoint as ckpt
-    from dvae_tpu.train.sequence import batch_utterances, make_lstm_vad_predict
+    from dvae_tpu.train.sequence import (batch_av_utterances,
+                                         batch_utterances,
+                                         batch_video_utterances,
+                                         make_lstm_vad_predict)
 
     proc = processed_dir(args)
     stft_cfg = StftConfig(center=True)  # loader parity with the trainer
+
+    def video_rel_of(label_rel):
+        """Label h5 -> lip-video h5 (the reference's Clean<->matlab_raw
+        substitution, data_handling.py:299-304)."""
+        rel = label_rel.replace("/Clean/", "/matlab_raw/")
+        return rel.replace(f"_{args.labels}_upsampled.h5", "_upsampled.h5")
 
     pairs = ntcd_timit.proc_noisy_clean_pair_dict(
         proc + "/", args.dataset_type, args.dataset_size, args.labels,
         upsampled=True)
     items = list(pairs.items())
-    if args.source == "noisy":
+    per_condition = (args.modality == "av" or args.source == "noisy")
+    if per_condition:
         if args.snr != "all":
             items = [it for it in items
                      if it[0].split("/")[-4] == str(args.snr)]
-        # (input_wav_rel, label_rel, output_rel_stem)
+        # (input_rel, label_rel, output_rel_stem)
         todo = [(n, c, os.path.splitext(n)[0]) for n, c in items]
     else:
-        # one prediction per utterance from the clean wav; several noisy
-        # conditions map to the same clean utterance — dedupe on it
+        # one prediction per utterance; several noisy conditions map to the
+        # same clean utterance — dedupe on it. Input is the clean wav
+        # (--source clean) or the lip-video h5 (--modality video); the
+        # output stem is the clean-wav layout either way — the reference's
+        # one-file-per-utterance video-classifier layout
         seen = {}
         for _, clean_rel in items:
             wav_rel = clean_audio_rel(clean_rel, args.labels)
-            seen.setdefault(wav_rel, (wav_rel, clean_rel,
+            inp = (video_rel_of(clean_rel) if args.modality == "video"
+                   else wav_rel)
+            seen.setdefault(wav_rel, (inp, clean_rel,
                                       os.path.splitext(wav_rel)[0]))
         todo = sorted(seen.values())
     # --shard K/N: same contiguous-chunk semantics as the eval sweeps,
@@ -117,16 +164,40 @@ def main():
     if args.std_norm:
         import h5py
 
-        stats = args.stats_h5 or os.path.join(
-            proc, "ntcd_timit", "Noisy",
-            "ntcd_timit_log_power_spec_upsampled_statistics.h5")
-        with h5py.File(stats, "r") as f:
-            norm = (f["X_train_mean"][:], f["X_train_std"][:])
-        print(f"std-norm from {stats}")
+        def load_stats(path):
+            with h5py.File(path, "r") as f:
+                return (f["X_train_mean"][:], f["X_train_std"][:])
 
-    model = LSTMVad(x_dim=513, hidden=args.hidden, num_layers=args.num_layers)
-    path = args.checkpoint or ckpt.best_checkpoint(args.model_dir, prefix="VAD")
-    dummy = np.zeros((1, 4, 513), np.float32)
+        audio_norm = video_norm = None
+        if args.modality in ("audio", "av"):
+            stats = args.stats_h5 or os.path.join(
+                proc, "ntcd_timit", "Noisy",
+                "ntcd_timit_log_power_spec_upsampled_statistics.h5")
+            audio_norm = load_stats(stats)
+            print(f"audio std-norm from {stats}")
+        if args.modality in ("video", "av"):
+            vstats = args.video_stats_h5 or os.path.join(
+                proc, "ntcd_timit", "matlab_raw",
+                "ntcd_timit_upsampled_statistics.h5")
+            video_norm = load_stats(vstats)
+            print(f"video std-norm from {vstats}")
+        norm = {"audio": audio_norm, "video": video_norm,
+                "av": (audio_norm, video_norm)}[args.modality]
+
+    if args.modality == "audio":
+        model = LSTMVad(x_dim=513, hidden=args.hidden,
+                        num_layers=args.num_layers)
+        prefix, dummy = "VAD", np.zeros((1, 4, 513), np.float32)
+    elif args.modality == "video":
+        model = VideoVad(hidden=args.hidden, num_layers=args.num_layers,
+                         emb_dim=args.emb_dim)
+        prefix, dummy = "Video_Net", np.zeros((1, 4, 67, 67), np.float32)
+    else:
+        model = AVVad(x_dim=513, hidden=args.hidden,
+                      num_layers=args.num_layers, emb_dim=args.emb_dim)
+        prefix, dummy = "AV_Net", (np.zeros((1, 4, 513), np.float32),
+                                   np.zeros((1, 4, 67, 67), np.float32))
+    path = args.checkpoint or ckpt.best_checkpoint(args.model_dir, prefix=prefix)
     params = ckpt.load_checkpoint(
         str(path), model.init({"params": jax.random.PRNGKey(0)}, dummy))
     print(f"loaded {path}")
@@ -142,20 +213,45 @@ def main():
         base = os.path.join(out_root, stem)
         return base + "_y_hat_hard.npy", base + "_y_hat_soft.npy"
 
+    if args.modality != "audio":
+        # the lip h5 is a hard input here (for --modality audio it is not);
+        # drop utterances without one, loudly (mirrors the eval sweeps'
+        # skip-with-count behavior rather than aborting a long run)
+        have = [t for t in todo if os.path.exists(os.path.join(
+            proc, t[0] if args.modality == "video" else video_rel_of(t[1])))]
+        if len(have) < len(todo):
+            print(f"skipping {len(todo) - len(have)} utterances without a "
+                  "lip-video h5")
+        todo = have
+
     if not args.overwrite:
         todo = [t for t in todo
                 if not all(os.path.exists(p) for p in out_paths(t[2]))]
-    # length-bucketed batches (same lever as the enhancement sweep): wav
-    # size orders by sample count for PCM files, no decode needed
+    # length-bucketed batches (same lever as the enhancement sweep): input
+    # file size orders by duration for PCM wavs and uncompressed video h5s
+    # alike, no decode needed
     todo.sort(key=lambda t: (os.path.getsize(os.path.join(proc, t[0])), t[0]))
 
-    ds = UtteranceDataset(
-        [(os.path.join(proc, w), os.path.join(proc, l)) for w, l, _ in todo])
+    if args.modality == "audio":
+        ds = UtteranceDataset(
+            [(os.path.join(proc, w), os.path.join(proc, l))
+             for w, l, _ in todo])
+        batcher = lambda idx: batch_utterances(ds, idx, stft_cfg)
+    elif args.modality == "video":
+        ds = VideoDataset(
+            [(os.path.join(proc, v), os.path.join(proc, l))
+             for v, l, _ in todo])
+        batcher = lambda idx: batch_video_utterances(ds, idx)
+    else:
+        ds = AudioVisualDataset(
+            [(os.path.join(proc, w), os.path.join(proc, video_rel_of(l)),
+              os.path.join(proc, l)) for w, l, _ in todo])
+        batcher = lambda idx: batch_av_utterances(ds, idx, stft_cfg)
     n_done = 0
     agree = []  # (y_hat_hard, y_oracle) per frame, for the summary F1
     for s in range(0, len(todo), args.seq_batch_size):
         idx = range(s, min(s + args.seq_batch_size, len(todo)))
-        xb, yb, mb = batch_utterances(ds, idx, stft_cfg)
+        xb, yb, mb = batcher(idx)
         probs = np.asarray(jax.device_get(predict(params, xb)))
         for j, i in enumerate(idx):
             n = int(np.sum(np.asarray(mb)[j]))

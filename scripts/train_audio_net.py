@@ -50,15 +50,13 @@ def main():
     maybe_force_platform(args)
 
     import jax
-    import numpy as np
 
     from dvae_tpu.data.catalog import ntcd_timit
     from dvae_tpu.data.datasets import UtteranceDataset
     from dvae_tpu.models import LSTMVad
     from dvae_tpu.ops.stft import StftConfig
-    from dvae_tpu.train import checkpoint as ckpt
     from dvae_tpu.train.sequence import (
-        batch_utterances, make_lstm_vad_eval, make_lstm_vad_step,
+        batch_utterances, fit_sequence, make_lstm_vad_eval, make_lstm_vad_step,
     )
     from dvae_tpu.train.steps import adam, init_train_state
 
@@ -100,92 +98,20 @@ def main():
     step = make_lstm_vad_step(model, tx, norm=norm)
     evaluate = make_lstm_vad_eval(model, norm=norm)
 
-    # the one reference script with multi-device training (DataParallel over
-    # 4 GPUs, train_audio_net.py:150): here the sequence batch shards over
-    # the data mesh, params replicated. Non-divisible trailing batches are
-    # ZERO-padded with fully-masked rows — exact for the masked BCE/F1
-    # (mask=0 rows enter no reduction), so EVERY training step runs sharded
-    # and the TrainState keeps its mesh sharding (an unsharded fallback
-    # would strip it and, under --multihost, mix host-local arrays into a
-    # global-mesh program — cf. loop.py's _pad_shardable for the frame
-    # trainers, where wrap-padding plays the same role)
-    mesh = make_mesh_if(args)
-    if mesh is not None:
-        from dvae_tpu.parallel import replicate
-
-        state = replicate(state, mesh)
-
-    def maybe_shard(batch):
-        if mesh is None:
-            return batch
-        import jax.numpy as jnp
-
-        from dvae_tpu.parallel import distribute_batch
-
-        pad = (-batch[0].shape[0]) % mesh.devices.size
-        if pad:
-            batch = tuple(
-                jnp.concatenate(
-                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
-                )
-                for a in batch
-            )
-        return distribute_batch(batch, mesh)
-
     model_dir = os.path.join(
         args.models_root,
         args.run_name or (f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}"
                           + ("_norm" if args.std_norm else "")))
-    if args.start_epoch > 1:
-        # resume like the VAE trainers (train/loop.py): restore params AND
-        # optimizer state from the epoch-(start_epoch-1) checkpoint; refuse
-        # to silently restart from random init under a continued epoch count
-        from dvae_tpu.train.loop import _resume_checkpoint
-
-        resume = _resume_checkpoint(model_dir, "VAD", args.start_epoch)
-        params, opt_state = ckpt.load_checkpoint(
-            resume, state.params, state.opt_state)
-        state = state._replace(params=params, opt_state=opt_state)
-        if mesh is not None:
-            from dvae_tpu.parallel import replicate
-
-            state = replicate(state, mesh)
-        print(f"resumed from {resume}")
-    for epoch in range(args.start_epoch, args.end_epoch):
-        # per-epoch shuffle stream, pure function of (seed, epoch): a
-        # resumed run replays the uninterrupted run's orders (cf. loop.py)
-        rng = np.random.default_rng((args.seed, epoch))
-        order = rng.permutation(len(train_ds))
-        totals, n_batches = {}, 0
-        for s in range(0, len(order), args.seq_batch_size):
-            xb, yb, mb = maybe_shard(batch_utterances(
-                train_ds, order[s : s + args.seq_batch_size], stft_cfg))
-            state, m = step(state, xb, yb, mb)
-            for k, v in m.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            n_batches += 1
-        avg = {k: v / n_batches for k, v in totals.items()}
-        print(f"epoch {epoch}: " + "  ".join(f"{k}={v:.4f}" for k, v in avg.items()))
-
-        # validation pass (reference train_audio_net.py:276-289); the vloss
-        # in the checkpoint name is VALIDATION BCE, not training BCE
-        vt, vn = {}, 0
-        for s0 in range(0, len(valid_ds), args.seq_batch_size):
-            xb, yb, mb = maybe_shard(batch_utterances(
-                valid_ds, range(s0, min(s0 + args.seq_batch_size, len(valid_ds))),
-                stft_cfg))
-            m = evaluate(state.params, xb, yb, mb)
-            for k, v in m.items():
-                vt[k] = vt.get(k, 0.0) + float(v)
-            vn += 1
-        vavg = {k: v / max(vn, 1) for k, v in vt.items()}
-        print(f"  valid: " + "  ".join(f"{k}={v:.4f}" for k, v in vavg.items()))
-        name = ckpt.checkpoint_name("VAD", epoch, vavg.get("bce", avg["bce"]))
-        if jax.process_index() == 0:  # multi-host: one writer to shared dir
-            ckpt.save_checkpoint(model_dir, name, state.params,
-                                 opt_state=state.opt_state,
-                                 metadata={"epoch": epoch, **avg,
-                                           **{f"valid_{k}": v for k, v in vavg.items()}})
+    # the one reference script with multi-device training (DataParallel over
+    # 4 GPUs, train_audio_net.py:150): fit_sequence shards the sequence
+    # batch over the data mesh, params replicated (zero-pad rows fully
+    # masked — exact for the masked BCE/F1)
+    fit_sequence(
+        state, step, evaluate, train_ds, valid_ds,
+        lambda ds, idx: batch_utterances(ds, idx, stft_cfg),
+        model_dir, prefix="VAD", seed=args.seed,
+        start_epoch=args.start_epoch, end_epoch=args.end_epoch,
+        batch_size=args.seq_batch_size, mesh=make_mesh_if(args))
 
 
 if __name__ == "__main__":

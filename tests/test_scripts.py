@@ -586,6 +586,65 @@ def test_audio_vad_predict_chain(data_root, tmp_path):
     assert "f1" in r4.stdout
 
 
+def test_video_vad_predict_chain(data_root, tmp_path):
+    """train_video_net -> predict_vad_labels --modality video -> classif
+    sweep: the in-framework VIDEO producer of the reference's consumed
+    labels (they came from a video classifier in the sibling repo,
+    README.md:6; the reference itself only has the commented import and
+    the Video_Net_* checkpoint naming, train_audio_net.py:14,368-371).
+    Also drives the AV fusion modality end-to-end."""
+    models = tmp_path / "models"
+    root = str(data_root / "data")
+    common = ["--dataset-size", "subset", "--labels", "vad_labels",
+              "--data-root", root, "--models-root", str(models),
+              "--platform", "cpu"]
+    _run([str(SCRIPTS / "train_video_net.py"), *common,
+          "--train-split", "test", "--valid-split", "test",
+          "--end-epoch", "2", "--hidden", "8", "--emb-dim", "4",
+          "--num-layers", "1", "--seq-batch-size", "4", "--std-norm"],
+         cwd=tmp_path)
+    model_dir = models / "ntcd_video_vad_8x1_norm"
+    assert model_dir.is_dir()
+    assert list(model_dir.glob("Video_Net_epoch_001_vloss_*.msgpack"))
+
+    r = _run([str(SCRIPTS / "predict_vad_labels.py"), *common,
+              "--model-dir", str(model_dir), "--modality", "video",
+              "--hidden", "8", "--emb-dim", "4", "--num-layers", "1",
+              "--std-norm", "--seq-batch-size", "4"], cwd=tmp_path)
+    assert "vs oracle:" in r.stdout
+    pred_root = next((models / "predictions" / "ntcd_video_vad_8x1_norm").iterdir())
+    hard = sorted(pred_root.rglob("*_y_hat_hard.npy"))
+    # video is per-UTTERANCE (one file each, the reference's layout),
+    # not per noise condition
+    assert len(hard) == 3
+    assert all("/Clean/" in str(p) for p in hard)
+
+    # the produced labels feed the evaluate CLIs' lookup and the sweep
+    from dvae_tpu.enhance.evaluate import find_classifier_labels
+
+    y = find_classifier_labels(str(pred_root), "34M", "sa1", 1)
+    assert set(np.unique(y)) <= {0.0, 1.0}
+    r2 = _run([str(SCRIPTS / "run_metrics_classif.py"), *common,
+               "--classifier-dir", str(pred_root)], cwd=tmp_path)
+    assert "f1" in r2.stdout
+
+    # AV fusion: trains on (noisy audio, video, label) triples and predicts
+    # per condition
+    _run([str(SCRIPTS / "train_video_net.py"), *common,
+          "--modality", "av", "--train-split", "test", "--valid-split",
+          "test", "--end-epoch", "2", "--hidden", "8", "--emb-dim", "4",
+          "--num-layers", "1", "--seq-batch-size", "4"], cwd=tmp_path)
+    av_dir = models / "ntcd_av_vad_8x1"
+    assert list(av_dir.glob("AV_Net_epoch_001_vloss_*.msgpack"))
+    r3 = _run([str(SCRIPTS / "predict_vad_labels.py"), *common,
+               "--model-dir", str(av_dir), "--modality", "av",
+               "--hidden", "8", "--emb-dim", "4", "--num-layers", "1",
+               "--snr", "-5", "--seq-batch-size", "4"], cwd=tmp_path)
+    assert "vs oracle:" in r3.stdout
+    av_pred = next((models / "predictions" / "ntcd_av_vad_8x1").iterdir())
+    assert len(sorted(av_pred.rglob("*_y_hat_hard.npy"))) == 6  # 2 types x 3
+
+
 def test_mcem_budget_flags():
     """The reference's SETTINGS MH budgets (nsamples/burnin for E-step and
     WF, var_RW — evaluate_ntcd_M1.py:57-65) are CLI flags on every
