@@ -33,7 +33,13 @@ Wire protocol (see ``RequestHandler``):
       stereo = channel 0 speech, channel 1 noise — they sum to the input
       by the Wiener partition).
   GET /healthz    -> {"status": "ok", ...}
-  GET /stats      -> request/batch/audio-seconds counters.
+  GET /stats      -> request/batch/audio-seconds counters, rtf, and
+      p50/p90/p99 request latency over the last ``latency_window`` requests.
+
+Overload behavior: the admission queue is bounded (``max_queue``); beyond
+it requests fail fast with 503 + Retry-After rather than queueing
+unboundedly, and waiters that time out mark their items abandoned so the
+worker never burns a device batch on a client that already gave up.
 """
 
 from __future__ import annotations
@@ -57,6 +63,14 @@ from dvae_tpu.ops.stft import n_stft_frames_clamped, samples_for_frames
 _Y_SOURCES = ("self-soft", "ones", "zeros")
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised by ``submit`` when the admission queue is full — the caller
+    should back off (the HTTP layer maps it to 503). Bounding the queue
+    keeps worst-case latency proportional to ``max_queue/batch_size``
+    device batches instead of letting a burst build unbounded backlog that
+    every later request waits behind."""
+
+
 @dataclasses.dataclass(frozen=True)
 class ServeConfig:
     batch_size: int = 8            # fixed device batch (pad with silence)
@@ -66,6 +80,9 @@ class ServeConfig:
     seed: int = 0
     max_audio_seconds: float = 600.0   # reject oversized requests up front
     warmup_buckets: tuple = (64, 256)  # frame buckets to pre-compile
+    max_queue: int = 64            # admission cap; beyond it submit raises
+    #                                ServiceOverloaded (HTTP 503)
+    latency_window: int = 512      # last-N request latencies kept for /stats
 
 
 class EnhanceService:
@@ -93,9 +110,10 @@ class EnhanceService:
             raise ValueError(f"{model_class} has no classifier; serve with "
                              "y_source ones/zeros")
         self.enhancer = Enhancer(model, params, enh_cfg, mesh=mesh)
-        self._q: queue.Queue = queue.Queue()
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, cfg.max_queue))
         self._lock = threading.Lock()
-        self.stats = {"requests": 0, "failed": 0, "batches": 0,
+        self._latencies: list[float] = []  # ring buffer, latency_window deep
+        self.stats = {"requests": 0, "failed": 0, "rejected": 0, "batches": 0,
                       "utterances": 0, "audio_seconds": 0.0,
                       "busy_seconds": 0.0, "warmup_seconds": 0.0}
         self.started = time.time()
@@ -146,7 +164,15 @@ class EnhanceService:
         if len(wav) == 0:
             raise ValueError("empty audio")
         item = _Item(np.asarray(wav, np.float32), y_source, _count_stats)
-        self._q.put(item)
+        t0 = time.monotonic()
+        try:
+            self._q.put_nowait(item)
+        except queue.Full:
+            with self._lock:
+                self.stats["rejected"] += 1
+            raise ServiceOverloaded(
+                f"admission queue full ({self.cfg.max_queue} pending); "
+                "retry with backoff") from None
         if not item.done.wait(timeout):
             # mark abandoned so the worker drops it instead of burning a
             # device batch for a waiter that already gave up — exactly the
@@ -160,6 +186,9 @@ class EnhanceService:
             with self._lock:
                 self.stats["requests"] += 1
                 self.stats["audio_seconds"] += len(wav) / self.enh_cfg.stft.fs
+                self._latencies.append(time.monotonic() - t0)
+                if len(self._latencies) > self.cfg.latency_window:
+                    del self._latencies[:-self.cfg.latency_window]
         return item.result
 
     # -- worker ---------------------------------------------------------------
@@ -324,8 +353,16 @@ class RequestHandler(BaseHTTPRequestHandler):
         elif path == "/stats":
             with svc._lock:
                 stats = dict(svc.stats)
+                lat = list(svc._latencies)
             stats["rtf"] = (round(stats["busy_seconds"] / stats["audio_seconds"], 5)
                             if stats["audio_seconds"] else None)
+            if lat:
+                q = np.quantile(lat, [0.5, 0.9, 0.99])
+                stats["latency_seconds"] = {
+                    "p50": round(float(q[0]), 4), "p90": round(float(q[1]), 4),
+                    "p99": round(float(q[2]), 4),
+                    "mean": round(float(np.mean(lat)), 4),
+                    "window": len(lat)}
             self._json(200, stats)
         else:
             self._json(404, {"error": f"unknown path {path}"})
@@ -363,15 +400,24 @@ class RequestHandler(BaseHTTPRequestHandler):
                                           "the response stays at the model "
                                           "rate)"})
                 return
-            from math import gcd
+            from dvae_tpu.data.io import resample
 
-            from scipy.signal import resample_poly
-
-            g = gcd(fs, model_fs)
-            wav = resample_poly(wav, model_fs // g, fs // g)
+            wav = resample(wav, fs, model_fs)
         try:
             s, n = svc.submit(wav.astype(np.float32), y_source)
-        except (ValueError, TimeoutError) as e:
+        except ServiceOverloaded as e:
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        except TimeoutError as e:
+            self._json(503, {"error": str(e)})
+            return
+        except ValueError as e:
             self._json(400, {"error": str(e)})
             return
         except Exception as e:

@@ -51,6 +51,10 @@ def main():
                          "4.1 s of audio. Empty = no warmup (first requests "
                          "pay the compiles)")
     ap.add_argument("--max-audio-seconds", type=float, default=600.0)
+    ap.add_argument("--max-queue", type=int, default=64,
+                    help="admission cap: pending requests beyond this are "
+                         "rejected with 503 + Retry-After instead of "
+                         "building unbounded backlog")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard each device batch over all visible devices")
     ap.add_argument("--seed", type=int, default=0)
@@ -91,6 +95,7 @@ def main():
                         y_source=args.y_source, y_dim=args.y_dim,
                         seed=args.seed,
                         max_audio_seconds=args.max_audio_seconds,
+                        max_queue=args.max_queue,
                         warmup_buckets=tuple(args.warmup_buckets)),
         mesh=make_mesh_if(args))
     if args.warmup_buckets:

@@ -269,6 +269,43 @@ def test_warmup_traffic_is_stats_exempt():
         svc.close()
 
 
+def test_bounded_queue_rejects_overload():
+    """Beyond max_queue pending items, submit fails fast with
+    ServiceOverloaded (HTTP 503) instead of building unbounded backlog."""
+    from dvae_tpu.serving import ServiceOverloaded, _Item
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(model, params, "m1",
+                         enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+                         cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                                         max_queue=2, warmup_buckets=()))
+    try:
+        # park the worker so the queue deterministically fills to the cap
+        svc._stop.set()
+        svc._worker.join(timeout=5)
+        svc._q.put_nowait(_Item(_noisy_wav(seconds=0.3, seed=0), None))
+        svc._q.put_nowait(_Item(_noisy_wav(seconds=0.3, seed=1), None))
+        with pytest.raises(ServiceOverloaded, match="queue full"):
+            svc.submit(_noisy_wav(seconds=0.3, seed=99))
+        with svc._lock:
+            assert svc.stats["rejected"] == 1
+    finally:
+        svc.close()
+
+
+def test_latency_percentiles_in_stats(server, m1_service):
+    _post(f"{server}/enhance", _wav_body(_noisy_wav(seconds=0.3, seed=42)))
+    with urllib.request.urlopen(f"{server}/stats", timeout=60) as r:
+        st = json.loads(r.read())
+    lat = st["latency_seconds"]
+    assert lat["window"] >= 1
+    assert 0 < lat["p50"] <= lat["p90"] <= lat["p99"]
+    assert st["rejected"] == 0
+
+
 def test_abandoned_items_are_dropped():
     """A waiter that timed out marks its item abandoned; the worker skips it
     (no device batch burnt for a client that already gave up) while live
