@@ -47,6 +47,11 @@ def main():
                          "power_spec_upsampled_statistics.h5 — the "
                          "reference's default, train_audio_net.py:101)")
     args = ap.parse_args()
+    if args.labels != "vad_labels":
+        # the LSTM head emits one scalar per frame; a 513-dim IBM label
+        # would silently flatten into garbage in batch_utterances (the
+        # reference's script is VAD-only too, train_audio_net.py:63-66)
+        ap.error("train_audio_net is VAD-only (--labels vad_labels)")
     maybe_force_platform(args)
 
     import jax

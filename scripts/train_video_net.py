@@ -69,6 +69,10 @@ def main():
                          "(default: the noisy log-power stats, as "
                          "train_audio_net.py)")
     args = ap.parse_args()
+    if args.labels != "vad_labels":
+        # the VAD head emits one scalar per frame; a 513-dim IBM label
+        # would silently flatten into garbage in the sequence batchers
+        ap.error("train_video_net is VAD-only (--labels vad_labels)")
     maybe_force_platform(args)
 
     import jax
