@@ -173,3 +173,19 @@ def proc_noisy_clean_pair_dict(input_speech_dir, dataset_type="train",
                 os.path.join(noisy_dir, s): c for s, c in zip(shortpaths, clean_rel)
             })
     return pairs
+
+
+def video_h5_rel(label_rel: str, labels: str = "vad_labels") -> str:
+    """Clean/<split>/<spk>/<utt>_<labels>_upsampled.h5 -> its matlab_raw/
+    lip-video h5 — the reference's Clean<->matlab_raw path substitution
+    (data_handling.py:299-304). One home for the rewrite; the reverse is
+    :func:`label_h5_rel`."""
+    rel = label_rel.replace("/Clean/", "/matlab_raw/")
+    return rel.replace(f"_{labels}_upsampled.h5", "_upsampled.h5")
+
+
+def label_h5_rel(video_rel: str, labels: str = "vad_labels") -> str:
+    """matlab_raw/<split>/<spk>/<utt>_upsampled.h5 -> its Clean/ label h5
+    (the inverse of :func:`video_h5_rel`)."""
+    rel = video_rel.replace("/matlab_raw/", "/Clean/")
+    return rel.replace("_upsampled.h5", f"_{labels}_upsampled.h5")

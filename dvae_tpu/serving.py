@@ -110,7 +110,8 @@ class EnhanceService:
             raise ValueError(f"{model_class} has no classifier; serve with "
                              "y_source ones/zeros")
         self.enhancer = Enhancer(model, params, enh_cfg, mesh=mesh)
-        self._q: queue.Queue = queue.Queue(maxsize=max(1, cfg.max_queue))
+        self.max_queue = max(1, cfg.max_queue)  # the ACTUAL admission bound
+        self._q: queue.Queue = queue.Queue(maxsize=self.max_queue)
         self._lock = threading.Lock()
         self._latencies: list[float] = []  # ring buffer, latency_window deep
         self.stats = {"requests": 0, "failed": 0, "rejected": 0, "batches": 0,
@@ -171,7 +172,7 @@ class EnhanceService:
             with self._lock:
                 self.stats["rejected"] += 1
             raise ServiceOverloaded(
-                f"admission queue full ({self.cfg.max_queue} pending); "
+                f"admission queue full ({self.max_queue} pending); "
                 "retry with backoff") from None
         if not item.done.wait(timeout):
             # mark abandoned so the worker drops it instead of burning a
@@ -259,15 +260,20 @@ class EnhanceService:
                 self.stats["failed"] += sum(1 for it in batch if it.count)
 
     # -- lifecycle --------------------------------------------------------------
-    def warmup(self, buckets=None):
-        """Compile the device program for each frame bucket before serving."""
+    def warmup(self, buckets=None, timeout: float = 1800.0):
+        """Compile the device program for each frame bucket before serving.
+
+        The timeout is deliberately ABOVE submit's serving default: cold
+        compiles over a remote-attached chip take minutes, and the tunnel's
+        compile path can degrade to ~800 s independently of execution
+        (CLAUDE.md 2026-08-19) — startup must outwait that, not die."""
         buckets = tuple(buckets if buckets is not None else self.cfg.warmup_buckets)
         for b in buckets:
             t = samples_for_frames(int(b), self.enh_cfg.stft)
             wav = np.zeros(t, np.float32)
             self.submit(wav, "zeros" if (self.conditional and
                                          self.classify_method is None)
-                        else None, _count_stats=False)
+                        else None, timeout=timeout, _count_stats=False)
             self.warm_buckets.append(int(b))
 
     def close(self):
@@ -327,15 +333,18 @@ class RequestHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):
         pass
 
-    def _send(self, code: int, body: bytes, ctype: str):
+    def _send(self, code: int, body: bytes, ctype: str, headers=()):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in headers:
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
-    def _json(self, code: int, obj):
-        self._send(code, json.dumps(obj).encode(), "application/json")
+    def _json(self, code: int, obj, headers=()):
+        self._send(code, json.dumps(obj).encode(), "application/json",
+                   headers)
 
     def do_GET(self):
         svc = self.service
@@ -405,17 +414,10 @@ class RequestHandler(BaseHTTPRequestHandler):
             wav = resample(wav, fs, model_fs)
         try:
             s, n = svc.submit(wav.astype(np.float32), y_source)
-        except ServiceOverloaded as e:
-            self.send_response(503)
-            self.send_header("Retry-After", "1")
-            body = json.dumps({"error": str(e)}).encode()
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-            return
-        except TimeoutError as e:
-            self._json(503, {"error": str(e)})
+        except (ServiceOverloaded, TimeoutError) as e:
+            # both are overload signals on the wire: reject-at-admission
+            # and gave-up-waiting. Same 503 + backoff hint either way.
+            self._json(503, {"error": str(e)}, headers=(("Retry-After", "1"),))
             return
         except ValueError as e:
             self._json(400, {"error": str(e)})

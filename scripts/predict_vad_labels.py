@@ -126,10 +126,8 @@ def main():
     stft_cfg = StftConfig(center=True)  # loader parity with the trainer
 
     def video_rel_of(label_rel):
-        """Label h5 -> lip-video h5 (the reference's Clean<->matlab_raw
-        substitution, data_handling.py:299-304)."""
-        rel = label_rel.replace("/Clean/", "/matlab_raw/")
-        return rel.replace(f"_{args.labels}_upsampled.h5", "_upsampled.h5")
+        """Label h5 -> lip-video h5 (one home: catalog.video_h5_rel)."""
+        return ntcd_timit.video_h5_rel(label_rel, args.labels)
 
     pairs = ntcd_timit.proc_noisy_clean_pair_dict(
         proc + "/", args.dataset_type, args.dataset_size, args.labels,
@@ -213,16 +211,26 @@ def main():
         base = os.path.join(out_root, stem)
         return base + "_y_hat_hard.npy", base + "_y_hat_soft.npy"
 
-    if args.modality != "audio":
-        # the lip h5 is a hard input here (for --modality audio it is not);
-        # drop utterances without one, loudly (mirrors the eval sweeps'
-        # skip-with-count behavior rather than aborting a long run)
-        have = [t for t in todo if os.path.exists(os.path.join(
-            proc, t[0] if args.modality == "video" else video_rel_of(t[1])))]
-        if len(have) < len(todo):
-            print(f"skipping {len(todo) - len(have)} utterances without a "
-                  "lip-video h5")
-        todo = have
+    def inputs_of(t):
+        """Every file a todo item must have on disk: its primary input
+        (noisy/clean wav or lip h5 — the catalogs synthesize paths from
+        the full noise-by-SNR grid without checking disk,
+        catalog/ntcd_timit.py proc_noisy_clean_pair_dict), plus the lip
+        h5 for the AV fusion."""
+        paths = [t[0]]
+        if args.modality == "av":
+            paths.append(video_rel_of(t[1]))
+        return paths
+
+    have = [t for t in todo
+            if all(os.path.exists(os.path.join(proc, p)) for p in inputs_of(t))]
+    if len(have) < len(todo):
+        # skip loudly (mirrors the eval sweeps' skip-with-count behavior)
+        # instead of aborting a long, possibly sharded run at the
+        # getsize() sort below with FileNotFoundError
+        print(f"skipping {len(todo) - len(have)} utterances with missing "
+              "input files")
+    todo = have
 
     if not args.overwrite:
         todo = [t for t in todo

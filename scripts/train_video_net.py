@@ -90,26 +90,14 @@ def main():
     proc = processed_dir(args)
     stft_cfg = StftConfig(center=True)  # loader parity (data_handling.py:126-139)
 
-    def label_of_video(video_rel):
-        """matlab_raw/<spk>/<utt>_upsampled.h5 -> its Clean/ label h5
-        (the reference's Clean<->matlab_raw substitution, reversed —
-        data_handling.py:299-301)."""
-        rel = video_rel.replace("/matlab_raw/", "/Clean/")
-        return rel.replace("_upsampled.h5", f"_{args.labels}_upsampled.h5")
-
-    def video_of_label(label_rel):
-        """Clean/<spk>/<utt>_<labels>_upsampled.h5 -> its matlab_raw/ video
-        h5 (data_handling.py:299-304 semantics)."""
-        rel = label_rel.replace("/Clean/", "/matlab_raw/")
-        return rel.replace(f"_{args.labels}_upsampled.h5", "_upsampled.h5")
-
     def dataset(split):
         if args.modality == "video":
             video_rel, _ = ntcd_timit.proc_video_audio_pair_dict(
                 proc + "/", split, labels=args.labels, upsampled=True)
             pairs = []
             for v in video_rel:
-                lab = os.path.join(proc, label_of_video(v))
+                lab = os.path.join(proc,
+                                   ntcd_timit.label_h5_rel(v, args.labels))
                 if os.path.exists(lab):
                     pairs.append((os.path.join(proc, v), lab))
             return VideoDataset(pairs)
@@ -119,7 +107,8 @@ def main():
         for noisy_rel, label_rel in noisy_label.items():
             wav = os.path.join(proc, noisy_rel)
             lab = os.path.join(proc, label_rel)
-            vid = os.path.join(proc, video_of_label(label_rel))
+            vid = os.path.join(proc,
+                               ntcd_timit.video_h5_rel(label_rel, args.labels))
             if all(os.path.exists(p) for p in (wav, lab, vid)):
                 triples.append((wav, vid, lab))
         return AudioVisualDataset(triples)

@@ -15,14 +15,13 @@ import os
 import jax
 import numpy as np
 
+from _helpers import PROC
 from dvae_tpu.data.av_dataset import AudioVisualDataset, VideoDataset
 from dvae_tpu.models import AVVad, VideoVad
 from dvae_tpu.ops.stft import StftConfig
 from dvae_tpu.train.sequence import (_seq_normalizer, batch_av_utterances,
                                      batch_video_utterances,
                                      make_lstm_vad_predict)
-
-PROC = "/root/reference/data/subset/processed"
 
 
 def _video_pairs():
@@ -32,8 +31,7 @@ def _video_pairs():
         PROC + "/", "test", labels="vad_labels", upsampled=True)
     pairs = []
     for v in video_rel:
-        lab = os.path.join(PROC, v.replace("/matlab_raw/", "/Clean/")
-                           .replace("_upsampled.h5", "_vad_labels_upsampled.h5"))
+        lab = os.path.join(PROC, ntcd_timit.label_h5_rel(v))
         if os.path.exists(lab):
             pairs.append((os.path.join(PROC, v), lab))
     return pairs
@@ -92,8 +90,7 @@ def test_batch_av_utterances_tuple_and_common_trim():
         PROC + "/", "test", "subset", "vad_labels", upsampled=True)
     triples = []
     for noisy_rel, label_rel in nl.items():
-        vid = os.path.join(PROC, label_rel.replace("/Clean/", "/matlab_raw/")
-                           .replace("_vad_labels_upsampled.h5", "_upsampled.h5"))
+        vid = os.path.join(PROC, ntcd_timit.video_h5_rel(label_rel))
         triples.append((os.path.join(PROC, noisy_rel), vid,
                         os.path.join(PROC, label_rel)))
     ds = AudioVisualDataset(triples)
