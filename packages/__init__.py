@@ -9,10 +9,13 @@ root, like the reference) and the imports resolve to thin wrappers over
 ``dvae_tpu`` with the reference's exact signatures, defaults and array
 layouts (frequency-major spectrograms, ``(1, frames)`` VAD rows).
 
-Covered: ``processing.stft`` (numpy stft/istft), ``processing.target``
-(all six label generators), ``processing.video``, ``metrics``,
-``visualization``, ``utils``, and the three ``dataset`` catalogs.
-Torch-specific surfaces (``models.*``, ``data_handling``, the
-``*_pytorch`` STFT variants) raise a guidance error pointing at the
-native equivalents and the ``.pt`` checkpoint bridge — see MIGRATING.md.
+Covered: ``processing.stft`` (numpy stft/istft AND the torch
+``*_pytorch`` variants), ``processing.target`` (all six label
+generators), ``processing.video``, ``metrics``, ``visualization``,
+``utils``, the three ``dataset`` catalogs, and ``data_handling`` (all
+five Dataset classes, torch-tensor contracts — wav decoding via scipy,
+torchaudio is absent here). The autograd-bearing surfaces
+(``models.*`` — torch modules and losses user training code
+differentiates through) raise a guidance error pointing at the native
+equivalents and the ``.pt`` checkpoint bridge — see MIGRATING.md.
 """

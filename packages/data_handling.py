@@ -1,18 +1,36 @@
 """Reference-signature datasets (compat shim over dvae_tpu.data).
 
-``HDF5CleanSpectrogramLabeledFrames`` is a working drop-in (same
-constructor, same file-path rule, same lazy-open/``__getitem__`` contract —
-reference data_handling.py:19-66); it returns torch CPU tensors like the
-reference so downstream user code keeps working.
+All FIVE reference Dataset classes (reference data_handling.py:19-405) are
+working drop-ins with the reference's constructor signatures, file-path
+rules and per-item tuple contracts, returning torch CPU tensors so
+downstream user code (DataLoaders, collates) keeps working:
 
-The four wav-based sequence datasets (data_handling.py:69-420) computed
-spectrograms on the CPU inside ``__getitem__`` to feed torch loaders —
-the opposite of dvae-tpu's input path, where waveforms stream to the
-device and the STFT runs there (``dvae_tpu.ops.stft``, MXU matmul-DFT).
-Instantiating them raises with the native equivalent
-(``dvae_tpu.data.datasets.UtteranceDataset`` /
-``dvae_tpu.data.av_dataset.AudioVisualDataset`` + the catalog pair
-builders); see MIGRATING.md.
+* ``HDF5CleanSpectrogramLabeledFrames`` — frame-level random access into
+  the builders' consolidated h5 (:19-66);
+* ``NoisyWavWholeSequenceSpectrogramLabeledFrames`` — whole-utterance
+  noisy log-power spectrogram + label + frame length (:69-161);
+* ``NoisyWavWholeSequenceWavLabeledFrames`` — peak-normalized waveform +
+  label + (time, frame) lengths (:164-222);
+* ``AudioVisualSequenceLabeledFrames`` — spectrogram + lip video + label
+  trimmed to the common frame count (:225-332);
+* ``AudioVisualSequenceWavLabeledFrames`` — waveform + upsampled video +
+  label (:335-405).
+
+Differences from the reference, deliberate (SURVEY §7.3 "quirks to NOT
+replicate as bugs"):
+
+* wav decoding uses ``dvae_tpu.data.io.read_wav`` (scipy) instead of
+  torchaudio (absent here) — same float contract, first channel kept;
+* the label-overwrites-data slip (reference :153-154 assigns
+  ``data = label[...]`` when the label is LONGER than the audio) is fixed
+  to the evident intent: both sides trim to the common frame count;
+* ``stft_pytorch``'s reference-era real/imag output layout is preserved by
+  the shim (``packages.processing.stft``), so the power-spectrogram math
+  here is byte-for-byte the reference's.
+
+The native fast path remains ``dvae_tpu.data.datasets.UtteranceDataset`` /
+``dvae_tpu.data.av_dataset.AudioVisualDataset`` + on-device STFT; these
+shims exist so reference user code runs unchanged. See MIGRATING.md.
 """
 
 from __future__ import annotations
@@ -21,9 +39,38 @@ import os
 
 import h5py as h5
 import numpy as np
+import torch
+from torch.utils.data import Dataset
+
+from packages.dataset.ntcd_timit import (  # noqa: F401  (reference :14-17)
+    proc_noisy_clean_pair_dict,
+    proc_video_audio_pair_dict,
+    speech_list,
+    video_list,
+)
+from packages.processing.stft import stft_pytorch
+
+# module-level constant kept from the reference (:14)
+dataset_name = "ntcd_timit"
 
 
-class HDF5CleanSpectrogramLabeledFrames:
+def _load_wav_first_channel(path) -> torch.Tensor:
+    """torchaudio.load semantics on scipy IO: float tensor, first channel
+    (the reference keeps channel 0, data_handling.py:120)."""
+    from dvae_tpu.data.io import read_wav
+
+    data, _fs = read_wav(path)
+    if data.ndim > 1:
+        data = data[:, 0]
+    return torch.as_tensor(np.ascontiguousarray(data, np.float32))
+
+
+def _read_h5_tensor(path, key) -> torch.Tensor:
+    with h5.File(path, "r") as f:
+        return torch.Tensor(np.array(f[key][:]))
+
+
+class HDF5CleanSpectrogramLabeledFrames(Dataset):
     """Frame-level (x, y) random access into the builders' consolidated h5
     (``X_<type>`` (513, N) / ``Y_<type>``). Native fast path:
     ``dvae_tpu.data.datasets.FrameDataset`` (in-memory, batched)."""
@@ -52,8 +99,6 @@ class HDF5CleanSpectrogramLabeledFrames:
     def __getitem__(self, i):
         if not hasattr(self, "f"):
             self.open_hdf5()
-        import torch
-
         return (torch.Tensor(np.array(self.data[..., i])),
                 torch.Tensor(np.array(self.labels[..., i])))
 
@@ -65,28 +110,149 @@ class HDF5CleanSpectrogramLabeledFrames:
             self.f.close()
 
 
-def _wav_dataset_stub(name, ref_lines, native):
-    class _Stub:
-        def __init__(self, *a, **k):
-            raise NotImplementedError(
-                f"packages.data_handling.{name} (reference "
-                f"data_handling.py:{ref_lines}) computed STFTs on the CPU "
-                f"inside __getitem__; dvae-tpu streams waveforms and runs "
-                f"the STFT on-device. Use {native} — see MIGRATING.md.")
+class _NoisyWavSequenceBase(Dataset):
+    """Shared plumbing of the four wav-based sequence datasets: the
+    noisy->clean pair list from the catalog (reference :92-111) and the
+    normalized-waveform / label readers."""
 
-    _Stub.__name__ = _Stub.__qualname__ = name
-    return _Stub
+    def __init__(self, input_video_dir, dataset_type, dataset_size,
+                 labels, upsampled, fs, wlen_sec, win, hop_percent,
+                 center, pad_mode, pad_at_end, eps, pass_upsampled):
+        self.input_video_dir = input_video_dir
+        self.dataset_type = dataset_type
+        self.dataset_size = dataset_size
+        self.labels = labels
+        self.upsampled = upsampled
+        self.fs = fs
+        self.wlen_sec = wlen_sec
+        self.win = win
+        self.hop_percent = hop_percent
+        self.center = center
+        self.pad_mode = pad_mode
+        self.pad_at_end = pad_at_end
+        self.eps = eps
+        kw = {"upsampled": upsampled} if pass_upsampled else {}
+        # reference :93-100: dict mapping noisy speech to clean-label h5
+        self.noisy_clean_pair_paths = list(proc_noisy_clean_pair_dict(
+            input_speech_dir=input_video_dir, dataset_type=dataset_type,
+            dataset_size=dataset_size, labels=labels, **kw).items())
+        self.dataset_len = len(self.noisy_clean_pair_paths)
+
+    def _normalized_wav(self, proc_noisy_file_path) -> torch.Tensor:
+        x = _load_wav_first_channel(self.input_video_dir
+                                    + proc_noisy_file_path)
+        return x / torch.max(torch.abs(x))     # peak normalize (ref :123)
+
+    def _label(self, clean_file_path) -> torch.Tensor:
+        return _read_h5_tensor(self.input_video_dir + clean_file_path, "Y")
+
+    def _log_power_spectrogram(self, wav) -> torch.Tensor:
+        tf = stft_pytorch(wav, fs=self.fs, wlen_sec=self.wlen_sec,
+                          win=self.win, hop_percent=self.hop_percent,
+                          center=self.center, pad_mode=self.pad_mode,
+                          pad_at_end=self.pad_at_end)
+        return torch.log(tf[..., 0] ** 2 + tf[..., 1] ** 2 + self.eps)
+
+    def _video_path(self, clean_file_path, suffix) -> str:
+        # reference :298-304 / :381-384: the lip-video h5 lives in
+        # matlab_raw/ under the clean label path minus the label tag
+        p = clean_file_path.replace("Clean", "matlab_raw")
+        p = p.replace("_" + self.labels, "")
+        return self.input_video_dir + os.path.splitext(p)[0] + suffix
+
+    def __len__(self):
+        return self.dataset_len
 
 
-NoisyWavWholeSequenceSpectrogramLabeledFrames = _wav_dataset_stub(
-    "NoisyWavWholeSequenceSpectrogramLabeledFrames", "69-161",
-    "dvae_tpu.data.datasets.UtteranceDataset + dvae_tpu.ops.stft")
-NoisyWavWholeSequenceWavLabeledFrames = _wav_dataset_stub(
-    "NoisyWavWholeSequenceWavLabeledFrames", "164-222",
-    "dvae_tpu.data.datasets.UtteranceDataset")
-AudioVisualSequenceLabeledFrames = _wav_dataset_stub(
-    "AudioVisualSequenceLabeledFrames", "225-332",
-    "dvae_tpu.data.av_dataset.AudioVisualDataset + dvae_tpu.ops.stft")
-AudioVisualSequenceWavLabeledFrames = _wav_dataset_stub(
-    "AudioVisualSequenceWavLabeledFrames", "335-420",
-    "dvae_tpu.data.av_dataset.AudioVisualDataset")
+class NoisyWavWholeSequenceSpectrogramLabeledFrames(_NoisyWavSequenceBase):
+    """(log-power spectrogram (513, T), label, T) per utterance
+    (reference :69-161). The reference's label-longer-than-audio branch
+    assigned the label INTO the data (:153-154); here both trim to the
+    common frame count."""
+
+    def __init__(self, input_video_dir, dataset_type, dataset_size,
+                 labels="vad_labels", upsampled=False, fs=16000,
+                 wlen_sec=64e-3, win="hann", hop_percent=0.25, center=True,
+                 pad_mode="reflect", pad_at_end=True, eps=1e-8):
+        super().__init__(input_video_dir, dataset_type, dataset_size,
+                         labels, upsampled, fs, wlen_sec, win, hop_percent,
+                         center, pad_mode, pad_at_end, eps,
+                         pass_upsampled=True)
+
+    def __getitem__(self, i):
+        proc_noisy_file_path, clean_file_path = self.noisy_clean_pair_paths[i]
+        data = self._log_power_spectrogram(
+            self._normalized_wav(proc_noisy_file_path))
+        label = self._label(clean_file_path)
+        length = min(data.shape[-1], label.shape[-1])
+        return data[..., :length], label[..., :length], length
+
+
+class NoisyWavWholeSequenceWavLabeledFrames(_NoisyWavSequenceBase):
+    """(normalized waveform, label, time_length, tf_length) per utterance
+    (reference :164-222; no STFT — the consumer frames the audio)."""
+
+    def __init__(self, input_video_dir, dataset_type, dataset_size,
+                 labels="vad_labels", fs=16000, wlen_sec=64e-3, win="hann",
+                 hop_percent=0.25, center=True, pad_mode="reflect",
+                 pad_at_end=True, eps=1e-8):
+        super().__init__(input_video_dir, dataset_type, dataset_size,
+                         labels, False, fs, wlen_sec, win, hop_percent,
+                         center, pad_mode, pad_at_end, eps,
+                         pass_upsampled=False)
+
+    def __getitem__(self, i):
+        proc_noisy_file_path, clean_file_path = self.noisy_clean_pair_paths[i]
+        data = self._normalized_wav(proc_noisy_file_path)
+        label = self._label(clean_file_path)
+        return data, label, data.shape[-1], label.shape[-1]
+
+
+class AudioVisualSequenceLabeledFrames(_NoisyWavSequenceBase):
+    """(log-power spectrogram, lip video, label, T) trimmed to the common
+    frame count (reference :225-332)."""
+
+    def __init__(self, input_video_dir, dataset_type, dataset_size,
+                 labels="vad_labels", upsampled=False, fs=16000,
+                 wlen_sec=64e-3, win="hann", hop_percent=0.25, center=True,
+                 pad_mode="reflect", pad_at_end=True, eps=1e-8):
+        super().__init__(input_video_dir, dataset_type, dataset_size,
+                         labels, upsampled, fs, wlen_sec, win, hop_percent,
+                         center, pad_mode, pad_at_end, eps,
+                         pass_upsampled=True)
+
+    def __getitem__(self, i):
+        proc_noisy_file_path, clean_file_path = self.noisy_clean_pair_paths[i]
+        spec = self._log_power_spectrogram(
+            self._normalized_wav(proc_noisy_file_path))
+        # upsampled labels name the video h5 directly; raw-rate labels the
+        # builder's _normvideo variant (reference :300-303)
+        video = _read_h5_tensor(self._video_path(
+            clean_file_path, ".h5" if self.upsampled else "_normvideo.h5"),
+            "X")
+        label = self._label(clean_file_path)
+        length = min(spec.shape[-1], video.shape[-1], label.shape[-1])
+        return (spec[..., :length], video[..., :length],
+                label[..., :length], length)
+
+
+class AudioVisualSequenceWavLabeledFrames(_NoisyWavSequenceBase):
+    """(normalized waveform, upsampled lip video, label, time_length,
+    tf_length) per utterance (reference :335-405)."""
+
+    def __init__(self, input_video_dir, dataset_type, dataset_size,
+                 labels="vad_labels", fs=16000, wlen_sec=64e-3, win="hann",
+                 hop_percent=0.25, center=True, pad_mode="reflect",
+                 pad_at_end=True, eps=1e-8):
+        super().__init__(input_video_dir, dataset_type, dataset_size,
+                         labels, False, fs, wlen_sec, win, hop_percent,
+                         center, pad_mode, pad_at_end, eps,
+                         pass_upsampled=False)
+
+    def __getitem__(self, i):
+        proc_noisy_file_path, clean_file_path = self.noisy_clean_pair_paths[i]
+        data = self._normalized_wav(proc_noisy_file_path)
+        video = _read_h5_tensor(
+            self._video_path(clean_file_path, "_upsampled.h5"), "X")
+        label = self._label(clean_file_path)
+        return data, video, label, data.shape[-1], video.shape[-1]

@@ -65,14 +65,41 @@ except ValueError as e:
     assert "integer" in str(e)
 else:
     raise AssertionError("expected ValueError")
-# the torch-feeder variants raise with guidance
-from packages.processing.stft import stft_pytorch
+# the torch variants are working drop-ins: same values as the numpy
+# path in the reference-era (freq, frames, 2) real/imag layout
+import torch
+from packages.processing.stft import stft_pytorch, istft_pytorch
+St = stft_pytorch(torch.as_tensor(x), fs=16e3, wlen_sec=64e-3,
+                  hop_percent=0.25, center=False, pad_at_end=True)
+assert isinstance(St, torch.Tensor) and St.shape[-1] == 2, St.shape
+assert St.shape[:2] == S.shape, (St.shape, S.shape)
+assert np.allclose(St[..., 0].numpy() + 1j * St[..., 1].numpy(), S,
+                   atol=1e-4)
+# power-spectrogram math user code does on the [..., 2] layout
+p_torch = (St[..., 0] ** 2 + St[..., 1] ** 2).numpy()
+assert np.allclose(p_torch, np.abs(S) ** 2, atol=1e-4)
+# istft accepts both layouts; center=True (the reference defaults)
+# round-trips in the interior (torch.istft cannot invert center=False
+# Hann edges — zero overlap-add envelope; the reference never does)
+St_c = stft_pytorch(torch.as_tensor(x), fs=16e3, wlen_sec=64e-3,
+                    hop_percent=0.25, center=True, pad_at_end=True)
+for inp in (St_c, torch.view_as_complex(St_c.contiguous())):
+    xt = istft_pytorch(inp, fs=16000, wlen_sec=64e-3, hop_percent=0.25,
+                       center=True).numpy()
+    m = min(len(xt), len(x))
+    assert np.abs(xt[:m][w:-w] - x[:m][w:-w]).max() < 1e-3
+# pad_at_end=False works (the reference NameErrors, stft.py:45-52);
+# one hop fewer of tail padding => possibly fewer frames
+S_np = stft_pytorch(torch.as_tensor(x), fs=16e3, wlen_sec=64e-3,
+                    hop_percent=0.25, center=False, pad_at_end=False)
+assert S_np.shape[1] <= St.shape[1]
+# non-Hann raises a clear error (the reference NameErrors, stft.py:141)
 try:
-    stft_pytorch(x)
-except NotImplementedError as e:
-    assert "MIGRATING.md" in str(e)
+    stft_pytorch(torch.as_tensor(x), win="hamming")
+except ValueError as e:
+    assert "Hann" in str(e)
 else:
-    raise AssertionError("expected NotImplementedError")
+    raise AssertionError("expected ValueError")
 print("OK")
 """)
     assert "OK" in out
@@ -203,14 +230,105 @@ assert y.shape[0] == 513
 import h5py
 with h5py.File(ds.input_data_file, "r") as f:
     assert np.allclose(x.numpy(), f["X_train"][..., 0])
-# wav-based sequence datasets raise with the native pointer
-from packages.data_handling import AudioVisualSequenceLabeledFrames
-try:
-    AudioVisualSequenceLabeledFrames("d", "n", "t", "s")
-except NotImplementedError as e:
-    assert "av_dataset" in str(e)
-else:
-    raise AssertionError("expected NotImplementedError")
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_wav_sequence_dataset_drop_ins(subset_dir):
+    """The four wav-based sequence datasets work over the shipped subset
+    (upsampled labels) with the reference's tuple contracts; the
+    label-overwrites-data slip (reference data_handling.py:153-154) is
+    fixed to a symmetric trim."""
+    out = run_shim("""
+import numpy as np
+import torch
+from torch.utils.data import Dataset
+from packages.data_handling import (
+    NoisyWavWholeSequenceSpectrogramLabeledFrames,
+    AudioVisualSequenceLabeledFrames)
+
+ROOT = "/root/reference/data/subset/processed/"
+
+ds = NoisyWavWholeSequenceSpectrogramLabeledFrames(
+    ROOT, "test", "subset", labels="vad_labels", upsampled=True)
+assert isinstance(ds, Dataset) and len(ds) == 6   # 3 utts x {Babble, LR}
+data, label, length = ds[0]
+assert isinstance(data, torch.Tensor) and data.shape[0] == 513
+assert data.shape[-1] == label.shape[-1] == length   # symmetric trim
+# the spectrogram math is the reference's: log(|STFT|^2 + eps) of the
+# peak-normalized first channel (center=True production flags)
+from dvae_tpu.data.io import read_wav
+from packages.processing.stft import stft
+noisy, _label_path = ds.noisy_clean_pair_paths[0]
+wav, fs = read_wav(ROOT + noisy)
+wav = (wav / np.abs(wav).max()).astype(np.float32)
+S = stft(wav, fs=16e3, wlen_sec=64e-3, hop_percent=0.25, center=True,
+         pad_at_end=True)
+# compare in the POWER domain (log would amplify numeric noise in
+# near-eps bins far beyond any meaningful tolerance)
+got_p = np.exp(data.numpy().astype(np.float64)) - 1e-8
+want_p = (np.abs(S).astype(np.float64) ** 2)[:, :length]
+assert np.allclose(got_p, want_p, rtol=1e-3, atol=1e-6), \
+    np.abs(got_p - want_p).max()
+
+av = AudioVisualSequenceLabeledFrames(
+    ROOT, "test", "subset", labels="vad_labels", upsampled=True)
+spec, video, label2, n = av[0]
+assert spec.shape == (513, n)
+assert video.shape[:2] == (67, 67) and video.shape[-1] == n
+assert label2.shape[-1] == n
+assert set(np.unique(label2.numpy())) <= {0.0, 1.0}
+# DataLoader compatibility (what reference user code wraps these in)
+dl = torch.utils.data.DataLoader(av, batch_size=1)
+spec_b, video_b, label_b, n_b = next(iter(dl))
+assert spec_b.shape == (1, 513, int(n_b[0]))
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_wav_sequence_dataset_raw_rate_variants(tmp_path, subset_dir):
+    """The non-upsampled classes (no ``upsampled`` kwarg in the reference)
+    glob ``*_<labels>.h5`` and read ``*_upsampled.h5`` video — exercised on
+    a tmp tree since the subset ships only upsampled label files."""
+    import shutil
+
+    root = tmp_path / "processed"
+    sub = "ntcd_timit/Clean/test/34M"
+    (root / sub).mkdir(parents=True)
+    ref = pathlib.Path("/root/reference/data/subset/processed")
+    shutil.copy(ref / sub / "sa1_vad_labels_upsampled.h5",
+                root / sub / "sa1_vad_labels.h5")
+    vid = "ntcd_timit/matlab_raw/test/34M"
+    (root / vid).mkdir(parents=True)
+    shutil.copy(ref / vid / "sa1_upsampled.h5", root / vid / "sa1_upsampled.h5")
+    noisy = "ntcd_timit/Noisy/Babble/-5/test/34M"
+    (root / noisy).mkdir(parents=True)
+    shutil.copy(ref / noisy / "sa1.wav", root / noisy / "sa1.wav")
+
+    out = run_shim(f"""
+import numpy as np
+import torch
+from packages.data_handling import (
+    NoisyWavWholeSequenceWavLabeledFrames,
+    AudioVisualSequenceWavLabeledFrames)
+
+ROOT = "{root}/"
+ds = NoisyWavWholeSequenceWavLabeledFrames(ROOT, "test", "subset",
+                                           labels="vad_labels")
+assert len(ds) == 2          # 1 label file x {{Babble, LR}}
+wav, label, t_len, tf_len = ds[0]
+assert isinstance(wav, torch.Tensor) and wav.ndim == 1
+assert abs(float(torch.max(torch.abs(wav))) - 1.0) < 1e-6  # peak-normalized
+assert t_len == wav.shape[-1] and tf_len == label.shape[-1]
+
+av = AudioVisualSequenceWavLabeledFrames(ROOT, "test", "subset",
+                                         labels="vad_labels")
+wav2, video, label2, t_len2, tf_len2 = av[0]
+assert video.shape[:2] == (67, 67)
+assert t_len2 == wav2.shape[-1] and tf_len2 == video.shape[-1]
+assert torch.allclose(wav2, wav)
 print("OK")
 """)
     assert "OK" in out
