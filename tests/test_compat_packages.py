@@ -329,6 +329,52 @@ wav2, video, label2, t_len2, tf_len2 = av[0]
 assert video.shape[:2] == (67, 67)
 assert t_len2 == wav2.shape[-1] and tf_len2 == video.shape[-1]
 assert torch.allclose(wav2, wav)
+
+# the waveform collate (reference train_audio_net.py:20 imports it from
+# packages.utils where it never existed): frame lengths, padded waveforms
+from packages.utils import collate_many2many_audio_waveform
+items = [(torch.randn(100), torch.ones(1, 5), 100, 5),
+         (torch.randn(160), torch.zeros(1, 8), 160, 8)]
+lengths, xw, yw = collate_many2many_audio_waveform(items)
+assert lengths.tolist() == [8, 5]          # label frames, sorted desc
+assert xw.shape == (2, 160) and yw.shape == (2, 8)
+assert torch.allclose(xw[0], items[1][0]) and torch.all(xw[1, 100:] == 0)
+print("OK")
+""")
+    assert "OK" in out
+
+
+def test_collate_many2many_audio_dataloader_chain(subset_dir):
+    """The reconstructed ``collate_many2many_audio`` feeds a real torch
+    DataLoader over the drop-in sequence dataset exactly as the reference's
+    train_audio_net wires it (train_audio_net.py:115-120,194)."""
+    out = run_shim("""
+import torch
+from torch.utils.data import DataLoader
+from packages.data_handling import NoisyWavWholeSequenceSpectrogramLabeledFrames
+from packages.utils import collate_many2many_audio
+
+ROOT = "/root/reference/data/subset/processed/"
+ds = NoisyWavWholeSequenceSpectrogramLabeledFrames(
+    ROOT, "test", "subset", labels="vad_labels", upsampled=True)
+dl = DataLoader(ds, batch_size=4, shuffle=False,
+                collate_fn=collate_many2many_audio)
+lengths, x, y = next(iter(dl))            # the reference's unpack order
+assert lengths.dtype == torch.int64
+assert lengths.tolist() == sorted(lengths.tolist(), reverse=True)
+B, T, F = x.shape
+assert B == 4 and F == 513 and T == int(lengths[0])
+assert y.shape == (B, T)
+for j in range(B):                        # zero padding beyond each length
+    n = int(lengths[j])
+    assert torch.all(x[j, n:] == 0) and torch.all(y[j, n:] == 0)
+# per-item values survive (batch is re-sorted by length, stably)
+datas = [ds[i] for i in range(4)]
+order = sorted(range(4), key=lambda i: datas[i][2], reverse=True)
+for j, i in enumerate(order):
+    d, l, n = datas[i]
+    assert torch.allclose(x[j, :n], d.T)
+    assert torch.allclose(y[j, :n], l.T.squeeze(-1))
 print("OK")
 """)
     assert "OK" in out
