@@ -385,8 +385,10 @@ def test_model_guidance_errors_name_the_native():
 # every torch-native reference symbol raises a pointed error naming its
 # dvae-tpu equivalent; unknown names raise AttributeError
 from packages.models import models, utils, distributions, variational, mcem
+from packages.models import Audio_Net
 
 cases = [
+    (Audio_Net, "DeepVAD_audio", "lstm_vad"),
     (models, "DeepGenerativeModel_v3", "CVAE_v3"),
     (models, "VariationalAutoencoder", "dvae_tpu.models"),
     (utils, "ikatura_saito_divergence", "itakura_saito_divergence"),
