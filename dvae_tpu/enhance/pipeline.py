@@ -145,12 +145,39 @@ class Enhancer:
             raise ValueError(f"bad wire_dtype {cfg.wire_dtype!r}")
         if cfg.ablation not in ("none", "clean_z", "clean_z_nomcem"):
             raise ValueError(f"bad ablation {cfg.ablation!r}")
-        if mesh is not None:
+        self.params = self._device_params(params)
+        self._core = self._build_core()
+
+    def _device_params(self, params):
+        """Params as device arrays (replicated under a mesh). Checkpoint
+        loads hand back host numpy leaves — left as-is they would re-upload
+        on EVERY dispatch and key a second jit-cache entry (host arrays
+        carry a different call signature than device arrays)."""
+        if self.mesh is not None:
             from dvae_tpu.parallel import replicate
 
-            params = replicate(params, mesh)
-        self.params = params
-        self._core = self._build_core()
+            return replicate(params, self.mesh)
+        return jax.tree.map(jnp.asarray, params)
+
+    def reload(self, params) -> None:
+        """Swap in same-structure params (e.g. a newer checkpoint of the
+        same model). Params are a per-call argument of the jitted core, so
+        a same-shape swap reuses every compiled program — no recompile, no
+        warmup. Raises ValueError on any structure/shape/dtype mismatch
+        (a different architecture needs a new Enhancer)."""
+        old_leaves, old_def = jax.tree_util.tree_flatten(self.params)
+        new_leaves, new_def = jax.tree_util.tree_flatten(params)
+        if old_def != new_def:
+            raise ValueError(
+                f"param tree structure mismatch: {new_def} != {old_def}")
+        for o, n in zip(old_leaves, new_leaves):
+            if jnp.shape(o) != jnp.shape(n) or \
+                    jnp.asarray(o).dtype != jnp.asarray(n).dtype:
+                raise ValueError(
+                    f"param leaf mismatch: {jnp.shape(n)}/"
+                    f"{jnp.asarray(n).dtype} != {jnp.shape(o)}/"
+                    f"{jnp.asarray(o).dtype}")
+        self.params = self._device_params(params)
 
     def _shard(self, arr):
         """Device-put a batch-leading array sharded over the mesh (or as-is)."""

@@ -35,6 +35,11 @@ Wire protocol (see ``RequestHandler``):
   GET /healthz    -> {"status": "ok", ...}
   GET /stats      -> request/batch/audio-seconds counters, rtf, and
       p50/p90/p99 request latency over the last ``latency_window`` requests.
+  POST /reload?checkpoint=<path> -> hot-swap to a new checkpoint of the
+      SAME model (msgpack or reference .pt) with zero downtime: params are
+      per-call arguments of the compiled programs, so the swap reuses every
+      warm compile; the worker applies it between device batches, so each
+      request is answered by exactly one params epoch.
 
 Overload behavior: the admission queue is bounded (``max_queue``); beyond
 it requests fail fast with 503 + Retry-After rather than queueing
@@ -116,7 +121,10 @@ class EnhanceService:
         self._latencies: list[float] = []  # ring buffer, latency_window deep
         self.stats = {"requests": 0, "failed": 0, "rejected": 0, "batches": 0,
                       "utterances": 0, "audio_seconds": 0.0,
-                      "busy_seconds": 0.0, "warmup_seconds": 0.0}
+                      "busy_seconds": 0.0, "warmup_seconds": 0.0,
+                      "reloads": 0}
+        self.checkpoint = None           # last hot-reloaded checkpoint path
+        self._pending_reload = None      # (params, path, done, error-slot)
         self.started = time.time()
         self.warm_buckets: list[int] = []
         self._batch_counter = 0
@@ -192,9 +200,53 @@ class EnhanceService:
                     del self._latencies[:-self.cfg.latency_window]
         return item.result
 
+    # -- hot reload -----------------------------------------------------------
+    def reload_checkpoint(self, path, timeout: float = 60.0) -> None:
+        """Swap to a new checkpoint of the SAME model without downtime.
+
+        Loads ``path`` (msgpack or a reference ``.pt``) against the current
+        params as template, then hands the swap to the worker thread, which
+        applies it BETWEEN device batches — every request is answered
+        entirely by one params epoch, and the compiled programs are reused
+        (params are per-call arguments, :meth:`Enhancer.reload`). Raises on
+        structure mismatch or load failure; the running params are
+        untouched on any error."""
+        from dvae_tpu.train.checkpoint import load_checkpoint
+
+        params = load_checkpoint(path, self.params)
+        done = threading.Event()
+        swap = {"params": params, "path": str(path), "done": done,
+                "error": None}
+        with self._lock:
+            if self._pending_reload is not None:
+                raise RuntimeError("another reload is already in flight")
+            self._pending_reload = swap
+        if not done.wait(timeout):
+            raise TimeoutError("reload not applied in time (device busy?)")
+        if swap["error"] is not None:
+            raise swap["error"]
+
+    def _apply_pending_reload(self):
+        with self._lock:
+            swap = self._pending_reload
+            self._pending_reload = None
+        if swap is None:
+            return
+        try:
+            self.enhancer.reload(swap["params"])
+            self.params = swap["params"]   # self-labeling classifier too
+            self.checkpoint = swap["path"]
+            with self._lock:
+                self.stats["reloads"] += 1
+        except Exception as e:
+            swap["error"] = e
+        finally:
+            swap["done"].set()
+
     # -- worker ---------------------------------------------------------------
     def _run(self):
         while not self._stop.is_set():
+            self._apply_pending_reload()
             try:
                 first = self._q.get(timeout=0.2)
             except queue.Empty:
@@ -357,6 +409,7 @@ class RequestHandler(BaseHTTPRequestHandler):
                 "model_class": svc.model_class,
                 "platform": jax.devices()[0].platform,
                 "warm_buckets": svc.warm_buckets,
+                "checkpoint": svc.checkpoint,
                 "uptime_seconds": round(time.time() - svc.started, 1),
             })
         elif path == "/stats":
@@ -379,6 +432,24 @@ class RequestHandler(BaseHTTPRequestHandler):
     def do_POST(self):
         svc = self.service
         url = urlparse(self.path)
+        if url.path == "/reload":
+            q = parse_qs(url.query)
+            path = q.get("checkpoint", [None])[0]
+            if not path:
+                self._json(400, {"error": "pass ?checkpoint=<path> (msgpack "
+                                          "or reference .pt)"})
+                return
+            try:
+                svc.reload_checkpoint(path)
+            except (RuntimeError, TimeoutError) as e:
+                self._json(503, {"error": str(e)},
+                           headers=(("Retry-After", "1"),))
+                return
+            except Exception as e:
+                self._json(400, {"error": f"reload failed: {e}"})
+                return
+            self._json(200, {"status": "reloaded", "checkpoint": path})
+            return
         if url.path != "/enhance":
             self._json(404, {"error": f"unknown path {url.path}"})
             return

@@ -16,6 +16,9 @@ at all (its eval scripts walk the corpus tree, evaluate_ntcd_M1.py).
     curl -s --data-binary @noisy.wav 'localhost:8571/enhance?return=stereo' \\
         > both.wav   # ch0 speech + ch1 noise, sums to the input
     curl -s localhost:8571/healthz; curl -s localhost:8571/stats
+    curl -s -X POST 'localhost:8571/reload?checkpoint=/path/M1_...msgpack'
+        # hot-swap to a newer checkpoint of the same model: zero downtime,
+        # zero recompiles (params are per-call args of the warm programs)
 """
 
 import argparse
