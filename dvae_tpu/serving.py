@@ -45,6 +45,11 @@ Overload behavior: the admission queue is bounded (``max_queue``); beyond
 it requests fail fast with 503 + Retry-After rather than queueing
 unboundedly, and waiters that time out mark their items abandoned so the
 worker never burns a device batch on a client that already gave up.
+
+Shutdown: ``EnhanceService.drain()`` stops admission (new requests get 503
+— the signal a load-balancer needs to fail over), answers everything
+already admitted, then stops the worker; ``scripts/serve.py`` wires it to
+SIGTERM so an orchestrator's stop never truncates an in-flight response.
 """
 
 from __future__ import annotations
@@ -125,6 +130,8 @@ class EnhanceService:
                       "reloads": 0}
         self.checkpoint = None           # last hot-reloaded checkpoint path
         self._pending_reload = None      # (params, path, done, error-slot)
+        self._draining = False           # drain(): stop admitting work
+        self._unfinished = 0             # admitted items not yet answered
         self.started = time.time()
         self.warm_buckets: list[int] = []
         self._batch_counter = 0
@@ -172,6 +179,10 @@ class EnhanceService:
                              f" exceeds the {self.cfg.max_audio_seconds:.0f}s cap")
         if len(wav) == 0:
             raise ValueError("empty audio")
+        if self._draining:
+            raise ServiceOverloaded(
+                "server is draining for shutdown; retry against another "
+                "replica")
         item = _Item(np.asarray(wav, np.float32), y_source, _count_stats)
         t0 = time.monotonic()
         try:
@@ -182,6 +193,8 @@ class EnhanceService:
             raise ServiceOverloaded(
                 f"admission queue full ({self.max_queue} pending); "
                 "retry with backoff") from None
+        with self._lock:
+            self._unfinished += 1
         if not item.done.wait(timeout):
             # mark abandoned so the worker drops it instead of burning a
             # device batch for a waiter that already gave up — exactly the
@@ -261,9 +274,13 @@ class EnhanceService:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            batch = [it for it in batch if not it.abandoned]
-            if batch:
-                self._process(batch)
+            live = [it for it in batch if not it.abandoned]
+            dropped = len(batch) - len(live)
+            if dropped:
+                with self._lock:
+                    self._unfinished -= dropped
+            if live:
+                self._process(live)
 
     def _process(self, batch: list["_Item"]):
         import jax
@@ -310,6 +327,9 @@ class EnhanceService:
                 it.done.set()
             with self._lock:
                 self.stats["failed"] += sum(1 for it in batch if it.count)
+        finally:
+            with self._lock:
+                self._unfinished -= len(batch)
 
     # -- lifecycle --------------------------------------------------------------
     def warmup(self, buckets=None, timeout: float = 1800.0):
@@ -327,6 +347,24 @@ class EnhanceService:
                                          self.classify_method is None)
                         else None, timeout=timeout, _count_stats=False)
             self.warm_buckets.append(int(b))
+
+    def drain(self, timeout: float = 600.0) -> bool:
+        """Graceful shutdown: stop admitting (new ``submit``s raise
+        ``ServiceOverloaded`` -> HTTP 503, the load-balancer signal), wait
+        for every already-admitted request to be answered, then stop the
+        worker. Returns False if in-flight work outlived ``timeout``
+        (the worker is stopped regardless)."""
+        self._draining = True
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._lock:
+                if self._unfinished == 0:
+                    break
+            time.sleep(0.05)
+        with self._lock:
+            drained = self._unfinished == 0
+        self.close()
+        return drained
 
     def close(self):
         self._stop.set()

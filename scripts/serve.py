@@ -108,9 +108,28 @@ def main():
         print(f"warm: {svc.warm_buckets}")
 
     server = make_server(svc, args.host, args.port, verbose=args.verbose)
+
+    import signal
+    import threading
+
+    def _drain_and_stop():
+        drained = svc.drain()
+        print("drained, stopping" if drained
+              else "drain timed out, stopping", flush=True)
+        server.shutdown()
+
+    def _on_sigterm(signum, frame):
+        # answer everything already admitted (503 for new arrivals), THEN
+        # stop — an orchestrator's stop never truncates a response.
+        # shutdown() must come from another thread (serve_forever's own
+        # thread would deadlock on it).
+        print("SIGTERM: draining...", flush=True)
+        threading.Thread(target=_drain_and_stop, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(model_class={args.model_class}, batch={args.batch_size}, "
-          f"window={args.batch_window_ms}ms)")
+          f"window={args.batch_window_ms}ms)", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -505,6 +505,113 @@ def test_http_reload_endpoint(server, m1_service, tmp_path):
     assert ei.value.code == 400
 
 
+def test_drain_answers_inflight_then_rejects():
+    """drain(): everything already admitted is answered, new submissions
+    get ServiceOverloaded (HTTP 503 — the fail-over signal), the worker
+    stops."""
+    from dvae_tpu.serving import ServiceOverloaded
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(model, params, "m1",
+                         enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+                         cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                                         warmup_buckets=()))
+    try:
+        results = {}
+
+        def client():
+            results["out"] = svc.submit(_noisy_wav(seconds=0.3))
+
+        t = threading.Thread(target=client)
+        t.start()                      # in flight (first call compiles)
+        import time as _time
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline:   # wait for admission
+            with svc._lock:
+                if svc._unfinished:
+                    break
+            _time.sleep(0.01)
+        assert svc.drain(timeout=300)  # waits for the answer
+        t.join(timeout=10)
+        s, n = results["out"]
+        assert np.isfinite(s).all()
+        with pytest.raises(ServiceOverloaded, match="draining"):
+            svc.submit(_noisy_wav(seconds=0.3, seed=1))
+        assert not svc._worker.is_alive()
+    finally:
+        svc.close()
+
+
+def test_serve_cli_sigterm_drains(tmp_path):
+    """SIGTERM during an in-flight request: the response still completes
+    (drain), new work would get 503, and the process exits 0."""
+    import os
+    import pathlib
+    import signal as _signal
+    import subprocess
+    import sys
+    import time
+
+    from dvae_tpu.train.checkpoint import save_checkpoint
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    save_checkpoint(tmp_path, "M1_epoch_001_vloss_1.00", params)
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, str(repo / "scripts/serve.py"),
+         "--checkpoint", str(tmp_path / "M1_epoch_001_vloss_1.00.msgpack"),
+         "--z-dim", "4", "--h-dim", "16", "16",
+         "--niter", "3", "--nsamples-e-step", "2", "--burnin-e-step", "2",
+         "--nsamples-wf", "3", "--burnin-wf", "3",
+         "--batch-size", "2", "--port", "0", "--warmup-buckets",
+         "--platform", "cpu"],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        url, deadline, lines = None, time.time() + 240, []
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                assert proc.poll() is None, "".join(lines)
+                continue
+            lines.append(line)
+            if line.startswith("serving on "):
+                url = line.split()[2]
+                break
+        assert url, "".join(lines)
+
+        results = {}
+
+        def client():
+            # no warmup buckets: this request pays the compile, so it is
+            # still in flight when SIGTERM lands
+            results["resp"] = _post(f"{url}/enhance",
+                                    _wav_body(_noisy_wav()), timeout=240)
+
+        t = threading.Thread(target=client)
+        t.start()
+        time.sleep(1.0)
+        proc.send_signal(_signal.SIGTERM)
+        t.join(timeout=240)
+        assert results.get("resp") and results["resp"][0] == 200
+        assert proc.wait(timeout=120) == 0
+        out = "".join(lines) + proc.stdout.read()
+        assert "draining" in out and "drained, stopping" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait(timeout=30)
+
+
 def test_service_on_device_mesh():
     """Multi-chip serving: the service's fixed batch shards over a data
     mesh (the deployment shape for a pod host — requests micro-batch, the
