@@ -171,12 +171,16 @@ class Enhancer:
             raise ValueError(
                 f"param tree structure mismatch: {new_def} != {old_def}")
         for o, n in zip(old_leaves, new_leaves):
-            if jnp.shape(o) != jnp.shape(n) or \
-                    jnp.asarray(o).dtype != jnp.asarray(n).dtype:
+            # host-side checks only — jnp.asarray here would upload every
+            # leaf to the device once just to read its dtype, doubling
+            # reload transfer on a remote-attached chip. Dtypes compare
+            # post-canonicalization (what the device will actually hold,
+            # e.g. a float64 msgpack leaf lands as float32)
+            n_dtype = jax.dtypes.canonicalize_dtype(np.result_type(n))
+            if np.shape(o) != np.shape(n) or o.dtype != n_dtype:
                 raise ValueError(
-                    f"param leaf mismatch: {jnp.shape(n)}/"
-                    f"{jnp.asarray(n).dtype} != {jnp.shape(o)}/"
-                    f"{jnp.asarray(o).dtype}")
+                    f"param leaf mismatch: {np.shape(n)}/{n_dtype} != "
+                    f"{np.shape(o)}/{o.dtype}")
         self.params = self._device_params(params)
 
     def _shard(self, arr):

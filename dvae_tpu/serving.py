@@ -179,22 +179,27 @@ class EnhanceService:
                              f" exceeds the {self.cfg.max_audio_seconds:.0f}s cap")
         if len(wav) == 0:
             raise ValueError("empty audio")
-        if self._draining:
-            raise ServiceOverloaded(
-                "server is draining for shutdown; retry against another "
-                "replica")
         item = _Item(np.asarray(wav, np.float32), y_source, _count_stats)
         t0 = time.monotonic()
+        # admission is ATOMIC with drain(): the draining check and the
+        # unfinished-work increment happen under the same lock drain()
+        # reads, so a request is either refused or guaranteed to be
+        # answered before drain() reports the service empty
+        with self._lock:
+            if self._draining:
+                raise ServiceOverloaded(
+                    "server is draining for shutdown; retry against "
+                    "another replica")
+            self._unfinished += 1
         try:
             self._q.put_nowait(item)
         except queue.Full:
             with self._lock:
+                self._unfinished -= 1
                 self.stats["rejected"] += 1
             raise ServiceOverloaded(
                 f"admission queue full ({self.max_queue} pending); "
                 "retry with backoff") from None
-        with self._lock:
-            self._unfinished += 1
         if not item.done.wait(timeout):
             # mark abandoned so the worker drops it instead of burning a
             # device batch for a waiter that already gave up — exactly the
@@ -235,7 +240,18 @@ class EnhanceService:
                 raise RuntimeError("another reload is already in flight")
             self._pending_reload = swap
         if not done.wait(timeout):
-            raise TimeoutError("reload not applied in time (device busy?)")
+            # withdraw the swap so a reported timeout MEANS not-applied
+            # (and later reloads aren't blocked by a dead one). If the
+            # worker already took it, it is being applied right now —
+            # give that a moment rather than lying either way.
+            with self._lock:
+                if self._pending_reload is swap:
+                    self._pending_reload = None
+                    raise TimeoutError(
+                        "reload not applied in time (device busy?); "
+                        "the previous params remain live")
+            if not done.wait(5.0):
+                raise TimeoutError("reload application stalled mid-swap")
         if swap["error"] is not None:
             raise swap["error"]
 
@@ -418,6 +434,10 @@ class RequestHandler(BaseHTTPRequestHandler):
     service: EnhanceService = None  # set by make_server
     max_content_length = 256 * 1024 * 1024
     protocol_version = "HTTP/1.1"
+    # per-recv socket timeout: caps how long an idle keep-alive connection
+    # (or a stalled client) can hold its handler thread, which bounds the
+    # non-daemon thread join in server_close() at shutdown
+    timeout = 65
 
     # quiet by default; scripts/serve.py re-enables logging with --verbose
     def log_message(self, fmt, *args):
@@ -546,4 +566,9 @@ def make_server(service: EnhanceService, host: str = "127.0.0.1",
     handler = type("BoundHandler", (RequestHandler,), {"service": service})
     if verbose:
         handler.log_message = BaseHTTPRequestHandler.log_message
-    return ThreadingHTTPServer((host, port), handler)
+    server = ThreadingHTTPServer((host, port), handler)
+    # NON-daemon handler threads: server_close() joins them, so process
+    # exit after a drain cannot truncate a response still being written to
+    # a slow client (the handler `timeout` bounds the join)
+    server.daemon_threads = False
+    return server

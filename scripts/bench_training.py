@@ -39,11 +39,19 @@ REF = "/root/reference"
 
 def _load_frames(batch: int) -> np.ndarray:
     """Real training frames: the subset h5's X_train (513, N), tiled and
-    trimmed to (batch, 513) float32."""
-    import h5py
+    trimmed to (batch, 513) float32. Hosts without the reference tree
+    (--skip-reference's target situation) get synthetic power frames —
+    the step cost does not depend on the values."""
+    import os
 
     path = (REF + "/data/subset/processed/ntcd_timit/"
                   "Clean_ibm_labels_upsampled.h5")
+    if not os.path.exists(path):
+        rng = np.random.default_rng(0)
+        return (np.abs(rng.standard_normal((batch, 513))) + 0.1
+                ).astype(np.float32)
+    import h5py
+
     with h5py.File(path, "r") as f:
         x = np.asarray(f["X_train"][:], np.float32).T  # (N, 513)
     reps = -(-batch // x.shape[0])
