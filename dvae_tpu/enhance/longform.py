@@ -1,0 +1,145 @@
+"""Bounded-memory enhancement of arbitrarily long audio.
+
+The MCEM engine is length-agnostic (masked batching, no sequence cap —
+120 s one-shot is verified on-chip), but device memory grows linearly with
+frames: the chain keeps |X|², the NMF planes and the emitted Vs-sample
+stack resident, so hour-scale audio in ONE dispatch would exhaust HBM.
+:func:`enhance_chunked` bounds memory by input-independent constants:
+
+* the waveform splits into hop-aligned chunks of ``chunk_seconds`` with a
+  short ``overlap_seconds`` cross-fade region;
+* ALL chunks go through :meth:`Enhancer.enhance_batch` as one ragged batch
+  (oversized lists sub-dispatch and pipeline in ``max_device_batch``
+  groups), so a long file still fills the chip like a corpus sweep;
+* overlaps cross-fade in the time domain with complementary raised-cosine
+  ramps that sum to EXACTLY 1, so the Wiener partition survives: each
+  chunk's ``s+n`` reconstructs its mixture span, and the blend of two
+  reconstructions of the same span is still that span (pinned by a
+  fake-enhancer identity test).
+
+Per-chunk MCEM re-fits the NMF noise model (W, H, g) from scratch — for
+noise that drifts over minutes this tracks better than one global fit.
+The reference never faced any of this: its utterances are ≤ ~6 s
+(evaluate_ntcd_M1.py processes one short file at a time).
+
+Labels: chunk boundaries are multiples of the STFT hop, so frame ``k`` of
+the chunk starting at sample ``a`` is global frame ``a/hop + k`` — a full-
+length label array slices per chunk by that offset (the boundary frame
+whose window straddles the cut replicates the last available row). For
+self-labeling models pass ``labeler`` instead (called once with the chunk
+list; e.g. ``labeling.self_soft_labels`` — one batched classifier call).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import numpy as np
+
+from dvae_tpu.ops.stft import n_stft_frames_clamped
+
+
+def chunk_spans(n_samples: int, fs: int, hop: int, chunk_seconds: float,
+                overlap_seconds: float) -> list[tuple[int, int]]:
+    """Hop-aligned [start, end) spans covering [0, n_samples).
+
+    Uniform interior overlap of ``overlap_seconds`` (rounded to whole
+    hops); the final span ends at ``n_samples`` and is always longer than
+    the overlap, so every fade region has a full-weight partner."""
+    if n_samples <= 0:
+        raise ValueError("empty signal")
+    chunk = max(hop, int(round(chunk_seconds * fs / hop)) * hop)
+    ov = int(round(overlap_seconds * fs / hop)) * hop
+    if not 0 <= ov < chunk:
+        raise ValueError(f"overlap {overlap_seconds}s must be shorter than "
+                         f"the chunk {chunk_seconds}s")
+    step = chunk - ov
+    spans, a = [], 0
+    while a + chunk < n_samples:
+        spans.append((a, a + chunk))
+        a += step
+    spans.append((a, n_samples))
+    return spans
+
+
+def _fade_in(ov: int) -> np.ndarray:
+    """Raised-cosine ramp; paired as (ramp, 1-ramp) so overlaps sum to 1."""
+    k = np.arange(ov, dtype=np.float64)
+    return np.sin(0.5 * math.pi * (k + 0.5) / ov) ** 2
+
+
+def overlap_add(spans: Sequence[tuple[int, int]],
+                pieces: Sequence[np.ndarray], n_samples: int) -> np.ndarray:
+    """Cross-fade chunk outputs back into one signal.
+
+    Interior overlaps are uniform by construction (``chunk - step``), and
+    each span's tail fade is the exact complement of its successor's head
+    fade over the SAME samples — weights sum to 1 everywhere without a
+    normalization pass."""
+    out = np.zeros(n_samples, np.float64)
+    for i, ((a, b), piece) in enumerate(zip(spans, pieces)):
+        piece = np.asarray(piece, np.float64)
+        if piece.shape != (b - a,):
+            raise ValueError(f"chunk {i}: got {piece.shape}, want {(b - a,)}")
+        fade = np.ones(b - a, np.float64)
+        if i > 0:
+            ov = spans[i - 1][1] - a          # head overlap with predecessor
+            if ov > 0:
+                fade[:ov] = _fade_in(ov)
+        if i + 1 < len(spans):
+            ov = b - spans[i + 1][0]          # tail overlap with successor
+            if ov > 0:
+                fade[-ov:] = 1.0 - _fade_in(ov)
+        out[a:b] += piece * fade
+    return out.astype(np.float32)
+
+
+def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
+                    chunk_seconds: float = 60.0,
+                    overlap_seconds: float = 1.0, key=None,
+                    labeler: Callable | None = None,
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Enhance one long waveform in bounded device memory.
+
+    Args:
+        enhancer: a warm :class:`~dvae_tpu.enhance.pipeline.Enhancer`.
+        wav: float waveform at the enhancer's sample rate.
+        y: full-length (n_frames, y_dim) labels for conditional models —
+            sliced per chunk by hop offset (short tails replicate the last
+            row for the boundary frame).
+        labeler: alternative to ``y``: called ONCE with the list of chunk
+            waveforms, returns per-chunk label arrays (the self-soft hook).
+        key: optional PRNG key (chunks fold independent streams inside
+            ``enhance_batch``'s sub-dispatching).
+    Returns:
+        (s_hat, n_hat) float32 waveforms of ``len(wav)`` — the usual
+        Wiener-complementary pair (their sum reconstructs ``wav``).
+    """
+    if y is not None and labeler is not None:
+        raise ValueError("pass y or labeler, not both")
+    cfg = enhancer.cfg.stft
+    wav = np.asarray(wav, np.float32)
+    spans = chunk_spans(len(wav), cfg.fs, cfg.hop, chunk_seconds,
+                        overlap_seconds)
+    wavs = [wav[a:b] for a, b in spans]
+    ys = None
+    if labeler is not None:
+        ys = list(labeler(wavs))
+    elif y is not None:
+        y = np.asarray(y, np.float32)
+        ys = []
+        for (a, b), w in zip(spans, wavs):
+            off = a // cfg.hop
+            n = n_stft_frames_clamped(len(w), cfg)
+            yc = y[off:off + n]
+            if len(yc) < n:            # boundary frame past the label tail
+                if len(y) == 0:
+                    raise ValueError("empty label array")
+                yc = np.concatenate(
+                    [yc, np.repeat(y[-1:], n - len(yc), axis=0)])
+            ys.append(yc)
+    outs = enhancer.enhance_batch(wavs, ys, key=key)
+    s = overlap_add(spans, [o[0] for o in outs], len(wav))
+    n = overlap_add(spans, [o[1] for o in outs], len(wav))
+    return s, n

@@ -74,6 +74,14 @@ def main():
                     help="polyphase-resample inputs whose rate differs from "
                          "the model's 16 kHz (outputs stay at 16 kHz); "
                          "without it a mismatched file is an error")
+    ap.add_argument("--chunk-seconds", type=float, default=None,
+                    help="bounded-memory mode for very long recordings: "
+                         "split each file into chunks of this many seconds "
+                         "(enhanced together as one device batch) and "
+                         "cross-fade the overlaps — device memory stops "
+                         "growing with file length (enhance/longform.py)")
+    ap.add_argument("--chunk-overlap", type=float, default=1.0,
+                    help="cross-fade overlap in seconds for --chunk-seconds")
     ap.add_argument("--overwrite", action="store_true",
                     help="re-enhance files whose outputs already exist "
                          "(default: resume-by-skip, like the corpus sweeps)")
@@ -187,6 +195,33 @@ def main():
     chunks = [order[s:s + args.batch_size]
               for s in range(0, len(order), args.batch_size)]
 
+    n_done = 0
+    if args.chunk_seconds:
+        # bounded-memory mode: one file at a time, its chunks ARE the
+        # device batch (sub-dispatched in max_device_batch groups)
+        from dvae_tpu.enhance.longform import enhance_chunked
+
+        for j, i in enumerate(order):
+            x = load_input(files[i])
+            y_full, labeler = None, None
+            if conditional:
+                if args.y_source == "self-soft":
+                    labeler = lambda ws: self_soft_labels(
+                        model, params, ws, stft_cfg, args.y_dim,
+                        classify_method, norm=norm)
+                else:
+                    y_full = labels_for(files[i], x)
+            s_hat, n_hat = enhance_chunked(
+                enh, x, y=y_full, labeler=labeler,
+                chunk_seconds=args.chunk_seconds,
+                overlap_seconds=args.chunk_overlap,
+                key=jax.random.fold_in(jax.random.PRNGKey(args.seed), j))
+            write_wav(out_dir / f"{names[i]}_n_est.wav", n_hat, stft_cfg.fs)
+            write_wav(out_dir / f"{names[i]}_s_est.wav", s_hat, stft_cfg.fs)
+            n_done += 1
+            print(f"enhanced {n_done}/{len(order)}")
+        chunks = []
+
     def batches():
         for chunk in chunks:
             wavs = [load_input(files[i]) for i in chunk]
@@ -201,7 +236,6 @@ def main():
                           for i, w in zip(chunk, wavs)]
             yield wavs, ys, None
 
-    n_done = 0
     for chunk, out in zip(chunks, enh.enhance_stream(
             batches(), key=jax.random.PRNGKey(args.seed))):
         for i, (s_hat, n_hat) in zip(chunk, out):
