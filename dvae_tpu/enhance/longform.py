@@ -99,6 +99,7 @@ def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
                     chunk_seconds: float = 60.0,
                     overlap_seconds: float = 1.0, key=None,
                     labeler: Callable | None = None,
+                    max_concurrent_chunks: int = 4,
                     ) -> tuple[np.ndarray, np.ndarray]:
     """Enhance one long waveform in bounded device memory.
 
@@ -110,8 +111,12 @@ def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
             row for the boundary frame).
         labeler: alternative to ``y``: called ONCE with the list of chunk
             waveforms, returns per-chunk label arrays (the self-soft hook).
-        key: optional PRNG key (chunks fold independent streams inside
-            ``enhance_batch``'s sub-dispatching).
+        key: optional PRNG key (chunk groups fold independent streams).
+        max_concurrent_chunks: device batch cap PER DISPATCH — THE memory
+            bound: resident state is max_concurrent_chunks × chunk_seconds
+            of audio, independent of input length (enhance_batch alone
+            would batch up to ``max_device_batch`` chunks = 32×60 s
+            resident at the defaults, more than most one-shot inputs).
     Returns:
         (s_hat, n_hat) float32 waveforms of ``len(wav)`` — the usual
         Wiener-complementary pair (their sum reconstructs ``wav``).
@@ -139,7 +144,18 @@ def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
                 yc = np.concatenate(
                     [yc, np.repeat(y[-1:], n - len(yc), axis=0)])
             ys.append(yc)
-    outs = enhancer.enhance_batch(wavs, ys, key=key)
+    if max_concurrent_chunks < 1:
+        raise ValueError("max_concurrent_chunks must be >= 1")
+    import jax
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    outs = []
+    for j, g in enumerate(range(0, len(wavs), max_concurrent_chunks)):
+        h = g + max_concurrent_chunks
+        outs.extend(enhancer.enhance_batch(
+            wavs[g:h], None if ys is None else ys[g:h],
+            key=jax.random.fold_in(key, j)))
     s = overlap_add(spans, [o[0] for o in outs], len(wav))
     n = overlap_add(spans, [o[1] for o in outs], len(wav))
     return s, n

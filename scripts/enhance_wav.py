@@ -82,6 +82,10 @@ def main():
                          "growing with file length (enhance/longform.py)")
     ap.add_argument("--chunk-overlap", type=float, default=1.0,
                     help="cross-fade overlap in seconds for --chunk-seconds")
+    ap.add_argument("--chunk-concurrency", type=int, default=4,
+                    help="chunks per device dispatch — THE memory bound: "
+                         "resident state is chunk-concurrency x "
+                         "chunk-seconds of audio, whatever the file length")
     ap.add_argument("--overwrite", action="store_true",
                     help="re-enhance files whose outputs already exist "
                          "(default: resume-by-skip, like the corpus sweeps)")
@@ -215,6 +219,7 @@ def main():
                 enh, x, y=y_full, labeler=labeler,
                 chunk_seconds=args.chunk_seconds,
                 overlap_seconds=args.chunk_overlap,
+                max_concurrent_chunks=args.chunk_concurrency,
                 key=jax.random.fold_in(jax.random.PRNGKey(args.seed), j))
             write_wav(out_dir / f"{names[i]}_n_est.wav", n_hat, stft_cfg.fs)
             write_wav(out_dir / f"{names[i]}_s_est.wav", s_hat, stft_cfg.fs)

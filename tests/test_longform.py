@@ -62,9 +62,12 @@ class _FakeEnhancer:
 
     def __init__(self):
         self.seen_ys = None
+        self.call_sizes = []
 
     def enhance_batch(self, wavs, ys=None, key=None):
-        self.seen_ys = ys
+        self.call_sizes.append(len(wavs))
+        if ys is not None:
+            self.seen_ys = (self.seen_ys or []) + list(ys)
         return [(0.5 * w, 0.5 * w) for w in wavs]
 
 
@@ -101,6 +104,17 @@ def test_enhance_chunked_label_slicing_and_reassembly():
     assert calls == [len(spans)]
     with pytest.raises(ValueError, match="not both"):
         enhance_chunked(fake, x, y=y, labeler=labeler)
+    # max_concurrent_chunks is THE memory bound: dispatch groups never
+    # exceed it, and reassembly is unchanged
+    fake2 = _FakeEnhancer()
+    s2, _ = enhance_chunked(fake2, x, y=y, chunk_seconds=2.0,
+                            overlap_seconds=0.5, max_concurrent_chunks=2)
+    assert fake2.call_sizes == [2] * (len(spans) // 2) + (
+        [len(spans) % 2] if len(spans) % 2 else [])
+    assert len(fake2.seen_ys) == len(spans)
+    np.testing.assert_allclose(s2, 0.5 * x, atol=1e-6)
+    with pytest.raises(ValueError, match="max_concurrent_chunks"):
+        enhance_chunked(fake, x, max_concurrent_chunks=0)
 
 
 def test_enhance_chunked_real_engine_partition():
