@@ -93,6 +93,11 @@ class ServeConfig:
     max_queue: int = 64            # admission cap; beyond it submit raises
     #                                ServiceOverloaded (HTTP 503)
     latency_window: int = 512      # last-N request latencies kept for /stats
+    chunk_seconds: float = 0.0     # >0: requests longer than this split into
+    #                                hop-aligned chunk items that ride the
+    #                                SAME micro-batch queue (fixed buckets,
+    #                                no recompile) and cross-fade on the
+    #                                caller's thread (enhance/longform.py)
 
 
 class EnhanceService:
@@ -161,30 +166,13 @@ class EnhanceService:
         return ys
 
     # -- request path ---------------------------------------------------------
-    def submit(self, wav: np.ndarray, y_source: str | None = None,
-               timeout: float = 900.0,
-               _count_stats: bool = True) -> tuple[np.ndarray, np.ndarray]:
-        """Enhance one waveform (float, 16 kHz). Blocks until its micro-batch
-        returns; raises on worker-side failure. Returns (s_hat, n_hat)."""
-        y_source = y_source or self.cfg.y_source
-        if y_source not in _Y_SOURCES:
-            raise ValueError(f"bad y_source {y_source!r}")
-        if self.conditional and y_source == "self-soft" \
-                and self.classify_method is None:
-            raise ValueError(f"{self.model_class} has no classifier; use "
-                             "y_source ones/zeros")
-        limit = self.cfg.max_audio_seconds * self.enh_cfg.stft.fs
-        if len(wav) > limit:
-            raise ValueError(f"request audio {len(wav) / self.enh_cfg.stft.fs:.1f}s"
-                             f" exceeds the {self.cfg.max_audio_seconds:.0f}s cap")
-        if len(wav) == 0:
-            raise ValueError("empty audio")
-        item = _Item(np.asarray(wav, np.float32), y_source, _count_stats)
-        t0 = time.monotonic()
-        # admission is ATOMIC with drain(): the draining check and the
-        # unfinished-work increment happen under the same lock drain()
-        # reads, so a request is either refused or guaranteed to be
-        # answered before drain() reports the service empty
+    def _admit(self, wav: np.ndarray, y_source: str, count: bool) -> "_Item":
+        """Queue one work item. Admission is ATOMIC with drain(): the
+        draining check and the unfinished-work increment happen under the
+        same lock drain() reads, so a request is either refused or
+        guaranteed to be answered before drain() reports the service
+        empty."""
+        item = _Item(wav, y_source, count)
         with self._lock:
             if self._draining:
                 raise ServiceOverloaded(
@@ -200,6 +188,10 @@ class EnhanceService:
             raise ServiceOverloaded(
                 f"admission queue full ({self.max_queue} pending); "
                 "retry with backoff") from None
+        return item
+
+    @staticmethod
+    def _await(item: "_Item", timeout: float) -> tuple[np.ndarray, np.ndarray]:
         if not item.done.wait(timeout):
             # mark abandoned so the worker drops it instead of burning a
             # device batch for a waiter that already gave up — exactly the
@@ -209,14 +201,86 @@ class EnhanceService:
                                "or device stalled)")
         if item.error is not None:
             raise item.error
-        if _count_stats:
-            with self._lock:
-                self.stats["requests"] += 1
-                self.stats["audio_seconds"] += len(wav) / self.enh_cfg.stft.fs
-                self._latencies.append(time.monotonic() - t0)
-                if len(self._latencies) > self.cfg.latency_window:
-                    del self._latencies[:-self.cfg.latency_window]
         return item.result
+
+    def _count_request(self, wav, t0: float) -> None:
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["audio_seconds"] += len(wav) / self.enh_cfg.stft.fs
+            self._latencies.append(time.monotonic() - t0)
+            if len(self._latencies) > self.cfg.latency_window:
+                del self._latencies[:-self.cfg.latency_window]
+
+    def submit(self, wav: np.ndarray, y_source: str | None = None,
+               timeout: float = 900.0,
+               _count_stats: bool = True) -> tuple[np.ndarray, np.ndarray]:
+        """Enhance one waveform (float, 16 kHz). Blocks until its micro-batch
+        returns; raises on worker-side failure. Returns (s_hat, n_hat).
+
+        With ``cfg.chunk_seconds > 0``, longer requests split into
+        hop-aligned chunk items riding the same queue (they coalesce with
+        other traffic into the fixed compiled buckets) and cross-fade back
+        on this thread — the ``max_audio_seconds`` cap stays as the
+        admission guard, but any capped length serves in bounded device
+        memory."""
+        y_source = y_source or self.cfg.y_source
+        if y_source not in _Y_SOURCES:
+            raise ValueError(f"bad y_source {y_source!r}")
+        if self.conditional and y_source == "self-soft" \
+                and self.classify_method is None:
+            raise ValueError(f"{self.model_class} has no classifier; use "
+                             "y_source ones/zeros")
+        limit = self.cfg.max_audio_seconds * self.enh_cfg.stft.fs
+        if len(wav) > limit:
+            raise ValueError(f"request audio {len(wav) / self.enh_cfg.stft.fs:.1f}s"
+                             f" exceeds the {self.cfg.max_audio_seconds:.0f}s cap")
+        if len(wav) == 0:
+            raise ValueError("empty audio")
+        wav = np.asarray(wav, np.float32)
+        t0 = time.monotonic()
+        chunk_samples = int(self.cfg.chunk_seconds * self.enh_cfg.stft.fs)
+        # warmup traffic (_count_stats=False) must hit its bucket in ONE
+        # item — chunking it would compile the wrong shapes
+        if _count_stats and 0 < chunk_samples < len(wav):
+            out = self._submit_chunked(wav, y_source, timeout)
+        else:
+            out = self._await(self._admit(wav, y_source, _count_stats),
+                              timeout)
+        if _count_stats:
+            self._count_request(wav, t0)
+        return out
+
+    def _submit_chunked(self, wav, y_source: str, timeout: float):
+        """Long request -> chunk items on the shared queue -> cross-fade.
+
+        On any failure mid-flight the remaining chunks are marked abandoned
+        (the worker drops them instead of burning device batches for a
+        caller that already errored out)."""
+        from dvae_tpu.enhance.longform import chunk_spans, overlap_add
+
+        stft = self.enh_cfg.stft
+        spans = chunk_spans(len(wav), stft.fs, stft.hop,
+                            self.cfg.chunk_seconds,
+                            min(1.0, self.cfg.chunk_seconds / 4))
+        items, pieces = [], []
+        deadline = time.monotonic() + timeout
+        try:
+            for a, b in spans:
+                # count=True: chunk items ARE device work (utterances/
+                # batches/busy_seconds); request-level stats are counted
+                # once by submit()
+                items.append(self._admit(wav[a:b], y_source, True))
+            for it in items:
+                pieces.append(self._await(
+                    it, max(0.0, deadline - time.monotonic())))
+        except BaseException:
+            for it in items:
+                if not it.done.is_set():
+                    it.abandoned = True
+            raise
+        s = overlap_add(spans, [p[0] for p in pieces], len(wav))
+        n = overlap_add(spans, [p[1] for p in pieces], len(wav))
+        return s, n
 
     # -- hot reload -----------------------------------------------------------
     def reload_checkpoint(self, path, timeout: float = 60.0) -> None:

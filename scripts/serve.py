@@ -54,6 +54,12 @@ def main():
                          "4.1 s of audio. Empty = no warmup (first requests "
                          "pay the compiles)")
     ap.add_argument("--max-audio-seconds", type=float, default=600.0)
+    ap.add_argument("--chunk-seconds", type=float, default=0.0,
+                    help=">0: requests longer than this split into chunk "
+                         "items on the same micro-batch queue (fixed "
+                         "compiled buckets, bounded device memory) and "
+                         "cross-fade back — lets --max-audio-seconds rise "
+                         "without growing the device footprint")
     ap.add_argument("--max-queue", type=int, default=64,
                     help="admission cap: pending requests beyond this are "
                          "rejected with 503 + Retry-After instead of "
@@ -99,6 +105,7 @@ def main():
                         seed=args.seed,
                         max_audio_seconds=args.max_audio_seconds,
                         max_queue=args.max_queue,
+                        chunk_seconds=args.chunk_seconds,
                         warmup_buckets=tuple(args.warmup_buckets)),
         mesh=make_mesh_if(args))
     if args.warmup_buckets:

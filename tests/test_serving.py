@@ -505,6 +505,46 @@ def test_http_reload_endpoint(server, m1_service, tmp_path):
     assert ei.value.code == 400
 
 
+def test_chunked_serving_long_request():
+    """chunk_seconds: a long request decomposes into chunk items on the
+    SAME micro-batch queue (fixed compiled buckets — zero new compiles
+    after warmup) and cross-fades back into one full-length partition-
+    correct response, counted as ONE request."""
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(
+        model, params, "m1",
+        enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=2, batch_window_ms=10.0,
+                        chunk_seconds=1.0, max_audio_seconds=60.0,
+                        warmup_buckets=(64,)))
+    try:
+        svc.warmup()
+        core = svc.enhancer._core
+        before = core._cache_size()
+        x = _noisy_wav(seconds=3.1)
+        s, n = svc.submit(x)
+        assert s.shape == x.shape and np.isfinite(s).all()
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+        # 1 s chunks all land in the warm 64-frame bucket: no new compiles
+        assert core._cache_size() == before
+        with svc._lock:
+            st = dict(svc.stats)
+        assert st["requests"] == 1                # one request on the wire
+        assert st["utterances"] >= 4              # served as >=4 chunk items
+        assert st["batches"] >= 2                 # coalesced 2-deep
+        # short requests keep the direct single-item path
+        s2, _ = svc.submit(_noisy_wav(seconds=0.5, seed=3))
+        assert np.isfinite(s2).all()
+        with svc._lock:
+            assert svc.stats["requests"] == 2
+    finally:
+        svc.close()
+
+
 def test_drain_answers_inflight_then_rejects():
     """drain(): everything already admitted is answered, new submissions
     get ServiceOverloaded (HTTP 503 — the fail-over signal), the worker
