@@ -264,15 +264,23 @@ class EnhanceService:
                             min(1.0, self.cfg.chunk_seconds / 4))
         items, pieces = [], []
         deadline = time.monotonic() + timeout
+        # sliding-window admission: at most `window` chunks outstanding, so
+        # (a) a request with more chunks than max_queue still serves, and
+        # (b) one long request cannot hog the admission queue against
+        # concurrent short requests
+        window = max(1, min(self.max_queue // 2, 4 * self.cfg.batch_size))
         try:
-            for a, b in spans:
-                # count=True: chunk items ARE device work (utterances/
-                # batches/busy_seconds); request-level stats are counted
-                # once by submit()
-                items.append(self._admit(wav[a:b], y_source, True))
-            for it in items:
+            while len(pieces) < len(spans):
+                while (len(items) < len(spans)
+                       and len(items) - len(pieces) < window):
+                    a, b = spans[len(items)]
+                    # count=True: chunk items ARE device work (utterances/
+                    # batches/busy_seconds); request-level stats are
+                    # counted once by submit()
+                    items.append(self._admit(wav[a:b], y_source, True))
                 pieces.append(self._await(
-                    it, max(0.0, deadline - time.monotonic())))
+                    items[len(pieces)],
+                    max(0.0, deadline - time.monotonic())))
         except BaseException:
             for it in items:
                 if not it.done.is_set():

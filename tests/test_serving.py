@@ -545,6 +545,32 @@ def test_chunked_serving_long_request():
         svc.close()
 
 
+def test_chunked_serving_more_chunks_than_queue():
+    """Sliding-window admission: a request with more chunks than max_queue
+    still serves (chunks admit as earlier ones complete)."""
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(
+        model, params, "m1",
+        enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                        chunk_seconds=1.0, max_queue=3,
+                        max_audio_seconds=60.0, warmup_buckets=()))
+    try:
+        x = _noisy_wav(seconds=6.0)          # ~8 chunks > max_queue=3
+        s, n = svc.submit(x)
+        assert s.shape == x.shape and np.isfinite(s).all()
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+        with svc._lock:
+            assert svc.stats["rejected"] == 0
+            assert svc.stats["utterances"] >= 8
+    finally:
+        svc.close()
+
+
 def test_drain_answers_inflight_then_rejects():
     """drain(): everything already admitted is answered, new submissions
     get ServiceOverloaded (HTTP 503 — the fail-over signal), the worker
