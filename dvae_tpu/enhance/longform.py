@@ -7,10 +7,12 @@ stack resident, so hour-scale audio in ONE dispatch would exhaust HBM.
 :func:`enhance_chunked` bounds memory by input-independent constants:
 
 * the waveform splits into hop-aligned chunks of ``chunk_seconds`` with a
-  short ``overlap_seconds`` cross-fade region;
-* ALL chunks go through :meth:`Enhancer.enhance_batch` as one ragged batch
-  (oversized lists sub-dispatch and pipeline in ``max_device_batch``
-  groups), so a long file still fills the chip like a corpus sweep;
+  short ``overlap_seconds`` cross-fade region (at most half a chunk — the
+  complementary fades assume two-deep coverage);
+* chunks dispatch in groups of ``max_concurrent_chunks`` through
+  :meth:`Enhancer.enhance_stream`, which keeps ``pipeline_depth`` groups
+  in flight — the chip stays busy across a remote link while resident
+  memory stays at depth × group × chunk, independent of file length;
 * overlaps cross-fade in the time domain with complementary raised-cosine
   ramps that sum to EXACTLY 1, so the Wiener partition survives: each
   chunk's ``s+n`` reconstructs its mixture span, and the blend of two
@@ -51,9 +53,14 @@ def chunk_spans(n_samples: int, fs: int, hop: int, chunk_seconds: float,
         raise ValueError("empty signal")
     chunk = max(hop, int(round(chunk_seconds * fs / hop)) * hop)
     ov = int(round(overlap_seconds * fs / hop)) * hop
-    if not 0 <= ov < chunk:
-        raise ValueError(f"overlap {overlap_seconds}s must be shorter than "
-                         f"the chunk {chunk_seconds}s")
+    # the complementary cross-fades assume at most TWO chunks cover any
+    # sample: overlap may not exceed half the chunk (ov <= step), else
+    # triple-covered regions no longer sum to weight 1 and the Wiener
+    # partition silently breaks
+    if ov < 0 or 2 * ov > chunk:
+        raise ValueError(
+            f"overlap {overlap_seconds}s must be at most half the chunk "
+            f"{chunk_seconds}s (got {ov} vs chunk {chunk} samples)")
     step = chunk - ov
     spans, a = [], 0
     while a + chunk < n_samples:
@@ -109,14 +116,18 @@ def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
         y: full-length (n_frames, y_dim) labels for conditional models —
             sliced per chunk by hop offset (short tails replicate the last
             row for the boundary frame).
-        labeler: alternative to ``y``: called ONCE with the list of chunk
-            waveforms, returns per-chunk label arrays (the self-soft hook).
+        labeler: alternative to ``y``: called once PER DISPATCH GROUP with
+            that group's chunk waveforms, returns per-chunk label arrays
+            (the self-soft hook) — per-group so the classifier batch obeys
+            the same memory bound as the MCEM stage.
         key: optional PRNG key (chunk groups fold independent streams).
-        max_concurrent_chunks: device batch cap PER DISPATCH — THE memory
-            bound: resident state is max_concurrent_chunks × chunk_seconds
-            of audio, independent of input length (enhance_batch alone
-            would batch up to ``max_device_batch`` chunks = 32×60 s
-            resident at the defaults, more than most one-shot inputs).
+        max_concurrent_chunks: device batch cap PER DISPATCH — the memory
+            bound: resident state is ``pipeline_depth``
+            (EnhancerConfig, dispatch-ahead) × max_concurrent_chunks ×
+            chunk_seconds of audio, independent of input length
+            (enhance_batch alone would batch up to ``max_device_batch``
+            chunks = 32×60 s resident at the defaults, more than most
+            one-shot inputs).
     Returns:
         (s_hat, n_hat) float32 waveforms of ``len(wav)`` — the usual
         Wiener-complementary pair (their sum reconstructs ``wav``).
@@ -129,9 +140,7 @@ def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
                         overlap_seconds)
     wavs = [wav[a:b] for a, b in spans]
     ys = None
-    if labeler is not None:
-        ys = list(labeler(wavs))
-    elif y is not None:
+    if y is not None:
         y = np.asarray(y, np.float32)
         ys = []
         for (a, b), w in zip(spans, wavs):
@@ -146,16 +155,22 @@ def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
             ys.append(yc)
     if max_concurrent_chunks < 1:
         raise ValueError("max_concurrent_chunks must be >= 1")
-    import jax
 
-    if key is None:
-        key = jax.random.PRNGKey(0)
+    def groups():
+        for g in range(0, len(wavs), max_concurrent_chunks):
+            h = g + max_concurrent_chunks
+            if labeler is not None:
+                yg = list(labeler(wavs[g:h]))   # per-group: bounded batch
+            else:
+                yg = None if ys is None else ys[g:h]
+            yield wavs[g:h], yg, None
+
+    # enhance_stream keeps pipeline_depth groups in flight (upload +
+    # dispatch overlap device compute), so the RTT of a remote-attached
+    # chip hides behind the previous group's execution
     outs = []
-    for j, g in enumerate(range(0, len(wavs), max_concurrent_chunks)):
-        h = g + max_concurrent_chunks
-        outs.extend(enhancer.enhance_batch(
-            wavs[g:h], None if ys is None else ys[g:h],
-            key=jax.random.fold_in(key, j)))
+    for out in enhancer.enhance_stream(groups(), key=key):
+        outs.extend(out)
     s = overlap_add(spans, [o[0] for o in outs], len(wav))
     n = overlap_add(spans, [o[1] for o in outs], len(wav))
     return s, n

@@ -137,6 +137,7 @@ class EnhanceService:
         self._pending_reload = None      # (params, path, done, error-slot)
         self._draining = False           # drain(): stop admitting work
         self._unfinished = 0             # admitted items not yet answered
+        self._chunked_inflight = 0       # chunked requests mid-admission
         self.started = time.time()
         self.warm_buckets: list[int] = []
         self._batch_counter = 0
@@ -166,15 +167,20 @@ class EnhanceService:
         return ys
 
     # -- request path ---------------------------------------------------------
-    def _admit(self, wav: np.ndarray, y_source: str, count: bool) -> "_Item":
+    def _admit(self, wav: np.ndarray, y_source: str, count: bool,
+               bypass_drain: bool = False,
+               count_reject: bool = True) -> "_Item":
         """Queue one work item. Admission is ATOMIC with drain(): the
         draining check and the unfinished-work increment happen under the
         same lock drain() reads, so a request is either refused or
         guaranteed to be answered before drain() reports the service
-        empty."""
+        empty. ``bypass_drain`` is for the remaining chunks of an
+        already-started chunked request — drain() waits for those via
+        ``_chunked_inflight``, honoring 'everything admitted is
+        answered'."""
         item = _Item(wav, y_source, count)
         with self._lock:
-            if self._draining:
+            if self._draining and not bypass_drain:
                 raise ServiceOverloaded(
                     "server is draining for shutdown; retry against "
                     "another replica")
@@ -184,7 +190,8 @@ class EnhanceService:
         except queue.Full:
             with self._lock:
                 self._unfinished -= 1
-                self.stats["rejected"] += 1
+                if count_reject:
+                    self.stats["rejected"] += 1
             raise ServiceOverloaded(
                 f"admission queue full ({self.max_queue} pending); "
                 "retry with backoff") from None
@@ -250,18 +257,46 @@ class EnhanceService:
             self._count_request(wav, t0)
         return out
 
+    def _admit_chunk_with_retry(self, chunk, y_source: str,
+                                deadline: float) -> "_Item":
+        """Admission for one chunk of a started long request: transient
+        queue-full (concurrent traffic holding the queue) retries with
+        backoff until the request's own deadline instead of aborting work
+        already done; drain is bypassed (covered by _chunked_inflight)."""
+        while True:
+            try:
+                # count=True: chunk items ARE device work (utterances/
+                # batches/busy_seconds); request-level stats are counted
+                # once by submit()
+                return self._admit(chunk, y_source, True,
+                                   bypass_drain=True, count_reject=False)
+            except ServiceOverloaded:
+                if time.monotonic() >= deadline:
+                    with self._lock:
+                        self.stats["rejected"] += 1
+                    raise
+                time.sleep(0.02)
+
     def _submit_chunked(self, wav, y_source: str, timeout: float):
         """Long request -> chunk items on the shared queue -> cross-fade.
 
         On any failure mid-flight the remaining chunks are marked abandoned
         (the worker drops them instead of burning device batches for a
-        caller that already errored out)."""
+        caller that already errored out). A request that started admitting
+        before drain() is allowed to finish (drain waits on
+        ``_chunked_inflight``) — SIGTERM never truncates it."""
         from dvae_tpu.enhance.longform import chunk_spans, overlap_add
 
         stft = self.enh_cfg.stft
         spans = chunk_spans(len(wav), stft.fs, stft.hop,
                             self.cfg.chunk_seconds,
                             min(1.0, self.cfg.chunk_seconds / 4))
+        with self._lock:
+            if self._draining:
+                raise ServiceOverloaded(
+                    "server is draining for shutdown; retry against "
+                    "another replica")
+            self._chunked_inflight += 1
         items, pieces = [], []
         deadline = time.monotonic() + timeout
         # sliding-window admission: at most `window` chunks outstanding, so
@@ -274,10 +309,8 @@ class EnhanceService:
                 while (len(items) < len(spans)
                        and len(items) - len(pieces) < window):
                     a, b = spans[len(items)]
-                    # count=True: chunk items ARE device work (utterances/
-                    # batches/busy_seconds); request-level stats are
-                    # counted once by submit()
-                    items.append(self._admit(wav[a:b], y_source, True))
+                    items.append(self._admit_chunk_with_retry(
+                        wav[a:b], y_source, deadline))
                 pieces.append(self._await(
                     items[len(pieces)],
                     max(0.0, deadline - time.monotonic())))
@@ -286,6 +319,9 @@ class EnhanceService:
                 if not it.done.is_set():
                     it.abandoned = True
             raise
+        finally:
+            with self._lock:
+                self._chunked_inflight -= 1
         s = overlap_add(spans, [p[0] for p in pieces], len(wav))
         n = overlap_add(spans, [p[1] for p in pieces], len(wav))
         return s, n
@@ -446,11 +482,14 @@ class EnhanceService:
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
             with self._lock:
-                if self._unfinished == 0:
+                # chunked requests that started admitting before the flag
+                # flipped keep admitting their remaining chunks
+                # (bypass_drain) — wait for them too
+                if self._unfinished == 0 and self._chunked_inflight == 0:
                     break
             time.sleep(0.05)
         with self._lock:
-            drained = self._unfinished == 0
+            drained = self._unfinished == 0 and self._chunked_inflight == 0
         self.close()
         return drained
 

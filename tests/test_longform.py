@@ -70,6 +70,12 @@ class _FakeEnhancer:
             self.seen_ys = (self.seen_ys or []) + list(ys)
         return [(0.5 * w, 0.5 * w) for w in wavs]
 
+    def enhance_stream(self, batches, key=None):
+        # the real Enhancer pipelines dispatch-ahead; order and grouping
+        # are what longform depends on
+        for wavs, ys, _max_frames in batches:
+            yield self.enhance_batch(wavs, ys)
+
 
 def test_enhance_chunked_label_slicing_and_reassembly():
     x = _noisy_wav(6.1)
@@ -91,7 +97,8 @@ def test_enhance_chunked_label_slicing_and_reassembly():
         m = min(want_n, n_frames - off)
         np.testing.assert_array_equal(yc[:m, 0], np.arange(off, off + m))
         assert (yc[m:, 0] == n_frames - 1).all()
-    # labeler hook: called once with the chunk list
+    # labeler hook: called per dispatch group (bounded classifier batches,
+    # same memory bound as the MCEM stage), covering every chunk once
     calls = []
 
     def labeler(ws):
@@ -100,8 +107,9 @@ def test_enhance_chunked_label_slicing_and_reassembly():
                 for w in ws]
 
     enhance_chunked(fake, x, labeler=labeler, chunk_seconds=2.0,
-                    overlap_seconds=0.5)
-    assert calls == [len(spans)]
+                    overlap_seconds=0.5, max_concurrent_chunks=2)
+    assert sum(calls) == len(spans)
+    assert all(c <= 2 for c in calls)
     with pytest.raises(ValueError, match="not both"):
         enhance_chunked(fake, x, y=y, labeler=labeler)
     # max_concurrent_chunks is THE memory bound: dispatch groups never

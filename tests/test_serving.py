@@ -571,6 +571,50 @@ def test_chunked_serving_more_chunks_than_queue():
         svc.close()
 
 
+def test_drain_lets_started_chunked_request_finish():
+    """drain() during a chunked request: the request keeps admitting its
+    remaining chunks (bypass, tracked by _chunked_inflight) and completes;
+    new requests are refused."""
+    from dvae_tpu.serving import ServiceOverloaded
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(
+        model, params, "m1",
+        enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                        chunk_seconds=1.0, max_queue=3,
+                        max_audio_seconds=60.0, warmup_buckets=()))
+    try:
+        x = _noisy_wav(seconds=4.0)
+        results = {}
+
+        def client():
+            results["out"] = svc.submit(x)
+
+        t = threading.Thread(target=client)
+        t.start()
+        import time as _time
+        deadline = _time.monotonic() + 10
+        while _time.monotonic() < deadline:     # wait until mid-admission
+            with svc._lock:
+                if svc._chunked_inflight:
+                    break
+            _time.sleep(0.005)
+        assert svc.drain(timeout=300)           # must wait the request out
+        t.join(timeout=10)
+        s, n = results["out"]
+        assert s.shape == x.shape and np.isfinite(s).all()
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+        with pytest.raises(ServiceOverloaded, match="draining"):
+            svc.submit(_noisy_wav(seconds=2.0, seed=1))
+    finally:
+        svc.close()
+
+
 def test_drain_answers_inflight_then_rejects():
     """drain(): everything already admitted is answered, new submissions
     get ServiceOverloaded (HTTP 503 — the fail-over signal), the worker
