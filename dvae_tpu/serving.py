@@ -332,11 +332,14 @@ class EnhanceService:
 
         Loads ``path`` (msgpack or a reference ``.pt``) against the current
         params as template, then hands the swap to the worker thread, which
-        applies it BETWEEN device batches — every request is answered
-        entirely by one params epoch, and the compiled programs are reused
-        (params are per-call arguments, :meth:`Enhancer.reload`). Raises on
-        structure mismatch or load failure; the running params are
-        untouched on any error."""
+        applies it BETWEEN device batches — every single-item request is
+        answered entirely by one params epoch, and the compiled programs
+        are reused (params are per-call arguments,
+        :meth:`Enhancer.reload`). A CHUNKED request whose chunks span the
+        swap boundary may have its halves answered by the two epochs
+        (both valid models; the cross-fade blends them at one seam).
+        Raises on structure mismatch or load failure; the running params
+        are untouched on any error."""
         from dvae_tpu.train.checkpoint import load_checkpoint
 
         params = load_checkpoint(path, self.params)

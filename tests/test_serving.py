@@ -722,6 +722,63 @@ def test_serve_cli_sigterm_drains(tmp_path):
         proc.wait(timeout=30)
 
 
+def test_concurrent_stress_mixed_traffic_reload_drain(tmp_path):
+    """Race hunt over the full concurrency surface: parallel short and
+    chunked requests, a hot reload landing mid-traffic, then drain — every
+    request either succeeds with a partition-correct result or fails with
+    an overload signal; counters stay consistent; nothing deadlocks."""
+    from dvae_tpu.serving import ServiceOverloaded
+    from dvae_tpu.train.checkpoint import save_checkpoint
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    save_checkpoint(tmp_path, "M1_epoch_002_vloss_0.90", params)
+    svc = EnhanceService(
+        model, params, "m1",
+        enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                        chunk_seconds=1.0, max_queue=6,
+                        max_audio_seconds=60.0, warmup_buckets=(64,)))
+    ok, overloaded, errors = [], [], []
+
+    def client(i):
+        secs = 2.6 if i % 3 == 0 else 0.4        # mix chunked and direct
+        x = _noisy_wav(seconds=secs, seed=i)
+        try:
+            s, n = svc.submit(x, timeout=300)
+            resid = np.abs((s + n) - x)[: max(1, len(x) - 1024)]
+            assert np.median(resid) < 5e-3
+            ok.append(i)
+        except (ServiceOverloaded, TimeoutError):
+            overloaded.append(i)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append((i, e))
+
+    try:
+        svc.warmup()
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        svc.reload_checkpoint(
+            str(tmp_path / "M1_epoch_002_vloss_0.90.msgpack"), timeout=120)
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        assert len(ok) + len(overloaded) == 12
+        assert len(ok) >= 1                      # traffic actually served
+        assert svc.drain(timeout=300)            # quiesces cleanly
+        with svc._lock:
+            st = dict(svc.stats)
+        assert st["requests"] == len(ok)
+        assert st["reloads"] == 1
+        assert st["utterances"] >= len(ok)       # chunked count > 1 each
+    finally:
+        svc.close()
+
+
 def test_service_on_device_mesh():
     """Multi-chip serving: the service's fixed batch shards over a data
     mesh (the deployment shape for a pod host — requests micro-batch, the
