@@ -72,6 +72,16 @@ class FrameDataset:
         self.close()
 
     @property
+    def arrays(self):
+        """The full in-memory (x (N, F), y (N, Yd)) arrays — the upload
+        source for the device-resident training path (LoopConfig.
+        device_data); raises in out-of-core mode."""
+        if not self.in_memory:
+            raise ValueError("arrays needs in_memory=True (device-resident "
+                             "training uploads the whole split once)")
+        return self._x, self._y
+
+    @property
     def mean_std(self):
         """Stored train statistics (create_train_set.py:214-218), (F, 1)."""
         with h5py.File(self.h5_path, "r") as f:

@@ -18,6 +18,7 @@ import dataclasses
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dvae_tpu.parallel.distributed import distribute_batch
@@ -56,6 +57,13 @@ class LoopConfig:
     # --data-parallel work together; batches whose B doesn't divide the
     # mesh run one-at-a-time with wrap-padding instead.
     steps_per_dispatch: int = 1
+    # Upload each split to the device ONCE and feed the step functions
+    # int32 indices (rows gathered on-device, steps.make_gather_train_steps)
+    # instead of shipping (K, B, F) float stacks every dispatch — over a
+    # remote-attached chip the stack traffic IS the epoch wall time. Same
+    # math, same shuffle order, same key stream as the host-fed path
+    # (fit_vae only; requires an in-memory dataset).
+    device_data: bool = False
 
 
 class _Logger:
@@ -117,6 +125,27 @@ def _resume_checkpoint(model_dir, prefix: str, start_epoch: int):
 
 def _fmt(metrics: dict) -> str:
     return "    ".join(f"{k}: {float(v):.3f}" for k, v in metrics.items())
+
+
+class _IndexDataset:
+    """Wraps a dataset so ``batches`` yields (int32 index batch, None) with
+    EXACTLY the host path's shuffle semantics (FrameDataset.batches:
+    arange -> rng.shuffle -> contiguous slices) — the device-data loop
+    reproduces the host-fed loop's batch composition and key stream."""
+
+    def __init__(self, ds):
+        self._n = len(ds)
+
+    def __len__(self):
+        return self._n
+
+    def batches(self, batch_size: int, rng=None, drop_last: bool = False):
+        idx = np.arange(self._n)
+        if rng is not None:
+            rng.shuffle(idx)
+        stop = self._n - (self._n % batch_size) if drop_last else self._n
+        for s in range(0, stop, batch_size):
+            yield idx[s : s + batch_size].astype(np.int32), None
 
 
 def _pad_shardable(batch, mesh):
@@ -303,6 +332,43 @@ def fit_vae(
         if mesh is not None:
             state = replicate(state, mesh)
         print(f"resumed from {resume}")
+
+    if cfg.device_data:
+        from dvae_tpu.train.steps import (make_gather_eval_step,
+                                          make_gather_train_steps)
+
+        def upload(ds):
+            x, y = ds.arrays
+            x = jnp.asarray(x, jnp.float32)
+            y = jnp.asarray(y, jnp.float32) if conditional else None
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                # fully replicated: each device gathers its shard's rows
+                # from a local copy (frame splits are small — the win is
+                # wire traffic, not HBM)
+                rep = NamedSharding(mesh, P())
+                x = jax.device_put(x, rep)
+                y = jax.device_put(y, rep) if y is not None else None
+            return x, y
+
+        tx_data, tx_lab = upload(train_ds)
+        run_step, run_multi = make_gather_train_steps(
+            model, tx, conditional, tx_data, tx_lab, cfg.eps, norm)
+        if cfg.steps_per_dispatch <= 1:
+            run_multi = None
+        v_data, v_lab = upload(valid_ds)
+        run_eval = make_gather_eval_step(model, conditional, v_data, v_lab,
+                                         cfg.eps, norm)
+        return _run_epochs(
+            state, _IndexDataset(train_ds), _IndexDataset(valid_ds),
+            model_dir, prefix, cfg, mesh,
+            run_step, run_multi, run_eval,
+            stack_labels=False, vloss_key="elbo",
+            ckpt_opt_state=lambda st: st.opt_state,
+            resumed=resume is not None,
+        )
 
     step = make_train_step(model, tx, conditional, cfg.eps, norm)
     multi_step = None

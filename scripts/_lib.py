@@ -52,6 +52,13 @@ def add_common(ap: argparse.ArgumentParser, training: bool = False,
         ap.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="optimizer steps per device dispatch (lax.scan); "
                              "amortizes host round-trips, identical math")
+        ap.add_argument("--device-data", action="store_true",
+                        help="upload each split to the device once and feed "
+                             "the train step int32 INDICES (rows gathered "
+                             "on-device) instead of shipping batch stacks "
+                             "every dispatch — same math/shuffle/keys, "
+                             "~500x less wire traffic at F=513 (M1/M2 "
+                             "trainers; needs the in-memory dataset)")
         ap.add_argument("--run-name", default=None,
                         help="override the auto-mangled run dir name (use when "
                              "resuming with --start-epoch and a new --end-epoch)")

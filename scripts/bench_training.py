@@ -135,6 +135,64 @@ def bench_tpu(x: np.ndarray, steps: int, warmup: int, lr: float,
     return single, grouped
 
 
+def bench_e2e_feeding(x: np.ndarray, steps: int, lr: float,
+                      group: int) -> tuple[float, float]:
+    """(host-fed, device-data) END-TO-END steps/s at K steps/dispatch —
+    including what the epoch loop actually ships per dispatch: a fresh
+    (K, B, F) float stack vs (K, B) int32 indices into a resident split
+    (LoopConfig.device_data). The difference is pure wire traffic; the
+    device program work is identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvae_tpu.models.vae import VAE
+    from dvae_tpu.train.steps import (adam, init_train_state,
+                                      make_gather_train_steps,
+                                      make_multi_train_step)
+
+    model = VAE(x_dim=513, z_dim=16, h_dim=(128, 128))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        jnp.ones((2, 513)))
+    tx = adam(lr)
+    batch = x.shape[0]
+    n_disp = max(1, steps // group)
+
+    # host-fed: a fresh stack crosses the link every dispatch (the
+    # non-device-data epoch loop's traffic pattern)
+    stepk = make_multi_train_step(model, tx, conditional=False)
+    stacks = [np.stack([np.roll(x, i + 7 * j, axis=0) for i in range(group)])
+              for j in range(2)]          # alternate two host buffers
+    state = init_train_state(model, params, tx)
+    state, _ = stepk(state, jnp.asarray(stacks[0]), jax.random.PRNGKey(0))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for j in range(n_disp):
+        state, _ = stepk(state, jnp.asarray(stacks[j % 2]),
+                         jax.random.PRNGKey(3000 + j))
+    jax.block_until_ready(state.params)
+    hostfed = n_disp * group / (time.perf_counter() - t0)
+
+    # device-data: the split lives on the device; only indices cross
+    pool = np.tile(x, (max(1, 4096 // batch), 1))[:4096]
+    data = jnp.asarray(pool)
+    _g1, gmulti = make_gather_train_steps(model, tx, False, data)
+    rng = np.random.default_rng(0)
+    idx_bufs = [rng.integers(0, len(pool), (group, batch)).astype(np.int32)
+                for _ in range(2)]
+    state = init_train_state(model, params, tx)
+    state, _ = gmulti(state, jnp.asarray(idx_bufs[0]), None,
+                      jax.random.PRNGKey(0))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for j in range(n_disp):
+        state, _ = gmulti(state, jnp.asarray(idx_bufs[j % 2]), None,
+                          jax.random.PRNGKey(4000 + j))
+    jax.block_until_ready(state.params)
+    devicedata = n_disp * group / (time.perf_counter() - t0)
+    return hostfed, devicedata
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--batch", type=int, default=128)
@@ -165,6 +223,7 @@ def main(argv=None):
         ref_sps = bench_reference_cpu(x, args.steps, args.warmup, args.lr)
     single, grouped = bench_tpu(x, args.steps, args.warmup, args.lr,
                                 args.group)
+    e2e_host, e2e_dev = bench_e2e_feeding(x, args.steps, args.lr, args.group)
 
     result = {
         "metric": "m1_train_steps_per_sec",
@@ -177,6 +236,9 @@ def main(argv=None):
         "frames_per_sec_grouped": round(grouped * args.batch, 1),
         "speedup_vs_ref_cpu": (round(grouped / ref_sps, 1)
                                if ref_sps else None),
+        "e2e_steps_per_sec_hostfed": round(e2e_host, 2),
+        "e2e_steps_per_sec_device_data": round(e2e_dev, 2),
+        "device_data_e2e_speedup": round(e2e_dev / e2e_host, 2),
     }
     line = json.dumps(result)
     print(line)

@@ -47,6 +47,8 @@ def main():
                          "power_spec_upsampled_statistics.h5 — the "
                          "reference's default, train_audio_net.py:101)")
     args = ap.parse_args()
+    if getattr(args, "device_data", False):
+        ap.error("--device-data is supported by training_M1/training_M2 only\n(this trainer's loop is not index-fed)")
     if args.labels != "vad_labels":
         # the LSTM head emits one scalar per frame; a 513-dim IBM label
         # would silently flatten into garbage in batch_utterances (the

@@ -41,6 +41,7 @@ def main():
         start_epoch=args.start_epoch, end_epoch=args.end_epoch,
         log_interval=args.log_interval, seed=args.seed, std_norm=args.std_norm,
         steps_per_dispatch=args.steps_per_dispatch,
+        device_data=args.device_data,
     )
     import os
 

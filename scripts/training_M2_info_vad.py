@@ -37,6 +37,8 @@ def main():
                     "_hardlabel/_yhathard suffixes = hard own-classifier "
                     "prediction ('soft' = the _pretrain script's forward)")
     args = ap.parse_args()
+    if getattr(args, "device_data", False):
+        ap.error("--device-data is supported by training_M1/training_M2 only\n(this trainer's loop is not index-fed)")
     maybe_force_platform(args)
 
     from dvae_tpu.data.datasets import FrameDataset

@@ -38,6 +38,8 @@ def main():
                          "the non-pretrain script; 'uniform' = the "
                          "commented _v2 experiment (0.5-target)")
     args = ap.parse_args()
+    if getattr(args, "device_data", False):
+        ap.error("--device-data is supported by training_M1/training_M2 only\n(this trainer's loop is not index-fed)")
     maybe_force_platform(args)
 
     import jax

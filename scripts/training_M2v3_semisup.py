@@ -30,6 +30,8 @@ def main():
                     choices=["soft", "yhathard", "hardlabel", "ytrue"],
                     help="decoder conditioning label (see make_semisup_step)")
     args = ap.parse_args()
+    if getattr(args, "device_data", False):
+        ap.error("--device-data is supported by training_M1/training_M2 only\n(this trainer's loop is not index-fed)")
     if args.std_norm:
         ap.error("--std-norm is not supported here (all golden Uloss/Lloss "
                  "checkpoints are 'nonorm')")

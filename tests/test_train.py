@@ -657,3 +657,78 @@ def test_batch_utterances_zero_length_labels():
     assert float(m[0].sum()) == 0.0  # placeholder row fully masked
     assert float(m[1].sum()) == 10.0
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_device_data_matches_host_fed(tmp_path, subset_dir):
+    """LoopConfig.device_data: the index-fed on-device-gather loop
+    reproduces the host-fed run — same shuffle order, same key stream,
+    same elbo body (steps.make_gather_train_steps) — including under
+    multi-step dispatch. Only the data PATH changes (one upload + int32
+    indices instead of per-dispatch batch stacks)."""
+    train = FrameDataset(SUBSET_H5, "train")
+    valid = FrameDataset(SUBSET_H5, "validation")
+    model = VAE(x_dim=513, z_dim=4, h_dim=(16,))
+    base = dict(batch_size=64, end_epoch=4, steps_per_dispatch=2,
+                learning_rate=1e-3, seed=3)
+    p_host, h_host = fit_vae(model, train, valid, tmp_path / "host", "M1",
+                             False, LoopConfig(**base))
+    p_dev, h_dev = fit_vae(model, train, valid, tmp_path / "dev", "M1",
+                           False, LoopConfig(**base, device_data=True))
+    for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-6)
+    for eh, ed in zip(h_host, h_dev):
+        assert abs(eh["valid"]["elbo"] - ed["valid"]["elbo"]) \
+            <= 1e-4 * abs(eh["valid"]["elbo"])
+        assert abs(eh["train"]["elbo"] - ed["train"]["elbo"]) \
+            <= 1e-4 * abs(eh["train"]["elbo"])
+
+
+def test_device_data_composes_with_mesh(tmp_path, subset_dir):
+    """device_data + --data-parallel + multi-step dispatch together: the
+    split is replicated, indices shard over the data axis, and the run
+    matches the HOST-FED run on the same mesh (identical collectives, so
+    the only delta is the data path)."""
+    train = FrameDataset(SUBSET_H5, "train")
+    valid = FrameDataset(SUBSET_H5, "validation")
+    model = VAE(x_dim=513, z_dim=4, h_dim=(16,))
+    base = dict(batch_size=64, end_epoch=3, steps_per_dispatch=2,
+                learning_rate=1e-3, seed=5)
+    mesh = make_mesh(8)
+    p_host, _ = fit_vae(model, train, valid, tmp_path / "host", "M1",
+                        False, LoopConfig(**base), mesh=mesh)
+    p_dev, _ = fit_vae(model, train, valid, tmp_path / "dev", "M1",
+                       False, LoopConfig(**base, device_data=True),
+                       mesh=mesh)
+    for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-6)
+
+
+def test_gather_step_equals_plain_step():
+    """One gather step on indices == one plain step on the gathered rows
+    (same key): the device-data path is the same math by construction."""
+    from dvae_tpu.train.steps import make_gather_train_steps
+
+    rng = np.random.default_rng(0)
+    data = np.abs(rng.standard_normal((40, 64))).astype(np.float32) + 0.1
+    model = VAE(x_dim=64, z_dim=4, h_dim=(16,))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(data[:2]))
+    tx = adam(1e-3)
+    s_a = init_train_state(model, params, tx)
+    s_b = init_train_state(model, params, tx)
+    idx = np.array([5, 17, 3, 29, 11, 20, 8, 31], np.int32)
+    key = jax.random.PRNGKey(9)
+
+    plain = make_train_step(model, tx, conditional=False)
+    s_a, m_a = plain(s_a, jnp.asarray(data[idx]), key)
+    gstep, _gmulti = make_gather_train_steps(model, tx, False,
+                                             jnp.asarray(data))
+    s_b, m_b = gstep(s_b, jnp.asarray(idx), None, key)
+    assert abs(float(m_a["elbo"]) - float(m_b["elbo"])) \
+        <= 1e-5 * abs(float(m_a["elbo"]))
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
