@@ -62,7 +62,9 @@ class LoopConfig:
     # instead of shipping (K, B, F) float stacks every dispatch — over a
     # remote-attached chip the stack traffic IS the epoch wall time. Same
     # math, same shuffle order, same key stream as the host-fed path
-    # (fit_vae only; requires an in-memory dataset).
+    # (all frame trainers: fit_vae / fit_semisup / fit_adversarial;
+    # requires an in-memory dataset). Measured on the real chip: 2.4x e2e
+    # at 100 steps/dispatch, 26x at 1000 (evidence/training_throughput*).
     device_data: bool = False
 
 
@@ -125,6 +127,38 @@ def _resume_checkpoint(model_dir, prefix: str, start_epoch: int):
 
 def _fmt(metrics: dict) -> str:
     return "    ".join(f"{k}: {float(v):.3f}" for k, v in metrics.items())
+
+
+def _upload_split(ds, with_labels: bool, mesh):
+    """One-time device upload of a FrameDataset split for the
+    device-resident training path (replicated under a mesh: each device
+    gathers its shard's rows from a local copy — frame splits are small,
+    the win is wire traffic, not HBM)."""
+    x, y = ds.arrays
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32) if with_labels else None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        x = jax.device_put(x, rep)
+        y = jax.device_put(y, rep) if y is not None else None
+    return x, y
+
+
+def _index_fed(cfg, mesh, train_ds, valid_ds, step, multi_step, evaluate,
+               with_labels: bool = True):
+    """Swap a (step, multi, eval) trio and datasets to the index-fed
+    device-data equivalents (steps.index_fed_steps)."""
+    from dvae_tpu.train.steps import index_fed_steps
+
+    data, labels = _upload_split(train_ds, with_labels, mesh)
+    v_data, v_labels = _upload_split(valid_ds, with_labels, mesh)
+    gstep, gmulti, geval = index_fed_steps(
+        step, multi_step, evaluate, data, labels, v_data, v_labels)
+    return _IndexDataset(train_ds), _IndexDataset(valid_ds), \
+        gstep, gmulti, geval
 
 
 class _IndexDataset:
@@ -337,28 +371,12 @@ def fit_vae(
         from dvae_tpu.train.steps import (make_gather_eval_step,
                                           make_gather_train_steps)
 
-        def upload(ds):
-            x, y = ds.arrays
-            x = jnp.asarray(x, jnp.float32)
-            y = jnp.asarray(y, jnp.float32) if conditional else None
-            if mesh is not None:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-
-                # fully replicated: each device gathers its shard's rows
-                # from a local copy (frame splits are small — the win is
-                # wire traffic, not HBM)
-                rep = NamedSharding(mesh, P())
-                x = jax.device_put(x, rep)
-                y = jax.device_put(y, rep) if y is not None else None
-            return x, y
-
-        tx_data, tx_lab = upload(train_ds)
+        tx_data, tx_lab = _upload_split(train_ds, conditional, mesh)
         run_step, run_multi = make_gather_train_steps(
             model, tx, conditional, tx_data, tx_lab, cfg.eps, norm)
         if cfg.steps_per_dispatch <= 1:
             run_multi = None
-        v_data, v_lab = upload(valid_ds)
+        v_data, v_lab = _upload_split(valid_ds, conditional, mesh)
         run_eval = make_gather_eval_step(model, conditional, v_data, v_lab,
                                          cfg.eps, norm)
         return _run_epochs(
@@ -446,10 +464,16 @@ def fit_semisup(
                                        cfg.eps, multi=True)
     evaluate = make_semisup_eval_step(model, objective, alpha, y_cond, cfg.eps)
 
+    stack_labels = True
+    if cfg.device_data:
+        train_ds, valid_ds, step, multi_step, evaluate = _index_fed(
+            cfg, mesh, train_ds, valid_ds, step, multi_step, evaluate)
+        stack_labels = False  # labels gather on-device from the indices
+
     return _run_epochs(
         state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,
         step, multi_step, evaluate,
-        stack_labels=True, vloss_key="loss",
+        stack_labels=stack_labels, vloss_key="loss",
         ckpt_opt_state=lambda st: st.opt_state,
         resumed=resume is not None,
     )
@@ -534,10 +558,16 @@ def fit_adversarial(
                                           y_cond=y_cond, norm=norm,
                                           enc_adversary=enc_adversary)
 
+    stack_labels = True
+    if cfg.device_data:
+        train_ds, valid_ds, step, multi_step, evaluate = _index_fed(
+            cfg, mesh, train_ds, valid_ds, step, multi_step, evaluate)
+        stack_labels = False  # labels gather on-device from the indices
+
     return _run_epochs(
         state, train_ds, valid_ds, model_dir, prefix, cfg, mesh,
         step, multi_step, evaluate,
-        stack_labels=True, vloss_key="enc",
+        stack_labels=stack_labels, vloss_key="enc",
         ckpt_opt_state=lambda st: (st.opt_state_enc, st.opt_state_aux),
         resumed=resume is not None,
     )

@@ -183,6 +183,46 @@ def make_gather_train_steps(model, tx: optax.GradientTransformation,
     return step, multi_step
 
 
+def index_fed_steps(run_step, run_multi, run_eval, data, labels,
+                    eval_data, eval_labels):
+    """Index-fed wrappers around ANY (state, x, y, key)-shaped trainer.
+
+    The generic device-resident-data adapter behind ``fit_semisup`` /
+    ``fit_adversarial`` (fit_vae uses the specialized
+    :func:`make_gather_train_steps`, which gathers per scan step): the
+    train/valid splits live on the device, the wrapped fns receive int32
+    indices in the x slot, gather rows on-device, and delegate — identical
+    math, only the data path changes. ``run_multi`` may be None."""
+
+    def _gather(d, lab, idx):
+        x = jnp.take(d, idx, axis=0)
+        y = None if lab is None else jnp.take(lab, idx, axis=0)
+        return x, y
+
+    @jax.jit
+    def step(state, idx, _y, key):
+        x, y = _gather(data, labels, idx)
+        return run_step(state, x, y, key)
+
+    multi = None
+    if run_multi is not None:
+        @jax.jit
+        def multi(state, idxs, _ys, key):
+            k, b = idxs.shape
+            flat = idxs.reshape(-1)
+            x = jnp.take(data, flat, axis=0).reshape(k, b, -1)
+            y = (None if labels is None else
+                 jnp.take(labels, flat, axis=0).reshape(k, b, -1))
+            return run_multi(state, x, y, key)
+
+    @jax.jit
+    def evaluate(params, idx, _y, key):
+        x, y = _gather(eval_data, eval_labels, idx)
+        return run_eval(params, x, y, key)
+
+    return step, multi, evaluate
+
+
 def make_gather_eval_step(model, conditional: bool, data, labels=None,
                           eps: float = 1e-8, norm=None) -> Callable:
     """Index-fed validation counterpart of :func:`make_gather_train_steps`

@@ -57,7 +57,7 @@ def add_common(ap: argparse.ArgumentParser, training: bool = False,
                              "the train step int32 INDICES (rows gathered "
                              "on-device) instead of shipping batch stacks "
                              "every dispatch — same math/shuffle/keys, "
-                             "~500x less wire traffic at F=513 (M1/M2 "
+                             "~500x less wire traffic at F=513 (frame "
                              "trainers; needs the in-memory dataset)")
         ap.add_argument("--run-name", default=None,
                         help="override the auto-mangled run dir name (use when "

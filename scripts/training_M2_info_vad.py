@@ -37,8 +37,6 @@ def main():
                     "_hardlabel/_yhathard suffixes = hard own-classifier "
                     "prediction ('soft' = the _pretrain script's forward)")
     args = ap.parse_args()
-    if getattr(args, "device_data", False):
-        ap.error("--device-data is supported by training_M1/training_M2 only\n(this trainer's loop is not index-fed)")
     maybe_force_platform(args)
 
     from dvae_tpu.data.datasets import FrameDataset
@@ -84,6 +82,7 @@ def main():
         start_epoch=args.start_epoch, end_epoch=args.end_epoch,
         log_interval=args.log_interval, seed=args.seed, std_norm=args.std_norm,
         steps_per_dispatch=args.steps_per_dispatch,
+        device_data=args.device_data,
     )
     model_dir = os.path.join(args.models_root, model_name)
     print(f"training {model_name}")

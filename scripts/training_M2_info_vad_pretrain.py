@@ -38,8 +38,6 @@ def main():
                          "the non-pretrain script; 'uniform' = the "
                          "commented _v2 experiment (0.5-target)")
     args = ap.parse_args()
-    if getattr(args, "device_data", False):
-        ap.error("--device-data is supported by training_M1/training_M2 only\n(this trainer's loop is not index-fed)")
     maybe_force_platform(args)
 
     import jax
@@ -82,6 +80,7 @@ def main():
         start_epoch=args.start_epoch, end_epoch=args.end_epoch,
         log_interval=args.log_interval, seed=args.seed, std_norm=args.std_norm,
         steps_per_dispatch=args.steps_per_dispatch,
+        device_data=args.device_data,
     )
     model_dir = os.path.join(args.models_root, model_name)
     print(f"training {model_name} (warm-started classifier)")

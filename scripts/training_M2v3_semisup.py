@@ -30,8 +30,6 @@ def main():
                     choices=["soft", "yhathard", "hardlabel", "ytrue"],
                     help="decoder conditioning label (see make_semisup_step)")
     args = ap.parse_args()
-    if getattr(args, "device_data", False):
-        ap.error("--device-data is supported by training_M1/training_M2 only\n(this trainer's loop is not index-fed)")
     if args.std_norm:
         ap.error("--std-norm is not supported here (all golden Uloss/Lloss "
                  "checkpoints are 'nonorm')")
@@ -60,6 +58,7 @@ def main():
         start_epoch=args.start_epoch, end_epoch=args.end_epoch,
         log_interval=args.log_interval, seed=args.seed, std_norm=args.std_norm,
         steps_per_dispatch=args.steps_per_dispatch,
+        device_data=args.device_data,
     )
     import os
 

@@ -732,3 +732,38 @@ def test_gather_step_equals_plain_step():
     for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_device_data_adversarial_and_semisup_match_host(tmp_path, subset_dir):
+    """The generic index-fed adapter (steps.index_fed_steps): the
+    adversarial and semisup fitters reproduce their host-fed runs under
+    device_data to float tolerance — labels gather on-device too."""
+    from dvae_tpu.models.cvae import CVAE_v3
+    from dvae_tpu.train.loop import fit_adversarial, fit_semisup
+
+    train = FrameDataset(SUBSET_H5, "train")
+    valid = FrameDataset(SUBSET_H5, "validation")
+    base = dict(batch_size=64, end_epoch=3, steps_per_dispatch=2,
+                learning_rate=1e-3, seed=7)
+
+    adv = DisentangledVAE(y_dim=513, z_dim=4, h_dim=(16,))
+    p_h, _ = fit_adversarial(adv, train, valid, tmp_path / "adv_h", "M2_info",
+                             alpha=0.0, beta=10.0, gamma=1.0,
+                             cfg=LoopConfig(**base))
+    p_d, _ = fit_adversarial(adv, train, valid, tmp_path / "adv_d", "M2_info",
+                             alpha=0.0, beta=10.0, gamma=1.0,
+                             cfg=LoopConfig(**base, device_data=True))
+    for a, b in zip(jax.tree.leaves(p_h), jax.tree.leaves(p_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-6)
+
+    v3 = CVAE_v3(y_dim=513, z_dim=4, h_dim=(16,))
+    p_h, _ = fit_semisup(v3, train, valid, tmp_path / "ss_h", "M2v3",
+                         objective="uloss", alpha=0.1,
+                         cfg=LoopConfig(**base))
+    p_d, _ = fit_semisup(v3, train, valid, tmp_path / "ss_d", "M2v3",
+                         objective="uloss", alpha=0.1,
+                         cfg=LoopConfig(**base, device_data=True))
+    for a, b in zip(jax.tree.leaves(p_h), jax.tree.leaves(p_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-6)
