@@ -24,6 +24,24 @@ import numpy as np
 from dvae_tpu.data.io import read_wav
 
 
+def index_batches(n: int, batch_size: int,
+                  rng: np.random.Generator | None = None,
+                  drop_last: bool = False):
+    """Yield index batches: arange -> rng.shuffle -> contiguous slices.
+
+    THE batch-composition contract shared by the host-fed path
+    (:meth:`FrameDataset.batches`) and the device-resident path
+    (``train/loop._IndexDataset``) — one implementation, so the
+    device-data loop's same-shuffle/same-key-stream invariant is
+    structural, not a convention kept in two places."""
+    idx = np.arange(n)
+    if rng is not None:
+        rng.shuffle(idx)
+    stop = n - (n % batch_size) if drop_last else n
+    for s in range(0, stop, batch_size):
+        yield idx[s : s + batch_size]
+
+
 class FrameDataset:
     """Frame-level (x, y) pairs from the builder's consolidated HDF5."""
 
@@ -93,12 +111,7 @@ class FrameDataset:
     def batches(self, batch_size: int, rng: np.random.Generator | None = None,
                 drop_last: bool = False):
         """Yield (x (B,F), y (B,Yd)) numpy batches; shuffles when rng given."""
-        idx = np.arange(self.n)
-        if rng is not None:
-            rng.shuffle(idx)
-        stop = self.n - (self.n % batch_size) if drop_last else self.n
-        for s in range(0, stop, batch_size):
-            sel = idx[s : s + batch_size]
+        for sel in index_batches(self.n, batch_size, rng, drop_last):
             if self.in_memory:
                 yield self._x[sel], self._y[sel]
             else:

@@ -147,7 +147,7 @@ def _upload_split(ds, with_labels: bool, mesh):
     return x, y
 
 
-def _index_fed(cfg, mesh, train_ds, valid_ds, step, multi_step, evaluate,
+def _index_fed(mesh, train_ds, valid_ds, step, multi_step, evaluate,
                with_labels: bool = True):
     """Swap a (step, multi, eval) trio and datasets to the index-fed
     device-data equivalents (steps.index_fed_steps)."""
@@ -163,9 +163,10 @@ def _index_fed(cfg, mesh, train_ds, valid_ds, step, multi_step, evaluate,
 
 class _IndexDataset:
     """Wraps a dataset so ``batches`` yields (int32 index batch, None) with
-    EXACTLY the host path's shuffle semantics (FrameDataset.batches:
-    arange -> rng.shuffle -> contiguous slices) — the device-data loop
-    reproduces the host-fed loop's batch composition and key stream."""
+    EXACTLY the host path's batch composition — both paths call the one
+    shared generator (data.datasets.index_batches), so the device-data
+    loop reproduces the host-fed loop's shuffle order and key stream by
+    construction."""
 
     def __init__(self, ds):
         self._n = len(ds)
@@ -174,12 +175,10 @@ class _IndexDataset:
         return self._n
 
     def batches(self, batch_size: int, rng=None, drop_last: bool = False):
-        idx = np.arange(self._n)
-        if rng is not None:
-            rng.shuffle(idx)
-        stop = self._n - (self._n % batch_size) if drop_last else self._n
-        for s in range(0, stop, batch_size):
-            yield idx[s : s + batch_size].astype(np.int32), None
+        from dvae_tpu.data.datasets import index_batches
+
+        for sel in index_batches(self._n, batch_size, rng, drop_last):
+            yield sel.astype(np.int32), None
 
 
 def _pad_shardable(batch, mesh):
@@ -467,7 +466,7 @@ def fit_semisup(
     stack_labels = True
     if cfg.device_data:
         train_ds, valid_ds, step, multi_step, evaluate = _index_fed(
-            cfg, mesh, train_ds, valid_ds, step, multi_step, evaluate)
+            mesh, train_ds, valid_ds, step, multi_step, evaluate)
         stack_labels = False  # labels gather on-device from the indices
 
     return _run_epochs(
@@ -561,7 +560,7 @@ def fit_adversarial(
     stack_labels = True
     if cfg.device_data:
         train_ds, valid_ds, step, multi_step, evaluate = _index_fed(
-            cfg, mesh, train_ds, valid_ds, step, multi_step, evaluate)
+            mesh, train_ds, valid_ds, step, multi_step, evaluate)
         stack_labels = False  # labels gather on-device from the indices
 
     return _run_epochs(

@@ -192,7 +192,9 @@ def index_fed_steps(run_step, run_multi, run_eval, data, labels,
     :func:`make_gather_train_steps`, which gathers per scan step): the
     train/valid splits live on the device, the wrapped fns receive int32
     indices in the x slot, gather rows on-device, and delegate — identical
-    math, only the data path changes. ``run_multi`` may be None."""
+    math, only the data path changes. ``run_multi`` is only a presence
+    signal (None = no multi wrapper): the index-fed multi re-scans
+    ``run_step`` itself, which is the same body both host multis scan."""
 
     def _gather(d, lab, idx):
         x = jnp.take(d, idx, axis=0)
@@ -206,14 +208,23 @@ def index_fed_steps(run_step, run_multi, run_eval, data, labels,
 
     multi = None
     if run_multi is not None:
+        # gather ONE (B, F) slice per scan step instead of materializing
+        # the whole (K, B, F) stack in HBM up front (at K=1000, B=128,
+        # IBM labels that stack is ~0.5 GB). Scanning run_step with
+        # split keys is exactly the host multi's semantics: both multis
+        # are `split(key, K)` + lax.scan of the single-step body, and
+        # run_step IS that body.
         @jax.jit
         def multi(state, idxs, _ys, key):
-            k, b = idxs.shape
-            flat = idxs.reshape(-1)
-            x = jnp.take(data, flat, axis=0).reshape(k, b, -1)
-            y = (None if labels is None else
-                 jnp.take(labels, flat, axis=0).reshape(k, b, -1))
-            return run_multi(state, x, y, key)
+            keys = jax.random.split(key, idxs.shape[0])
+
+            def scan_body(st, inp):
+                idx, kk = inp
+                x, y = _gather(data, labels, idx)
+                return run_step(st, x, y, kk)
+
+            state, ms = jax.lax.scan(scan_body, state, (idxs, keys))
+            return state, jax.tree.map(jnp.mean, ms)
 
     @jax.jit
     def evaluate(params, idx, _y, key):

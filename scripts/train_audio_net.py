@@ -47,8 +47,6 @@ def main():
                          "power_spec_upsampled_statistics.h5 — the "
                          "reference's default, train_audio_net.py:101)")
     args = ap.parse_args()
-    if getattr(args, "device_data", False):
-        ap.error("--device-data applies to the FRAME trainers only\n(the sequence trainers batch whole utterances)")
     if args.labels != "vad_labels":
         # the LSTM head emits one scalar per frame; a 513-dim IBM label
         # would silently flatten into garbage in batch_utterances (the

@@ -69,8 +69,6 @@ def main():
                          "(default: the noisy log-power stats, as "
                          "train_audio_net.py)")
     args = ap.parse_args()
-    if getattr(args, "device_data", False):
-        ap.error("--device-data applies to the FRAME trainers only\n(the sequence trainers batch whole utterances)")
     if args.labels != "vad_labels":
         # the VAD head emits one scalar per frame; a 513-dim IBM label
         # would silently flatten into garbage in the sequence batchers

@@ -14,6 +14,9 @@ from _lib import (add_common, frame_h5_path, make_mesh_if, mangle,
 def main():
     ap = add_common(argparse.ArgumentParser(description=__doc__), training=True)
     args = ap.parse_args()
+    if args.device_data and args.no_in_memory:
+        ap.error("--device-data uploads the in-memory split once; "
+                 "drop --no-in-memory")
     maybe_force_platform(args)
 
     from dvae_tpu.data.datasets import FrameDataset

@@ -20,6 +20,9 @@ def main():
                     "not in its repo). Enhance v2 checkpoints with "
                     "evaluate_ntcd_M2.py --model-variant v2")
     args = ap.parse_args()
+    if args.device_data and args.no_in_memory:
+        ap.error("--device-data uploads the in-memory split once; "
+                 "drop --no-in-memory")
     maybe_force_platform(args)
 
     from dvae_tpu.data.datasets import FrameDataset

@@ -37,6 +37,9 @@ def main():
                     "_hardlabel/_yhathard suffixes = hard own-classifier "
                     "prediction ('soft' = the _pretrain script's forward)")
     args = ap.parse_args()
+    if args.device_data and args.no_in_memory:
+        ap.error("--device-data uploads the in-memory split once; "
+                 "drop --no-in-memory")
     maybe_force_platform(args)
 
     from dvae_tpu.data.datasets import FrameDataset

@@ -38,6 +38,9 @@ def main():
                          "the non-pretrain script; 'uniform' = the "
                          "commented _v2 experiment (0.5-target)")
     args = ap.parse_args()
+    if args.device_data and args.no_in_memory:
+        ap.error("--device-data uploads the in-memory split once; "
+                 "drop --no-in-memory")
     maybe_force_platform(args)
 
     import jax

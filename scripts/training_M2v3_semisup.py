@@ -30,6 +30,9 @@ def main():
                     choices=["soft", "yhathard", "hardlabel", "ytrue"],
                     help="decoder conditioning label (see make_semisup_step)")
     args = ap.parse_args()
+    if args.device_data and args.no_in_memory:
+        ap.error("--device-data uploads the in-memory split once; "
+                 "drop --no-in-memory")
     if args.std_norm:
         ap.error("--std-norm is not supported here (all golden Uloss/Lloss "
                  "checkpoints are 'nonorm')")
