@@ -81,6 +81,13 @@ class ServiceOverloaded(RuntimeError):
     every later request waits behind."""
 
 
+class EnhancementError(RuntimeError):
+    """A WORKER-side failure (device batch raised) — distinct from the
+    ValueErrors submit() raises for invalid client input, so the HTTP
+    layer reports it as a 500 (server's fault, monitorable), never a 400
+    blaming the client for e.g. an operator's wrong --y-dim."""
+
+
 @dataclasses.dataclass(frozen=True)
 class ServeConfig:
     batch_size: int = 8            # fixed device batch (pad with silence)
@@ -132,7 +139,9 @@ class EnhanceService:
         self.stats = {"requests": 0, "failed": 0, "rejected": 0, "batches": 0,
                       "utterances": 0, "audio_seconds": 0.0,
                       "busy_seconds": 0.0, "warmup_seconds": 0.0,
-                      "reloads": 0}
+                      "reloads": 0, "timeouts": 0}
+        self._latency_window = max(1, cfg.latency_window)  # 0 would make
+        #                          the del-slice trim a no-op (unbounded)
         self.checkpoint = None           # last hot-reloaded checkpoint path
         self._pending_reload = None      # (params, path, done, error-slot)
         self._draining = False           # drain(): stop admitting work
@@ -158,8 +167,12 @@ class EnhanceService:
                 n = n_stft_frames_clamped(len(it.wav), self.enh_cfg.stft)
                 ys[i] = constant_labels(n, self.cfg.y_dim, it.y_source)
         if soft:
+            # enhancer.params, NOT self.params: the Enhancer canonicalizes
+            # to device arrays — host checkpoint leaves here would re-cross
+            # the link on every conditional batch (self.params stays the
+            # host-side reload template)
             labels = self_soft_labels(
-                self.model, self.params, [batch[i].wav for i in soft],
+                self.model, self.enhancer.params, [batch[i].wav for i in soft],
                 self.enh_cfg.stft, self.cfg.y_dim, self.classify_method,
                 norm=self.enh_cfg.norm, norm_eps=self.enh_cfg.norm_eps)
             for i, lab in zip(soft, labels):
@@ -197,13 +210,16 @@ class EnhanceService:
                 "retry with backoff") from None
         return item
 
-    @staticmethod
-    def _await(item: "_Item", timeout: float) -> tuple[np.ndarray, np.ndarray]:
+    def _await(self, item: "_Item", timeout: float) -> tuple[np.ndarray, np.ndarray]:
         if not item.done.wait(timeout):
             # mark abandoned so the worker drops it instead of burning a
             # device batch for a waiter that already gave up — exactly the
-            # overload situation that caused the timeout
+            # overload situation that caused the timeout. Counted, so the
+            # 503s this produces are visible in /stats during the very
+            # overload they signal.
             item.abandoned = True
+            with self._lock:
+                self.stats["timeouts"] += 1
             raise TimeoutError("enhancement timed out (server overloaded "
                                "or device stalled)")
         if item.error is not None:
@@ -215,8 +231,8 @@ class EnhanceService:
             self.stats["requests"] += 1
             self.stats["audio_seconds"] += len(wav) / self.enh_cfg.stft.fs
             self._latencies.append(time.monotonic() - t0)
-            if len(self._latencies) > self.cfg.latency_window:
-                del self._latencies[:-self.cfg.latency_window]
+            if len(self._latencies) > self._latency_window:
+                del self._latencies[:-self._latency_window]
 
     def submit(self, wav: np.ndarray, y_source: str | None = None,
                timeout: float = 900.0,
@@ -449,8 +465,10 @@ class EnhanceService:
                 else:
                     self.stats["warmup_seconds"] += time.monotonic() - t0
         except Exception as e:  # surface to every waiter, keep serving
+            err = EnhancementError(f"enhancement failed: {e}")
+            err.__cause__ = e
             for it in batch:
-                it.error = e
+                it.error = err
                 it.done.set()
             with self._lock:
                 self.stats["failed"] += sum(1 for it in batch if it.count)
@@ -546,6 +564,7 @@ class RequestHandler(BaseHTTPRequestHandler):
     """Bound to a service via ``make_server`` (class attribute injection)."""
 
     service: EnhanceService = None  # set by make_server
+    admin_token: str | None = None  # set by make_server; gates /reload
     max_content_length = 256 * 1024 * 1024
     protocol_version = "HTTP/1.1"
     # per-recv socket timeout: caps how long an idle keep-alive connection
@@ -569,6 +588,24 @@ class RequestHandler(BaseHTTPRequestHandler):
     def _json(self, code: int, obj, headers=()):
         self._send(code, json.dumps(obj).encode(), "application/json",
                    headers)
+
+    def _body_length(self):
+        """Parsed Content-Length, or None after answering 400 (a malformed
+        header must not crash the handler thread)."""
+        raw = self.headers.get("Content-Length", 0)
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            self.close_connection = True
+            self._json(400, {"error": f"bad Content-Length {raw!r}"})
+            return None
+
+    def _reject_unread(self, code: int, obj, headers=()):
+        """Error response WITHOUT having consumed the request body: the
+        connection must close, or the unread body bytes would be parsed as
+        the next request on this HTTP/1.1 keep-alive connection."""
+        self.close_connection = True
+        self._json(code, obj, headers)
 
     def do_GET(self):
         svc = self.service
@@ -604,8 +641,18 @@ class RequestHandler(BaseHTTPRequestHandler):
     def do_POST(self):
         svc = self.service
         url = urlparse(self.path)
+        length = self._body_length()
+        if length is None:
+            return
         if url.path == "/reload":
+            if length:  # a stray body must not desync the connection
+                self.close_connection = True
             q = parse_qs(url.query)
+            if self.admin_token is not None and \
+                    q.get("token", [None])[0] != self.admin_token:
+                self._json(403, {"error": "reload requires ?token= (the "
+                                          "server's --admin-token)"})
+                return
             path = q.get("checkpoint", [None])[0]
             if not path:
                 self._json(400, {"error": "pass ?checkpoint=<path> (msgpack "
@@ -623,20 +670,19 @@ class RequestHandler(BaseHTTPRequestHandler):
             self._json(200, {"status": "reloaded", "checkpoint": path})
             return
         if url.path != "/enhance":
-            self._json(404, {"error": f"unknown path {url.path}"})
+            self._reject_unread(404, {"error": f"unknown path {url.path}"})
             return
         q = parse_qs(url.query)
         want = q.get("return", ["speech"])[0]
         if want not in ("speech", "noise", "stereo"):
-            self._json(400, {"error": f"bad return={want!r}"})
+            self._reject_unread(400, {"error": f"bad return={want!r}"})
             return
         y_source = q.get("y_source", [None])[0]
-        length = int(self.headers.get("Content-Length", 0))
         if length <= 0:
             self._json(400, {"error": "empty body (POST a RIFF/WAVE file)"})
             return
         if length > self.max_content_length:
-            self._json(413, {"error": "request too large"})
+            self._reject_unread(413, {"error": "request too large"})
             return
         body = self.rfile.read(length)
         try:
@@ -673,11 +719,16 @@ class RequestHandler(BaseHTTPRequestHandler):
 
 
 def make_server(service: EnhanceService, host: str = "127.0.0.1",
-                port: int = 0, verbose: bool = False) -> ThreadingHTTPServer:
+                port: int = 0, verbose: bool = False,
+                admin_token: str | None = None) -> ThreadingHTTPServer:
     """A ThreadingHTTPServer bound to ``service`` (port 0 = auto-assign;
     the chosen port is ``server.server_address[1]``). Call
-    ``serve_forever()`` (blocking) or drive it from a thread in tests."""
-    handler = type("BoundHandler", (RequestHandler,), {"service": service})
+    ``serve_forever()`` (blocking) or drive it from a thread in tests.
+    ``admin_token`` gates POST /reload (pass ?token=...) — set it whenever
+    the bind address is not loopback, since /reload loads
+    operator-supplied filesystem paths."""
+    handler = type("BoundHandler", (RequestHandler,),
+                   {"service": service, "admin_token": admin_token})
     if verbose:
         handler.log_message = BaseHTTPRequestHandler.log_message
     server = ThreadingHTTPServer((host, port), handler)

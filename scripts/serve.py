@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--no-jit-cache", action="store_true")
+    ap.add_argument("--admin-token", default=None,
+                    help="require ?token=<value> on POST /reload — set this "
+                         "whenever --host is not loopback (/reload loads "
+                         "operator-supplied checkpoint paths)")
     ap.add_argument("--verbose", action="store_true",
                     help="log every HTTP request")
     args = ap.parse_args()
@@ -108,13 +112,34 @@ def main():
                         chunk_seconds=args.chunk_seconds,
                         warmup_buckets=tuple(args.warmup_buckets)),
         mesh=make_mesh_if(args))
+    # operator heads-up: with chunking off, an admissible request longer
+    # than the largest warmed bucket stalls ALL traffic behind its inline
+    # compile (minutes over a remote chip) and pads the whole batch to its
+    # giant bucket (HBM amplification — see enhance/longform.py)
+    if not args.chunk_seconds:
+        from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped
+
+        max_frames = n_stft_frames_clamped(
+            int(args.max_audio_seconds * StftConfig().fs), StftConfig())
+        max_bucket = -(-max_frames // 64) * 64
+        warmest = max(args.warmup_buckets, default=0)
+        if max_bucket > warmest:
+            print(f"WARNING: --max-audio-seconds {args.max_audio_seconds:.0f}"
+                  f" admits requests up to the {max_bucket}-frame bucket but "
+                  f"only {args.warmup_buckets or 'no'} bucket(s) are warmed "
+                  "and --chunk-seconds is off: one long request will stall "
+                  "all traffic behind its inline compile and pad the whole "
+                  "batch to its bucket. Pass --chunk-seconds (e.g. 60) or "
+                  "lower --max-audio-seconds.", flush=True)
+
     if args.warmup_buckets:
         print(f"warming {len(args.warmup_buckets)} bucket(s) "
               "(cold compile — minutes on a remote-attached chip)...")
         svc.warmup()
         print(f"warm: {svc.warm_buckets}")
 
-    server = make_server(svc, args.host, args.port, verbose=args.verbose)
+    server = make_server(svc, args.host, args.port, verbose=args.verbose,
+                         admin_token=args.admin_token)
 
     import signal
     import threading

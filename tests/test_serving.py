@@ -779,6 +779,120 @@ def test_concurrent_stress_mixed_traffic_reload_drain(tmp_path):
         svc.close()
 
 
+def test_keepalive_survives_valid_and_rejected_requests(server):
+    """HTTP/1.1 connection hygiene: a valid request keeps the connection
+    usable; an error response sent BEFORE the body was read closes the
+    connection instead of leaving unread bytes to be parsed as the next
+    request (which produced spurious 400s for keep-alive clients)."""
+    import http.client
+
+    host, port = server.replace("http://", "").split(":")
+    body = _wav_body(_noisy_wav(seconds=0.3, seed=11))
+
+    # valid request then a second request on the SAME connection
+    conn = http.client.HTTPConnection(host, int(port), timeout=300)
+    conn.request("POST", "/enhance", body=body)
+    r = conn.getresponse()
+    assert r.status == 200
+    r.read()
+    conn.request("GET", "/healthz")
+    r2 = conn.getresponse()
+    assert r2.status == 200 and b"ok" in r2.read()
+    conn.close()
+
+    # rejected-before-body-read: server must close; the next use of the
+    # connection fails cleanly (never a bad-syntax 400 from body bytes)
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    conn.request("POST", "/enhance?return=bogus", body=body)
+    r = conn.getresponse()
+    assert r.status == 400
+    r.read()
+    try:
+        conn.request("GET", "/healthz")
+        r3 = conn.getresponse()
+        assert r3.status == 200  # tolerated only if it's a REAL response
+    except (http.client.HTTPException, OSError):
+        pass  # clean close — expected
+    conn.close()
+
+    # malformed Content-Length: a 400, not a crashed handler thread
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    conn.putrequest("POST", "/enhance")
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    r = conn.getresponse()
+    assert r.status == 400 and b"Content-Length" in r.read()
+    conn.close()
+
+
+def test_reload_admin_token(m1_service, tmp_path):
+    """make_server(admin_token=...): /reload requires the token (403
+    without), /enhance stays open."""
+    from dvae_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(tmp_path, "M1_epoch_005_vloss_0.70", m1_service.params)
+    ckpt = str(tmp_path / "M1_epoch_005_vloss_0.70.msgpack")
+    srv = make_server(m1_service, "127.0.0.1", 0, admin_token="s3cret")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/reload?checkpoint={ckpt}", b"")
+        assert ei.value.code == 403
+        status, _, _ = _post(f"{base}/reload?checkpoint={ckpt}&token=s3cret",
+                             b"")
+        assert status == 200
+        status, _, _ = _post(f"{base}/enhance",
+                             _wav_body(_noisy_wav(seconds=0.3, seed=12)))
+        assert status == 200
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_worker_error_is_server_fault_and_timeouts_counted():
+    """A worker-side failure surfaces as EnhancementError (HTTP 500, never
+    a 400 blaming the client); _await timeouts are visible in /stats."""
+    from dvae_tpu.serving import EnhancementError, _Item
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(model, params, "m1",
+                         enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+                         cfg=ServeConfig(batch_size=2, batch_window_ms=5.0,
+                                         warmup_buckets=(), latency_window=0))
+    try:
+        # latency_window=0 must clamp (del lst[:-0] is a no-op slice): two
+        # successful requests keep exactly one latency sample
+        svc.submit(_noisy_wav(seconds=0.3, seed=20))
+        svc.submit(_noisy_wav(seconds=0.3, seed=21))
+        with svc._lock:
+            assert len(svc._latencies) == 1
+
+        # worker-side ValueError -> EnhancementError for the waiter
+        orig = svc.enhancer.enhance_batch
+        svc.enhancer.enhance_batch = lambda *a, **k: (_ for _ in ()).throw(
+            ValueError("operator misconfiguration"))
+        with pytest.raises(EnhancementError, match="misconfiguration"):
+            svc.submit(_noisy_wav(seconds=0.3))
+        svc.enhancer.enhance_batch = orig
+
+        # timeout path is counted
+        svc._stop.set()
+        svc._worker.join(timeout=5)
+        with pytest.raises(TimeoutError):
+            svc.submit(_noisy_wav(seconds=0.3, seed=1), timeout=0.1)
+        with svc._lock:
+            assert svc.stats["timeouts"] == 1
+        # latency_window=0 never grows the ring unboundedly
+        assert len(svc._latencies) <= 1
+    finally:
+        svc.close()
+
+
 def test_service_on_device_mesh():
     """Multi-chip serving: the service's fixed batch shards over a data
     mesh (the deployment shape for a pod host — requests micro-batch, the
