@@ -767,3 +767,20 @@ def test_device_data_adversarial_and_semisup_match_host(tmp_path, subset_dir):
     for a, b in zip(jax.tree.leaves(p_h), jax.tree.leaves(p_d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=5e-6)
+
+
+def test_device_data_matches_host_fed_with_std_norm(tmp_path, subset_dir):
+    """std_norm composes with device_data: the gather steps thread the
+    normalization stats through the same elbo body."""
+    train = FrameDataset(SUBSET_H5, "train")
+    valid = FrameDataset(SUBSET_H5, "validation")
+    model = VAE(x_dim=513, z_dim=4, h_dim=(16,))
+    base = dict(batch_size=64, end_epoch=3, steps_per_dispatch=2,
+                learning_rate=1e-3, seed=11, std_norm=True)
+    p_host, _ = fit_vae(model, train, valid, tmp_path / "host", "M1",
+                        False, LoopConfig(**base))
+    p_dev, _ = fit_vae(model, train, valid, tmp_path / "dev", "M1",
+                       False, LoopConfig(**base, device_data=True))
+    for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-6)
