@@ -711,6 +711,9 @@ class RequestHandler(BaseHTTPRequestHandler):
         except ValueError as e:
             self._json(400, {"error": str(e)})
             return
+        except EnhancementError as e:  # already prefixed, server's fault
+            self._json(500, {"error": str(e)})
+            return
         except Exception as e:
             self._json(500, {"error": f"enhancement failed: {e}"})
             return
