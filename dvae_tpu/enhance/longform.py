@@ -46,27 +46,36 @@ def chunk_spans(n_samples: int, fs: int, hop: int, chunk_seconds: float,
                 overlap_seconds: float) -> list[tuple[int, int]]:
     """Hop-aligned [start, end) spans covering [0, n_samples).
 
-    Uniform interior overlap of ``overlap_seconds`` (rounded to whole
-    hops); the final span ends at ``n_samples`` and is always longer than
-    the overlap, so every fade region has a full-weight partner."""
+    EVERY span has the same length (``chunk``) when the signal is longer
+    than one chunk: the final span slides BACK to ``[n - chunk, n]``
+    instead of ending short. Equal lengths are the bucket-stability
+    contract — all chunk items land in ONE compiled frame bucket, so a
+    warm server/engine never pays a mid-request cold compile for an
+    odd-length tail (the tail's extra overlap with its predecessor is
+    handled exactly by :func:`overlap_add`'s weight normalization).
+    Interior overlap is ``overlap_seconds`` rounded to whole hops."""
     if n_samples <= 0:
         raise ValueError("empty signal")
     chunk = max(hop, int(round(chunk_seconds * fs / hop)) * hop)
     ov = int(round(overlap_seconds * fs / hop)) * hop
-    # the complementary cross-fades assume at most TWO chunks cover any
-    # sample: overlap may not exceed half the chunk (ov <= step), else
-    # triple-covered regions no longer sum to weight 1 and the Wiener
-    # partition silently breaks
+    # at most TWO chunks may cover any sample (the cross-fades are
+    # pairwise): overlap may not exceed half the chunk (ov <= step)
     if ov < 0 or 2 * ov > chunk:
         raise ValueError(
             f"overlap {overlap_seconds}s must be at most half the chunk "
             f"{chunk_seconds}s (got {ov} vs chunk {chunk} samples)")
+    if n_samples <= chunk:
+        return [(0, n_samples)]
     step = chunk - ov
     spans, a = [], 0
     while a + chunk < n_samples:
         spans.append((a, a + chunk))
         a += step
-    spans.append((a, n_samples))
+    # the final span is exactly chunk-length ending at n: its start is
+    # hop-aligned only when n is, so label slicing rounds its frame
+    # offset to the nearest frame (<= half-frame shift on ONE chunk);
+    # audio reassembly is sample-exact regardless
+    spans.append((n_samples - chunk, n_samples))
     return spans
 
 
@@ -80,11 +89,15 @@ def overlap_add(spans: Sequence[tuple[int, int]],
                 pieces: Sequence[np.ndarray], n_samples: int) -> np.ndarray:
     """Cross-fade chunk outputs back into one signal.
 
-    Interior overlaps are uniform by construction (``chunk - step``), and
-    each span's tail fade is the exact complement of its successor's head
-    fade over the SAME samples — weights sum to 1 everywhere without a
-    normalization pass."""
+    Interior overlaps use complementary raised-cosine pairs; the final
+    chunk's (larger) overlap with its predecessor can make a fade pair
+    non-complementary, so the blend is explicitly weight-normalized —
+    a convex combination at every sample, which is what preserves the
+    Wiener partition: each chunk's ``s+n`` reconstructs its mixture span,
+    and any convex blend of reconstructions of the same span is still
+    that span."""
     out = np.zeros(n_samples, np.float64)
+    weight = np.zeros(n_samples, np.float64)
     for i, ((a, b), piece) in enumerate(zip(spans, pieces)):
         piece = np.asarray(piece, np.float64)
         if piece.shape != (b - a,):
@@ -93,13 +106,16 @@ def overlap_add(spans: Sequence[tuple[int, int]],
         if i > 0:
             ov = spans[i - 1][1] - a          # head overlap with predecessor
             if ov > 0:
-                fade[:ov] = _fade_in(ov)
+                fade[:ov] = _fade_in(min(ov, b - a))[:ov]
         if i + 1 < len(spans):
             ov = b - spans[i + 1][0]          # tail overlap with successor
             if ov > 0:
-                fade[-ov:] = 1.0 - _fade_in(ov)
+                fade[-ov:] = (1.0 - _fade_in(min(ov, b - a)))[-ov:]
         out[a:b] += piece * fade
-    return out.astype(np.float32)
+        weight[a:b] += fade
+    if (weight <= 0).any():
+        raise ValueError("uncovered or zero-weight samples in overlap_add")
+    return (out / weight).astype(np.float32)
 
 
 def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
@@ -144,7 +160,10 @@ def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,
         y = np.asarray(y, np.float32)
         ys = []
         for (a, b), w in zip(spans, wavs):
-            off = a // cfg.hop
+            # nearest frame: every start is hop-aligned except possibly the
+            # final full-length span (chunk_spans), where the grid shifts
+            # by < half a frame
+            off = (a + cfg.hop // 2) // cfg.hop
             n = n_stft_frames_clamped(len(w), cfg)
             yc = y[off:off + n]
             if len(yc) < n:            # boundary frame past the label tail

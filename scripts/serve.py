@@ -112,13 +112,26 @@ def main():
                         chunk_seconds=args.chunk_seconds,
                         warmup_buckets=tuple(args.warmup_buckets)),
         mesh=make_mesh_if(args))
-    # operator heads-up: with chunking off, an admissible request longer
-    # than the largest warmed bucket stalls ALL traffic behind its inline
-    # compile (minutes over a remote chip) and pads the whole batch to its
-    # giant bucket (HBM amplification — see enhance/longform.py)
-    if not args.chunk_seconds:
-        from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped
+    from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped
 
+    if args.chunk_seconds:
+        # every chunk item is EXACTLY chunk-length (longform.chunk_spans
+        # slides the final span back), so warming the chunk bucket makes
+        # the whole chunked path recompile-free — add it automatically
+        stft = StftConfig()
+        chunk = max(stft.hop,
+                    round(args.chunk_seconds * stft.fs / stft.hop) * stft.hop)
+        bucket = -(-n_stft_frames_clamped(chunk, stft) // 64) * 64
+        if args.warmup_buckets and bucket not in args.warmup_buckets:
+            args.warmup_buckets = list(args.warmup_buckets) + [bucket]
+            print(f"auto-warming the {bucket}-frame chunk bucket "
+                  f"(--chunk-seconds {args.chunk_seconds:g})")
+    else:
+        # operator heads-up: with chunking off, an admissible request
+        # longer than the largest warmed bucket stalls ALL traffic behind
+        # its inline compile (minutes over a remote chip) and pads the
+        # whole batch to its giant bucket (HBM amplification — see
+        # enhance/longform.py)
         max_frames = n_stft_frames_clamped(
             int(args.max_audio_seconds * StftConfig().fs), StftConfig())
         max_bucket = -(-max_frames // 64) * 64
@@ -135,7 +148,9 @@ def main():
     if args.warmup_buckets:
         print(f"warming {len(args.warmup_buckets)} bucket(s) "
               "(cold compile — minutes on a remote-attached chip)...")
-        svc.warmup()
+        # pass the list explicitly: the auto-added chunk bucket lands in
+        # args AFTER the ServeConfig snapshot above
+        svc.warmup(args.warmup_buckets)
         print(f"warm: {svc.warm_buckets}")
 
     server = make_server(svc, args.host, args.port, verbose=args.verbose,

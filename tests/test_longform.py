@@ -29,11 +29,17 @@ def test_chunk_spans_cover_and_align():
     spans = chunk_spans(n, CFG.fs, CFG.hop, 2.0, 0.5)
     assert spans[0][0] == 0 and spans[-1][1] == n
     ov = round(0.5 * CFG.fs / CFG.hop) * CFG.hop   # overlap in whole hops
-    for (a, b), (a2, b2) in zip(spans, spans[1:]):
-        assert a % CFG.hop == 0 and a2 % CFG.hop == 0
-        assert b - a2 == ov                       # uniform interior overlap
+    chunk = round(2.0 * CFG.fs / CFG.hop) * CFG.hop
+    # EVERY span is chunk-length (bucket stability: one compiled bucket
+    # serves all chunk items, incl. the tail)
+    assert all(b - a == chunk for a, b in spans)
+    for i, ((a, b), (a2, b2)) in enumerate(zip(spans, spans[1:])):
+        assert a % CFG.hop == 0                   # regular starts aligned
+        if i + 2 < len(spans):
+            assert b - a2 == ov                   # uniform interior overlap
+        else:
+            assert b - a2 >= ov                   # final slides back
         assert a2 > a                             # strictly advancing
-    assert spans[-1][1] - spans[-1][0] > ov       # fade has a full partner
     # short inputs are a single span; bad overlap raises
     assert chunk_spans(CFG.fs, CFG.fs, CFG.hop, 2.0, 0.5) == [(0, CFG.fs)]
     with pytest.raises(ValueError, match="overlap"):
