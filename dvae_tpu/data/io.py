@@ -65,10 +65,15 @@ def resample(x: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
     return resample_poly(x, int(fs_out) // g, int(fs_in) // g)
 
 
-def write_wav(path, data: np.ndarray, fs: int) -> None:
-    """Write float samples as 16-bit PCM (libsndfile float->PCM_16 contract:
-    scale by 32768 then lrint — round to nearest, ties to even — not floor,
-    which would bias every written sample half an LSB low)."""
+def pcm16(data: np.ndarray) -> np.ndarray:
+    """Float samples -> int16 PCM (libsndfile float->PCM_16 contract: scale
+    by 32768 then lrint — round to nearest, ties to even — not floor, which
+    would bias every written sample half an LSB low). The ONE quantization
+    implementation behind write_wav and the streaming HTTP responses."""
     x = np.asarray(data, dtype=np.float64)
-    pcm = np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
-    wavfile.write(path, fs, pcm)
+    return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def write_wav(path, data: np.ndarray, fs: int) -> None:
+    """Write float samples as 16-bit PCM (quantized by :func:`pcm16`)."""
+    wavfile.write(path, fs, pcm16(data))

@@ -85,6 +85,61 @@ def _fade_in(ov: int) -> np.ndarray:
     return np.sin(0.5 * math.pi * (k + 0.5) / ov) ** 2
 
 
+class StreamingOverlapAdd:
+    """Incremental :func:`overlap_add`: feed pieces IN SPAN ORDER, get back
+    the newly-FINALIZED samples after each one.
+
+    Spans have strictly increasing starts (the :func:`chunk_spans`
+    contract), so once piece ``i`` has been blended, every sample before
+    ``spans[i+1][0]`` can never be touched again — that prefix is final and
+    can leave the process (e.g. onto an HTTP socket) while later chunks are
+    still on the device. The concatenation of the
+    emitted segments is bitwise-identical to the one-shot
+    :func:`overlap_add` result (same buffers, same arithmetic — pinned in
+    tests/test_longform.py)."""
+
+    def __init__(self, spans: Sequence[tuple[int, int]], n_samples: int):
+        self.spans = list(spans)
+        self.n_samples = n_samples
+        self._out = np.zeros(n_samples, np.float64)
+        self._weight = np.zeros(n_samples, np.float64)
+        self._next = 0       # index of the piece expected next
+        self._emitted = 0    # samples already finalized
+
+    def add(self, piece: np.ndarray) -> np.ndarray:
+        """Blend the next span's output; return the newly-final float32
+        samples (possibly empty — a successor can start before the
+        previously-finalized frontier when overlaps differ)."""
+        i = self._next
+        if i >= len(self.spans):
+            raise ValueError("all spans already added")
+        a, b = self.spans[i]
+        piece = np.asarray(piece, np.float64)
+        if piece.shape != (b - a,):
+            raise ValueError(f"chunk {i}: got {piece.shape}, want {(b - a,)}")
+        fade = np.ones(b - a, np.float64)
+        if i > 0:
+            ov = self.spans[i - 1][1] - a     # head overlap with predecessor
+            if ov > 0:
+                fade[:ov] = _fade_in(min(ov, b - a))[:ov]
+        if i + 1 < len(self.spans):
+            ov = b - self.spans[i + 1][0]     # tail overlap with successor
+            if ov > 0:
+                fade[-ov:] = (1.0 - _fade_in(min(ov, b - a)))[-ov:]
+        self._out[a:b] += piece * fade
+        self._weight[a:b] += fade
+        self._next += 1
+        final = (self.spans[i + 1][0] if self._next < len(self.spans)
+                 else self.n_samples)
+        final = max(final, self._emitted)
+        seg_w = self._weight[self._emitted:final]
+        if (seg_w <= 0).any():
+            raise ValueError("uncovered or zero-weight samples in overlap_add")
+        seg = (self._out[self._emitted:final] / seg_w).astype(np.float32)
+        self._emitted = final
+        return seg
+
+
 def overlap_add(spans: Sequence[tuple[int, int]],
                 pieces: Sequence[np.ndarray], n_samples: int) -> np.ndarray:
     """Cross-fade chunk outputs back into one signal.
@@ -95,27 +150,14 @@ def overlap_add(spans: Sequence[tuple[int, int]],
     a convex combination at every sample, which is what preserves the
     Wiener partition: each chunk's ``s+n`` reconstructs its mixture span,
     and any convex blend of reconstructions of the same span is still
-    that span."""
-    out = np.zeros(n_samples, np.float64)
-    weight = np.zeros(n_samples, np.float64)
-    for i, ((a, b), piece) in enumerate(zip(spans, pieces)):
-        piece = np.asarray(piece, np.float64)
-        if piece.shape != (b - a,):
-            raise ValueError(f"chunk {i}: got {piece.shape}, want {(b - a,)}")
-        fade = np.ones(b - a, np.float64)
-        if i > 0:
-            ov = spans[i - 1][1] - a          # head overlap with predecessor
-            if ov > 0:
-                fade[:ov] = _fade_in(min(ov, b - a))[:ov]
-        if i + 1 < len(spans):
-            ov = b - spans[i + 1][0]          # tail overlap with successor
-            if ov > 0:
-                fade[-ov:] = (1.0 - _fade_in(min(ov, b - a)))[-ov:]
-        out[a:b] += piece * fade
-        weight[a:b] += fade
-    if (weight <= 0).any():
+    that span. (One implementation: this is the streaming accumulator
+    run to completion.)"""
+    if len(pieces) != len(spans):
+        raise ValueError(f"{len(pieces)} pieces for {len(spans)} spans")
+    if not pieces:
         raise ValueError("uncovered or zero-weight samples in overlap_add")
-    return (out / weight).astype(np.float32)
+    acc = StreamingOverlapAdd(spans, n_samples)
+    return np.concatenate([acc.add(p) for p in pieces])
 
 
 def enhance_chunked(enhancer, wav: np.ndarray, y: np.ndarray | None = None,

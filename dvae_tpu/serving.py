@@ -28,10 +28,13 @@ The TPU-serving shape:
   constant y_source.
 
 Wire protocol (see ``RequestHandler``):
-  POST /enhance?return=speech|noise|stereo&resample=1&y_source=...
+  POST /enhance?return=speech|noise|stereo&resample=1&y_source=...&stream=1
       body: a RIFF/WAVE file -> 200 with an audio/wav body (16 kHz PCM16;
       stereo = channel 0 speech, channel 1 noise — they sum to the input
-      by the Wiener partition).
+      by the Wiener partition). With ``stream=1`` the (standard, exact
+      Content-Length) wav body is DELIVERED INCREMENTALLY as chunk
+      cross-fades finalize — on a chunked long request, first audio
+      arrives after one chunk's latency instead of the whole file's.
   GET /healthz    -> {"status": "ok", ...}
   GET /stats      -> request/batch/audio-seconds counters, rtf, and
       p50/p90/p99 request latency over the last ``latency_window`` requests.
@@ -234,18 +237,10 @@ class EnhanceService:
             if len(self._latencies) > self._latency_window:
                 del self._latencies[:-self._latency_window]
 
-    def submit(self, wav: np.ndarray, y_source: str | None = None,
-               timeout: float = 900.0,
-               _count_stats: bool = True) -> tuple[np.ndarray, np.ndarray]:
-        """Enhance one waveform (float, 16 kHz). Blocks until its micro-batch
-        returns; raises on worker-side failure. Returns (s_hat, n_hat).
-
-        With ``cfg.chunk_seconds > 0``, longer requests split into
-        hop-aligned chunk items riding the same queue (they coalesce with
-        other traffic into the fixed compiled buckets) and cross-fade back
-        on this thread — the ``max_audio_seconds`` cap stays as the
-        admission guard, but any capped length serves in bounded device
-        memory."""
+    def _check_request(self, wav: np.ndarray,
+                       y_source: str | None) -> tuple[np.ndarray, str]:
+        """Shared admission validation for submit/submit_stream — raises
+        ValueError (HTTP 400) before any work is queued."""
         y_source = y_source or self.cfg.y_source
         if y_source not in _Y_SOURCES:
             raise ValueError(f"bad y_source {y_source!r}")
@@ -259,19 +254,65 @@ class EnhanceService:
                              f" exceeds the {self.cfg.max_audio_seconds:.0f}s cap")
         if len(wav) == 0:
             raise ValueError("empty audio")
-        wav = np.asarray(wav, np.float32)
+        return np.asarray(wav, np.float32), y_source
+
+    def submit(self, wav: np.ndarray, y_source: str | None = None,
+               timeout: float = 900.0,
+               _count_stats: bool = True) -> tuple[np.ndarray, np.ndarray]:
+        """Enhance one waveform (float, 16 kHz). Blocks until its micro-batch
+        returns; raises on worker-side failure. Returns (s_hat, n_hat).
+
+        With ``cfg.chunk_seconds > 0``, longer requests split into
+        hop-aligned chunk items riding the same queue (they coalesce with
+        other traffic into the fixed compiled buckets) and cross-fade back
+        on this thread — the ``max_audio_seconds`` cap stays as the
+        admission guard, but any capped length serves in bounded device
+        memory."""
+        wav, y_source = self._check_request(wav, y_source)
         t0 = time.monotonic()
         chunk_samples = int(self.cfg.chunk_seconds * self.enh_cfg.stft.fs)
         # warmup traffic (_count_stats=False) must hit its bucket in ONE
         # item — chunking it would compile the wrong shapes
         if _count_stats and 0 < chunk_samples < len(wav):
-            out = self._submit_chunked(wav, y_source, timeout)
+            segs = list(self._stream_chunked(wav, y_source, timeout))
+            out = (np.concatenate([s for s, _ in segs]),
+                   np.concatenate([n for _, n in segs]))
         else:
             out = self._await(self._admit(wav, y_source, _count_stats),
                               timeout)
         if _count_stats:
             self._count_request(wav, t0)
         return out
+
+    def submit_stream(self, wav: np.ndarray, y_source: str | None = None,
+                      timeout: float = 900.0):
+        """Enhance one waveform INCREMENTALLY: returns a generator of
+        ``(s_seg, n_seg)`` float32 pairs, in order, whose concatenations
+        are exactly :meth:`submit`'s ``(s_hat, n_hat)``.
+
+        With chunking enabled (``cfg.chunk_seconds > 0``) and a request
+        longer than one chunk, each chunk's samples are yielded as soon as
+        they FINALIZE under the cross-fade (enhance/longform.py's streaming
+        overlap-add) — time-to-first-audio is one chunk's latency instead
+        of the whole file's. Short requests (or chunking off) yield exactly
+        once. Validation errors raise HERE, before the generator runs or
+        anything is admitted; overload/timeout/worker errors raise from the
+        generator. Abandoning the generator (``close()`` — e.g. the HTTP
+        client disconnected) marks the not-yet-served chunks abandoned so
+        the worker never burns device batches for a gone consumer; an
+        abandoned request is not counted in request stats (its served
+        chunk items are)."""
+        wav, y_source = self._check_request(wav, y_source)
+        chunk_samples = int(self.cfg.chunk_seconds * self.enh_cfg.stft.fs)
+
+        def run():
+            t0 = time.monotonic()
+            if 0 < chunk_samples < len(wav):
+                yield from self._stream_chunked(wav, y_source, timeout)
+            else:
+                yield self._await(self._admit(wav, y_source, True), timeout)
+            self._count_request(wav, t0)
+        return run()
 
     def _admit_chunk_with_retry(self, chunk, y_source: str,
                                 deadline: float) -> "_Item":
@@ -293,15 +334,20 @@ class EnhanceService:
                     raise
                 time.sleep(0.02)
 
-    def _submit_chunked(self, wav, y_source: str, timeout: float):
-        """Long request -> chunk items on the shared queue -> cross-fade.
+    def _stream_chunked(self, wav, y_source: str, timeout: float):
+        """(generator) Long request -> chunk items on the shared queue ->
+        incrementally cross-faded (s_seg, n_seg) pairs, yielded as samples
+        finalize (enhance/longform.py's streaming overlap-add). The ONE
+        chunked-request implementation: ``submit`` concatenates it,
+        ``submit_stream`` forwards it.
 
-        On any failure mid-flight the remaining chunks are marked abandoned
-        (the worker drops them instead of burning device batches for a
-        caller that already errored out). A request that started admitting
-        before drain() is allowed to finish (drain waits on
-        ``_chunked_inflight``) — SIGTERM never truncates it."""
-        from dvae_tpu.enhance.longform import chunk_spans, overlap_add
+        On any failure (or generator close) mid-flight the remaining
+        chunks are marked abandoned — the worker drops them instead of
+        burning device batches for a caller that already errored out or
+        disconnected. A request that started admitting before drain() is
+        allowed to finish (drain waits on ``_chunked_inflight``) — SIGTERM
+        never truncates it."""
+        from dvae_tpu.enhance.longform import StreamingOverlapAdd, chunk_spans
 
         stft = self.enh_cfg.stft
         spans = chunk_spans(len(wav), stft.fs, stft.hop,
@@ -313,7 +359,9 @@ class EnhanceService:
                     "server is draining for shutdown; retry against "
                     "another replica")
             self._chunked_inflight += 1
-        items, pieces = [], []
+        items, n_done = [], 0
+        acc_s = StreamingOverlapAdd(spans, len(wav))
+        acc_n = StreamingOverlapAdd(spans, len(wav))
         deadline = time.monotonic() + timeout
         # sliding-window admission: at most `window` chunks outstanding, so
         # (a) a request with more chunks than max_queue still serves, and
@@ -321,16 +369,20 @@ class EnhanceService:
         # concurrent short requests
         window = max(1, min(self.max_queue // 2, 4 * self.cfg.batch_size))
         try:
-            while len(pieces) < len(spans):
+            while n_done < len(spans):
                 while (len(items) < len(spans)
-                       and len(items) - len(pieces) < window):
+                       and len(items) - n_done < window):
                     a, b = spans[len(items)]
                     items.append(self._admit_chunk_with_retry(
                         wav[a:b], y_source, deadline))
-                pieces.append(self._await(
-                    items[len(pieces)],
-                    max(0.0, deadline - time.monotonic())))
+                s_p, n_p = self._await(items[n_done],
+                                       max(0.0, deadline - time.monotonic()))
+                n_done += 1
+                seg = (acc_s.add(s_p), acc_n.add(n_p))
+                if len(seg[0]):
+                    yield seg
         except BaseException:
+            # includes GeneratorExit: a closed consumer abandons its tail
             for it in items:
                 if not it.done.is_set():
                     it.abandoned = True
@@ -338,9 +390,6 @@ class EnhanceService:
         finally:
             with self._lock:
                 self._chunked_inflight -= 1
-        s = overlap_add(spans, [p[0] for p in pieces], len(wav))
-        n = overlap_add(spans, [p[1] for p in pieces], len(wav))
-        return s, n
 
     # -- hot reload -----------------------------------------------------------
     def reload_checkpoint(self, path, timeout: float = 60.0) -> None:
@@ -548,6 +597,34 @@ def _wav_bytes(channels: list[np.ndarray], fs: int) -> bytes:
     return buf.getvalue()
 
 
+def _riff_header(data_bytes: int, n_channels: int, fs: int) -> bytes:
+    """The 44-byte PCM16 RIFF/WAVE header (same layout scipy writes) with
+    the final sizes — streaming responses know their exact output length
+    up front (= input samples at the model rate), so the wire carries a
+    fully standard wav, not a 0xFFFFFFFF streaming hack."""
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_channels, fs,
+                                    fs * 2 * n_channels, 2 * n_channels, 16)
+            + b"data" + struct.pack("<I", data_bytes))
+
+
+def _pcm_seg_bytes(seg: tuple[np.ndarray, np.ndarray], want: str) -> bytes:
+    """One streamed (s_seg, n_seg) pair -> wire PCM16 bytes (stereo
+    interleaves speech/noise per frame, like the one-shot response)."""
+    from dvae_tpu.data.io import pcm16
+
+    s, n = seg
+    if want == "speech":
+        x = pcm16(s)
+    elif want == "noise":
+        x = pcm16(n)
+    else:
+        x = np.stack([pcm16(s), pcm16(n)], axis=-1)
+    return x.astype("<i2").tobytes()
+
+
 def _parse_wav_bytes(body: bytes) -> tuple[np.ndarray, int]:
     """RIFF bytes -> (float64 mono samples in [-1, 1), rate) via
     data.io.read_wav; multi-channel inputs are downmixed like
@@ -701,24 +778,72 @@ class RequestHandler(BaseHTTPRequestHandler):
             from dvae_tpu.data.io import resample
 
             wav = resample(wav, fs, model_fs)
+        if q.get("stream", ["0"])[0] in ("1", "true"):
+            self._stream_enhance(wav.astype(np.float32), y_source, want,
+                                 model_fs)
+            return
         try:
             s, n = svc.submit(wav.astype(np.float32), y_source)
-        except (ServiceOverloaded, TimeoutError) as e:
-            # both are overload signals on the wire: reject-at-admission
-            # and gave-up-waiting. Same 503 + backoff hint either way.
-            self._json(503, {"error": str(e)}, headers=(("Retry-After", "1"),))
-            return
-        except ValueError as e:
-            self._json(400, {"error": str(e)})
-            return
-        except EnhancementError as e:  # already prefixed, server's fault
-            self._json(500, {"error": str(e)})
-            return
         except Exception as e:
-            self._json(500, {"error": f"enhancement failed: {e}"})
+            self._enhance_error(e)
             return
         chans = {"speech": [s], "noise": [n], "stereo": [s, n]}[want]
         self._send(200, _wav_bytes(chans, model_fs), "audio/wav")
+
+    def _enhance_error(self, e: Exception) -> None:
+        """Map an enhancement failure to its wire code: overload signals
+        (reject-at-admission and gave-up-waiting alike) -> 503 + backoff
+        hint; invalid client input -> 400; worker faults -> 500 (server's
+        fault, monitorable — never blame the client for an operator's
+        wrong --y-dim)."""
+        if isinstance(e, (ServiceOverloaded, TimeoutError)):
+            self._json(503, {"error": str(e)}, headers=(("Retry-After", "1"),))
+        elif isinstance(e, ValueError):
+            self._json(400, {"error": str(e)})
+        elif isinstance(e, EnhancementError):  # already prefixed
+            self._json(500, {"error": str(e)})
+        else:
+            self._json(500, {"error": f"enhancement failed: {e}"})
+
+    def _stream_enhance(self, wav: np.ndarray, y_source: str | None,
+                        want: str, model_fs: int) -> None:
+        """`?stream=1`: stream the response as chunks finalize.
+
+        The output length is known up front (input length at the model
+        rate), so the response is a STANDARD fixed-size wav delivered with
+        an exact Content-Length — a client can play (or pipe) it as it
+        arrives; time-to-first-audio on a chunked long request is one
+        chunk's latency, not the whole file's. Errors BEFORE the first
+        segment still map to their proper status codes (the first device
+        result is awaited before committing headers); after that the only
+        correct wire signal is a short body + closed connection, which any
+        length-checking client detects."""
+        svc = self.service
+        try:
+            gen = svc.submit_stream(wav, y_source)
+            first = next(gen)
+        except Exception as e:
+            self._enhance_error(e)
+            return
+        n_ch = 2 if want == "stereo" else 1
+        data_bytes = 2 * n_ch * len(wav)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(44 + data_bytes))
+        self.end_headers()
+        try:
+            self.wfile.write(_riff_header(data_bytes, n_ch, model_fs))
+            self.wfile.write(_pcm_seg_bytes(first, want))
+            self.wfile.flush()   # first audio leaves NOW, not at a buffer
+            for seg in gen:      # boundary
+                self.wfile.write(_pcm_seg_bytes(seg, want))
+                self.wfile.flush()
+        except Exception:
+            # device fault mid-request or the client went away: either way
+            # the committed 200 cannot be amended — truncate + close
+            self.close_connection = True
+        finally:
+            gen.close()          # abandons any not-yet-served chunks
 
 
 def make_server(service: EnhanceService, host: str = "127.0.0.1",

@@ -15,6 +15,10 @@ at all (its eval scripts walk the corpus tree, evaluate_ntcd_M1.py).
     curl -s --data-binary @noisy.wav 'localhost:8571/enhance' > s_est.wav
     curl -s --data-binary @noisy.wav 'localhost:8571/enhance?return=stereo' \\
         > both.wav   # ch0 speech + ch1 noise, sums to the input
+    curl -sN --data-binary @long.wav 'localhost:8571/enhance?stream=1' \\
+        | aplay      # with --chunk-seconds: the (standard, exact-length)
+                     # wav body STREAMS as chunks finalize — first audio
+                     # after one chunk's latency, not the whole file's
     curl -s localhost:8571/healthz; curl -s localhost:8571/stats
     curl -s -X POST 'localhost:8571/reload?checkpoint=/path/M1_...msgpack'
         # hot-swap to a newer checkpoint of the same model: zero downtime,

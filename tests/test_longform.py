@@ -10,8 +10,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from dvae_tpu.enhance.longform import (chunk_spans, enhance_chunked,
-                                       overlap_add)
+from dvae_tpu.enhance.longform import (StreamingOverlapAdd, chunk_spans,
+                                       enhance_chunked, overlap_add)
 from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped
 
 CFG = StftConfig()  # 16 kHz, 1024 nfft, 256 hop
@@ -58,6 +58,39 @@ def test_overlap_add_is_exact_partition_of_unity():
     spans0 = chunk_spans(len(x), CFG.fs, CFG.hop, 2.0, 0.0)
     out0 = overlap_add(spans0, [x[a:b] for a, b in spans0], len(x))
     np.testing.assert_allclose(out0, x, atol=1e-6)
+
+
+def test_streaming_overlap_add_matches_one_shot_bitwise():
+    """The incremental accumulator IS the one-shot overlap_add: segments
+    emitted after each piece concatenate bitwise-identically, each piece
+    finalizes exactly the samples no later span can touch, and the union
+    covers the signal."""
+    x = _noisy_wav(7.7, seed=3)
+    for chunk_s, ov_s in ((2.0, 0.5), (2.0, 0.0), (3.0, 1.5)):
+        spans = chunk_spans(len(x), CFG.fs, CFG.hop, chunk_s, ov_s)
+        rng = np.random.default_rng(1)
+        pieces = [x[a:b] + 0.01 * rng.standard_normal(b - a) for a, b in spans]
+        want = overlap_add(spans, pieces, len(x))
+        acc = StreamingOverlapAdd(spans, len(x))
+        segs, emitted = [], 0
+        for i, p in enumerate(pieces):
+            seg = acc.add(p)
+            segs.append(seg)
+            emitted += len(seg)
+            # finalized frontier after piece i = the next span's start
+            frontier = spans[i + 1][0] if i + 1 < len(spans) else len(x)
+            assert emitted == frontier
+        got = np.concatenate(segs)
+        assert got.dtype == want.dtype and len(got) == len(want)
+        np.testing.assert_array_equal(got, want)   # bitwise, not approx
+    # misuse raises: extra piece, wrong shape
+    acc = StreamingOverlapAdd(spans, len(x))
+    for p in pieces:
+        acc.add(p)
+    with pytest.raises(ValueError, match="already added"):
+        acc.add(pieces[-1])
+    with pytest.raises(ValueError, match="want"):
+        StreamingOverlapAdd(spans, len(x)).add(pieces[0][:-1])
 
 
 class _FakeEnhancer:

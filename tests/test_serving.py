@@ -893,6 +893,207 @@ def test_worker_error_is_server_fault_and_timeouts_counted():
         svc.close()
 
 
+def _slow_service(sleep_s=0.15, **cfg_kw):
+    """A chunked m1 service whose device batches are throttled — makes
+    'first audio arrives while later chunks are still pending' assertions
+    deterministic instead of racing a fast CPU."""
+    import time as _time
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(
+        model, params, "m1",
+        enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=1, batch_window_ms=2.0, chunk_seconds=1.0,
+                        max_audio_seconds=60.0, warmup_buckets=(64,),
+                        **cfg_kw))
+    svc.warmup()   # pay the compile BEFORE throttling: the timing
+    #                assertions measure streaming, not cold jit
+    orig = svc.enhancer.enhance_batch
+
+    def slow(*a, **k):
+        _time.sleep(sleep_s)
+        return orig(*a, **k)
+
+    svc.enhancer.enhance_batch = slow
+    return svc
+
+
+def test_submit_stream_segments_cover_request():
+    """submit_stream yields in-order (s, n) segments that concatenate to a
+    full-length partition-correct result; first segment is available while
+    later chunks are still unserved; the request counts once in /stats."""
+    import time as _time
+
+    svc = _slow_service()
+    try:
+        x = _noisy_wav(seconds=6.0)        # ~8 one-second chunks
+        from dvae_tpu.enhance.longform import chunk_spans
+
+        stft = svc.enh_cfg.stft
+        n_chunks = len(chunk_spans(len(x), stft.fs, stft.hop, 1.0, 0.25))
+        assert n_chunks >= 6
+        segs, first_at = [], None
+        t0 = _time.monotonic()
+        served_at_first = None
+        for seg in svc.submit_stream(x):
+            if first_at is None:
+                first_at = _time.monotonic() - t0
+                with svc._lock:
+                    served_at_first = svc.stats["utterances"]
+            segs.append(seg)
+        total = _time.monotonic() - t0
+        # the first audio left while most chunks were still pending
+        assert served_at_first < n_chunks, (served_at_first, n_chunks)
+        assert first_at < total / 2, (first_at, total)
+        s = np.concatenate([a for a, _ in segs])
+        n = np.concatenate([b for _, b in segs])
+        assert s.shape == x.shape and np.isfinite(s).all()
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+        with svc._lock:
+            assert svc.stats["requests"] == 1          # one request
+            assert svc.stats["utterances"] == n_chunks  # served as chunks
+        # a short request streams as ONE segment (the whole signal)
+        short = _noisy_wav(seconds=0.5, seed=4)
+        segs = list(svc.submit_stream(short))
+        assert len(segs) == 1 and segs[0][0].shape == short.shape
+        # validation still raises at CALL time (before any admission)
+        with pytest.raises(ValueError, match="cap"):
+            svc.submit_stream(np.zeros(16000 * 61, np.float32))
+        with pytest.raises(ValueError, match="empty"):
+            svc.submit_stream(np.zeros(0, np.float32))
+    finally:
+        svc.close()
+
+
+def test_submit_stream_close_abandons_tail():
+    """Closing the generator mid-request (the HTTP client disconnected)
+    marks the unserved chunks abandoned — the worker drops them instead of
+    burning device batches — and the service keeps serving others."""
+    svc = _slow_service()
+    try:
+        x = _noisy_wav(seconds=6.0)
+        gen = svc.submit_stream(x)
+        next(gen)                      # one segment delivered
+        gen.close()                    # consumer gone
+        with svc._lock:
+            assert svc._chunked_inflight == 0
+        # the abandoned tail drains without device work; the service
+        # still answers new requests afterwards
+        deadline = __import__("time").monotonic() + 20
+        while __import__("time").monotonic() < deadline:
+            with svc._lock:
+                if svc._unfinished == 0:
+                    break
+            __import__("time").sleep(0.02)
+        with svc._lock:
+            assert svc._unfinished == 0
+            assert svc.stats["requests"] == 0   # never completed -> uncounted
+        s, n = svc.submit(_noisy_wav(seconds=0.4, seed=9))
+        assert np.isfinite(s).all()
+    finally:
+        svc.close()
+
+
+def test_http_stream_long_request():
+    """?stream=1 on the wire: exact Content-Length, standard RIFF header,
+    partition-correct PCM — and the first body bytes arrive while the tail
+    chunks are still unserved (time-to-first-audio = one chunk, not the
+    file)."""
+    import http.client
+    import time as _time
+
+    svc = _slow_service()
+    srv = make_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = _noisy_wav(seconds=6.0)
+        body = _wav_body(x)
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          srv.server_address[1], timeout=120)
+        conn.request("POST", "/enhance?stream=1&return=stereo", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        want_len = 44 + 2 * 2 * len(x)
+        assert int(resp.headers["Content-Length"]) == want_len
+        # read the header + the first chunk's worth of PCM
+        head = resp.read(44 + 4 * 8000)
+        with svc._lock:
+            served = svc.stats["utterances"]
+        from dvae_tpu.enhance.longform import chunk_spans
+
+        stft = svc.enh_cfg.stft
+        n_chunks = len(chunk_spans(len(x), stft.fs, stft.hop, 1.0, 0.25))
+        assert served < n_chunks, (served, n_chunks)   # still streaming
+        rest = resp.read()
+        raw = head + rest
+        assert len(raw) == want_len
+        fs, data = wavfile.read(io.BytesIO(raw))
+        assert fs == 16000 and data.shape == (len(x), 2)
+        s, n = data[:, 0] / 32768.0, data[:, 1] / 32768.0
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+        # keep-alive survives a streamed response (exact Content-Length):
+        # a second request on the SAME connection works
+        conn.request("POST", "/enhance?stream=1",
+                     body=_wav_body(_noisy_wav(seconds=0.4, seed=2)))
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        b2 = r2.read()
+        fs2, d2 = wavfile.read(io.BytesIO(b2))
+        assert fs2 == 16000 and d2.ndim == 1
+        conn.close()
+        # pre-stream errors still map to real status codes (no 200 commit)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://127.0.0.1:{srv.server_address[1]}"
+                  "/enhance?stream=1",
+                  _wav_body(np.zeros(16000 * 61, np.float32)))
+        assert ei.value.code == 400 and b"cap" in ei.value.read()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        svc.close()
+
+
+def test_http_stream_client_disconnect_frees_worker():
+    """A streaming client that vanishes mid-body: the handler closes the
+    generator, the unserved chunks are abandoned, and the service answers
+    the next request promptly."""
+    import http.client
+
+    svc = _slow_service()
+    srv = make_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = _noisy_wav(seconds=8.0)
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          srv.server_address[1], timeout=120)
+        conn.request("POST", "/enhance?stream=1", body=_wav_body(x))
+        resp = conn.getresponse()
+        resp.read(44 + 2 * 4000)      # first bytes arrived...
+        conn.sock.close()             # ...then the client dies
+        # the tail drains (abandoned) and a fresh request still serves
+        deadline = __import__("time").monotonic() + 30
+        while __import__("time").monotonic() < deadline:
+            with svc._lock:
+                if svc._unfinished == 0 and svc._chunked_inflight == 0:
+                    break
+            __import__("time").sleep(0.05)
+        with svc._lock:
+            assert svc._unfinished == 0 and svc._chunked_inflight == 0
+        s, _ = svc.submit(_noisy_wav(seconds=0.4, seed=5))
+        assert np.isfinite(s).all()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        svc.close()
+
+
 def test_service_on_device_mesh():
     """Multi-chip serving: the service's fixed batch shards over a data
     mesh (the deployment shape for a pod host — requests micro-batch, the
