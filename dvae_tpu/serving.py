@@ -35,6 +35,12 @@ Wire protocol (see ``RequestHandler``):
       Content-Length) wav body is DELIVERED INCREMENTALLY as chunk
       cross-fades finalize — on a chunked long request, first audio
       arrives after one chunk's latency instead of the whole file's.
+      When the request body is itself model-rate PCM (the common case),
+      ``stream=1`` additionally goes FULL-DUPLEX: the body is decoded and
+      admitted chunk-by-chunk AS IT UPLOADS, so device work overlaps the
+      transfer and a long request costs max(upload, enhance) instead of
+      their sum (other encodings/rates fall back to buffering the body
+      first — same response, same semantics).
   GET /healthz    -> {"status": "ok", ...}
   GET /stats      -> request/batch/audio-seconds counters, rtf, and
       p50/p90/p99 request latency over the last ``latency_window`` requests.
@@ -229,18 +235,18 @@ class EnhanceService:
             raise item.error
         return item.result
 
-    def _count_request(self, wav, t0: float) -> None:
+    def _count_request(self, n_samples: int, t0: float) -> None:
         with self._lock:
             self.stats["requests"] += 1
-            self.stats["audio_seconds"] += len(wav) / self.enh_cfg.stft.fs
+            self.stats["audio_seconds"] += n_samples / self.enh_cfg.stft.fs
             self._latencies.append(time.monotonic() - t0)
             if len(self._latencies) > self._latency_window:
                 del self._latencies[:-self._latency_window]
 
-    def _check_request(self, wav: np.ndarray,
-                       y_source: str | None) -> tuple[np.ndarray, str]:
-        """Shared admission validation for submit/submit_stream — raises
-        ValueError (HTTP 400) before any work is queued."""
+    def _check_scalars(self, n_samples: int, y_source: str | None) -> str:
+        """Shared admission validation for submit/submit_stream[_from] —
+        raises ValueError (HTTP 400) before any work is queued or any body
+        byte beyond the header is read."""
         y_source = y_source or self.cfg.y_source
         if y_source not in _Y_SOURCES:
             raise ValueError(f"bad y_source {y_source!r}")
@@ -249,11 +255,16 @@ class EnhanceService:
             raise ValueError(f"{self.model_class} has no classifier; use "
                              "y_source ones/zeros")
         limit = self.cfg.max_audio_seconds * self.enh_cfg.stft.fs
-        if len(wav) > limit:
-            raise ValueError(f"request audio {len(wav) / self.enh_cfg.stft.fs:.1f}s"
+        if n_samples > limit:
+            raise ValueError(f"request audio {n_samples / self.enh_cfg.stft.fs:.1f}s"
                              f" exceeds the {self.cfg.max_audio_seconds:.0f}s cap")
-        if len(wav) == 0:
+        if n_samples == 0:
             raise ValueError("empty audio")
+        return y_source
+
+    def _check_request(self, wav: np.ndarray,
+                       y_source: str | None) -> tuple[np.ndarray, str]:
+        y_source = self._check_scalars(len(wav), y_source)
         return np.asarray(wav, np.float32), y_source
 
     def submit(self, wav: np.ndarray, y_source: str | None = None,
@@ -281,7 +292,7 @@ class EnhanceService:
             out = self._await(self._admit(wav, y_source, _count_stats),
                               timeout)
         if _count_stats:
-            self._count_request(wav, t0)
+            self._count_request(len(wav), t0)
         return out
 
     def submit_stream(self, wav: np.ndarray, y_source: str | None = None,
@@ -311,7 +322,7 @@ class EnhanceService:
                 yield from self._stream_chunked(wav, y_source, timeout)
             else:
                 yield self._await(self._admit(wav, y_source, True), timeout)
-            self._count_request(wav, t0)
+            self._count_request(len(wav), t0)
         return run()
 
     def _admit_chunk_with_retry(self, chunk, y_source: str,
@@ -381,6 +392,138 @@ class EnhanceService:
                 seg = (acc_s.add(s_p), acc_n.add(n_p))
                 if len(seg[0]):
                     yield seg
+        except BaseException:
+            # includes GeneratorExit: a closed consumer abandons its tail
+            for it in items:
+                if not it.done.is_set():
+                    it.abandoned = True
+            raise
+        finally:
+            with self._lock:
+                self._chunked_inflight -= 1
+
+    def submit_stream_from(self, blocks, n_samples: int,
+                           y_source: str | None = None,
+                           timeout: float = 900.0):
+        """FULL-DUPLEX enhancement: :meth:`submit_stream` semantics, but
+        the INPUT arrives incrementally too. ``blocks`` is an iterator of
+        float32 mono sample blocks (model rate) totaling ``n_samples``.
+
+        With chunking enabled, each chunk is admitted to the device queue
+        the moment its samples have arrived (a feeder thread drains
+        ``blocks`` so a slow upload never blocks result delivery and a
+        busy device never stalls the upload) — on a long request, device
+        work on early chunks overlaps the client's upload of the tail, and
+        output segments stream back while the body is still being
+        received. Upload and compute cost max() instead of sum().
+
+        Validation raises HERE, before ``blocks`` is touched. A feed that
+        ends early (fewer samples than promised) raises ValueError from
+        the generator; abandonment semantics match :meth:`submit_stream`.
+        Without chunking (or for a feed no longer than one chunk) the
+        single device item needs the whole signal, so the generator
+        buffers the feed and yields once."""
+        y_source = self._check_scalars(int(n_samples), y_source)
+        chunk_samples = int(self.cfg.chunk_seconds * self.enh_cfg.stft.fs)
+
+        def run():
+            t0 = time.monotonic()
+            if 0 < chunk_samples < n_samples:
+                yield from self._stream_chunked_from(blocks, n_samples,
+                                                     y_source, timeout)
+            else:
+                buf = _collect_feed(blocks, n_samples)
+                yield self._await(self._admit(buf, y_source, True), timeout)
+            self._count_request(n_samples, t0)
+        return run()
+
+    def _stream_chunked_from(self, blocks, n_samples: int, y_source: str,
+                             timeout: float):
+        """(generator) The duplex core: a feeder thread fills one shared
+        float32 buffer left-to-right from ``blocks`` while this thread
+        admits each chunk as soon as (a) its span is fully buffered,
+        (b) the sliding window has room — then awaits/cross-fades/yields
+        exactly like :meth:`_stream_chunked`. Chunk items slice the shared
+        buffer; a span is only admitted once the feeder's write frontier
+        has passed its end, and the feeder never writes backwards, so the
+        worker always reads finalized samples."""
+        from dvae_tpu.enhance.longform import StreamingOverlapAdd, chunk_spans
+
+        stft = self.enh_cfg.stft
+        spans = chunk_spans(n_samples, stft.fs, stft.hop,
+                            self.cfg.chunk_seconds,
+                            min(1.0, self.cfg.chunk_seconds / 4))
+        with self._lock:
+            if self._draining:
+                raise ServiceOverloaded(
+                    "server is draining for shutdown; retry against "
+                    "another replica")
+            self._chunked_inflight += 1
+        buf = np.zeros(n_samples, np.float32)
+        cond = threading.Condition()
+        feed = {"received": 0, "error": None}
+
+        def feeder():
+            got = 0
+            try:
+                for blk in blocks:
+                    blk = np.asarray(blk, np.float32).ravel()
+                    take = min(len(blk), n_samples - got)
+                    buf[got:got + take] = blk[:take]
+                    got += take
+                    with cond:
+                        feed["received"] = got
+                        cond.notify_all()
+                    if got >= n_samples:
+                        break
+                if got < n_samples:
+                    raise ValueError("request body ended early: got "
+                                     f"{got} of {n_samples} samples")
+            except BaseException as e:  # surface upload failures to the consumer
+                with cond:
+                    if feed["error"] is None:
+                        feed["error"] = e
+                    cond.notify_all()
+
+        threading.Thread(target=feeder, daemon=True,
+                         name="stream-feeder").start()
+        items, n_done = [], 0
+        acc_s = StreamingOverlapAdd(spans, n_samples)
+        acc_n = StreamingOverlapAdd(spans, n_samples)
+        deadline = time.monotonic() + timeout
+        window = max(1, min(self.max_queue // 2, 4 * self.cfg.batch_size))
+
+        def admissible(received):
+            return (len(items) < len(spans)
+                    and len(items) - n_done < window
+                    and received >= spans[len(items)][1])
+
+        try:
+            while n_done < len(spans):
+                with cond:
+                    while True:
+                        if feed["error"] is not None:
+                            raise feed["error"]
+                        received = feed["received"]
+                        # progress = admit a data-complete chunk, or await
+                        # an already-admitted one; otherwise wait for bytes
+                        if admissible(received) or n_done < len(items):
+                            break
+                        if not cond.wait(max(0.0, deadline - time.monotonic())):
+                            raise TimeoutError(
+                                "request body stalled (upload slower than "
+                                "the request timeout)")
+                while admissible(received):
+                    a, b = spans[len(items)]
+                    items.append(self._admit_chunk_with_retry(
+                        buf[a:b], y_source, deadline))
+                if n_done < len(items):
+                    s_p, n_p = self._await(
+                        items[n_done], max(0.0, deadline - time.monotonic()))
+                    n_done += 1
+                    seg = (acc_s.add(s_p), acc_n.add(n_p))
+                    if len(seg[0]):
+                        yield seg
         except BaseException:
             # includes GeneratorExit: a closed consumer abandons its tail
             for it in items:
@@ -637,6 +780,106 @@ def _parse_wav_bytes(body: bytes) -> tuple[np.ndarray, int]:
     return data, int(fs)
 
 
+def _collect_feed(blocks, n_samples: int) -> np.ndarray:
+    """Gather a sample-block feed into one float32 buffer (the no-chunking
+    path of submit_stream_from: a single device item needs the whole
+    signal before admission)."""
+    buf = np.zeros(n_samples, np.float32)
+    got = 0
+    for blk in blocks:
+        blk = np.asarray(blk, np.float32).ravel()
+        take = min(len(blk), n_samples - got)
+        buf[got:got + take] = blk[:take]
+        got += take
+        if got >= n_samples:
+            break
+    if got < n_samples:
+        raise ValueError(f"request body ended early: got {got} of "
+                         f"{n_samples} samples")
+    return buf
+
+
+# PCM encodings the duplex path can decode incrementally, as
+# (format_code, bits_per_sample): 1 = integer PCM, 3 = IEEE float. 24-bit
+# and exotic codecs fall back to the buffered scipy parser.
+_STREAMABLE_PCM = {(1, 8), (1, 16), (1, 32), (3, 32), (3, 64)}
+
+
+def _riff_stream_info(rfile, remaining: int):
+    """Incrementally parse a RIFF prefix up to the START of the 'data'
+    payload, reading nothing beyond it.
+
+    Returns ``(consumed, info)``: ``consumed`` is every byte read (a
+    caller that decides not to stream reassembles the body as
+    ``consumed + rest`` for the buffered parser) and ``info`` is ``None``
+    when the prefix is not an incrementally-decodable PCM wav, else a dict
+    of ``fmt``/``bits``/``channels``/``fs``/``data_bytes``. ``data_bytes``
+    is bounded by both the data-chunk size and the request's remaining
+    Content-Length — writers that emit wavs as they record leave the
+    RIFF/data sizes 0 or 0xFFFFFFFF, which resolves to the HTTP length."""
+    import struct
+
+    out = bytearray()
+
+    def take(n: int) -> bytes:
+        nonlocal remaining
+        n = min(n, remaining)
+        raw = rfile.read(n) if n > 0 else b""
+        out.extend(raw)
+        remaining -= len(raw)
+        if len(raw) < n:
+            raise EOFError
+        return raw
+
+    try:
+        head = take(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            return bytes(out), None
+        fmt = None
+        while True:
+            cid, size = struct.unpack("<4sI", take(8))
+            if cid == b"fmt ":
+                body = take(size + (size & 1))
+                fmt_code, channels, fs = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt_code == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                    fmt_code = struct.unpack("<H", body[24:26])[0]
+                fmt = (fmt_code, channels, fs, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    return bytes(out), None
+                fmt_code, channels, fs, bits = fmt
+                if (fmt_code, bits) not in _STREAMABLE_PCM or channels < 1:
+                    return bytes(out), None
+                data_bytes = size if 0 < size < 0xFFFFFFFF else remaining
+                return bytes(out), {
+                    "fmt": fmt_code, "bits": bits, "channels": channels,
+                    "fs": int(fs), "data_bytes": min(data_bytes, remaining)}
+            else:  # LIST/fact/JUNK/...: buffer and move on (word-aligned)
+                take(size + (size & 1))
+    except (EOFError, struct.error):
+        return bytes(out), None
+
+
+def _pcm_to_float_mono(raw: bytes, fmt_code: int, bits: int,
+                       channels: int) -> np.ndarray:
+    """Decode whole PCM frames exactly like the buffered path
+    (data.io.read_wav + channel downmix + float32 cast): integer PCM
+    scales by 1/2**(bits-1) in float64, uint8 offsets by 128,
+    multi-channel downmixes by mean, then casts to float32."""
+    if fmt_code == 3:
+        x = np.frombuffer(raw, "<f4" if bits == 32 else "<f8").astype(np.float64)
+    elif bits == 16:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:  # (1, 8): unsigned with a 128 offset, like scipy reads it
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=-1)
+    return x.astype(np.float32)
+
+
 class RequestHandler(BaseHTTPRequestHandler):
     """Bound to a service via ``make_server`` (class attribute injection)."""
 
@@ -761,13 +1004,24 @@ class RequestHandler(BaseHTTPRequestHandler):
         if length > self.max_content_length:
             self._reject_unread(413, {"error": "request too large"})
             return
-        body = self.rfile.read(length)
+        stream = q.get("stream", ["0"])[0] in ("1", "true")
+        model_fs = svc.enh_cfg.stft.fs
+        prefix = b""
+        if stream and svc.cfg.chunk_seconds > 0:
+            # full-duplex fast path: parse only the RIFF prefix; when the
+            # body is model-rate PCM we can decode incrementally, enhance
+            # it WHILE it uploads. Anything else falls back to buffering.
+            prefix, info = _riff_stream_info(self.rfile, length)
+            if info is not None and info["fs"] == model_fs:
+                self._stream_duplex(info, length - len(prefix), y_source,
+                                    want, model_fs)
+                return
+        body = prefix + self.rfile.read(length - len(prefix))
         try:
             wav, fs = _parse_wav_bytes(body)
         except Exception as e:
             self._json(400, {"error": f"cannot parse wav: {e}"})
             return
-        model_fs = svc.enh_cfg.stft.fs
         if fs != model_fs:
             if q.get("resample", ["0"])[0] not in ("1", "true"):
                 self._json(400, {"error": f"{fs} Hz != model rate {model_fs} "
@@ -778,7 +1032,7 @@ class RequestHandler(BaseHTTPRequestHandler):
             from dvae_tpu.data.io import resample
 
             wav = resample(wav, fs, model_fs)
-        if q.get("stream", ["0"])[0] in ("1", "true"):
+        if stream:
             self._stream_enhance(wav.astype(np.float32), y_source, want,
                                  model_fs)
             return
@@ -807,9 +1061,76 @@ class RequestHandler(BaseHTTPRequestHandler):
 
     def _stream_enhance(self, wav: np.ndarray, y_source: str | None,
                         want: str, model_fs: int) -> None:
-        """`?stream=1`: stream the response as chunks finalize.
+        """`?stream=1`, fully-buffered body: stream the response as chunks
+        finalize (see :meth:`_stream_response` for the wire mechanics)."""
+        try:
+            gen = self.service.submit_stream(wav, y_source)
+        except Exception as e:
+            self._enhance_error(e)
+            return
+        self._stream_response(gen, len(wav), want, model_fs)
 
-        The output length is known up front (input length at the model
+    def _stream_duplex(self, info: dict, body_remaining: int,
+                       y_source: str | None, want: str,
+                       model_fs: int) -> None:
+        """`?stream=1` on an incrementally-decodable model-rate PCM body:
+        FULL-DUPLEX. The body is decoded and fed to the service as it
+        arrives (submit_stream_from's feeder thread pulls the block
+        iterator below), so device work on early chunks overlaps the
+        client's upload of the tail, and the response streams back on the
+        same socket while the body is still being received — a long
+        request costs max(upload, enhance), not their sum. Pre-stream
+        failures close the connection (the body was not consumed — the
+        unread bytes would desync keep-alive); on success any trailer
+        bytes after the audio (post-data metadata chunks) are drained so
+        the next request on the connection parses from a clean
+        boundary."""
+        svc = self.service
+        block_align = info["channels"] * info["bits"] // 8
+        n_samples = min(info["data_bytes"], body_remaining) // block_align
+        audio_bytes = n_samples * block_align
+        consumed = [0]
+
+        def blocks():
+            pend = b""
+            while consumed[0] < audio_bytes:
+                # read1: whatever the socket has (>=1 byte), so a slow
+                # uploader's samples reach the device as they arrive
+                # instead of waiting to fill a block
+                raw = self.rfile.read1(min(65536, audio_bytes - consumed[0]))
+                if not raw:
+                    raise ValueError("request body ended early")
+                consumed[0] += len(raw)
+                pend += raw
+                cut = len(pend) // block_align * block_align
+                if cut == 0:
+                    continue  # mid-frame: wait for the rest of the sample
+                chunk, pend = pend[:cut], pend[cut:]
+                yield _pcm_to_float_mono(chunk, info["fmt"], info["bits"],
+                                         info["channels"])
+
+        try:
+            gen = svc.submit_stream_from(blocks(), n_samples, y_source)
+        except Exception as e:
+            self.close_connection = True  # body unread
+            self._enhance_error(e)
+            return
+        if self._stream_response(gen, n_samples, want, model_fs,
+                                 pre_error_close=True):
+            left = body_remaining - consumed[0]
+            while left > 0:  # drain the trailer for keep-alive sync
+                got = self.rfile.read(min(65536, left))
+                if not got:
+                    self.close_connection = True
+                    break
+                left -= len(got)
+
+    def _stream_response(self, gen, n_samples: int, want: str,
+                         model_fs: int, pre_error_close: bool = False) -> bool:
+        """Write one `?stream=1` response from a (s_seg, n_seg) generator;
+        True = the full body was delivered.
+
+        The output length is known up front (input samples at the model
         rate), so the response is a STANDARD fixed-size wav delivered with
         an exact Content-Length — a client can play (or pipe) it as it
         arrives; time-to-first-audio on a chunked long request is one
@@ -818,15 +1139,15 @@ class RequestHandler(BaseHTTPRequestHandler):
         result is awaited before committing headers); after that the only
         correct wire signal is a short body + closed connection, which any
         length-checking client detects."""
-        svc = self.service
         try:
-            gen = svc.submit_stream(wav, y_source)
             first = next(gen)
         except Exception as e:
+            if pre_error_close:  # duplex: the request body was not consumed
+                self.close_connection = True
             self._enhance_error(e)
-            return
+            return False
         n_ch = 2 if want == "stereo" else 1
-        data_bytes = 2 * n_ch * len(wav)
+        data_bytes = 2 * n_ch * n_samples
         self.send_response(200)
         self.send_header("Content-Type", "audio/wav")
         self.send_header("Content-Length", str(44 + data_bytes))
@@ -838,10 +1159,12 @@ class RequestHandler(BaseHTTPRequestHandler):
             for seg in gen:      # boundary
                 self.wfile.write(_pcm_seg_bytes(seg, want))
                 self.wfile.flush()
+            return True
         except Exception:
             # device fault mid-request or the client went away: either way
             # the committed 200 cannot be amended — truncate + close
             self.close_connection = True
+            return False
         finally:
             gen.close()          # abandons any not-yet-served chunks
 

@@ -903,12 +903,13 @@ def _slow_service(sleep_s=0.15, **cfg_kw):
     params = init_params(
         model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         np.ones((4, 513), np.float32))
+    kw = dict(batch_size=1, batch_window_ms=2.0, chunk_seconds=1.0,
+              max_audio_seconds=60.0, warmup_buckets=(64,))
+    kw.update(cfg_kw)
     svc = EnhanceService(
         model, params, "m1",
         enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
-        cfg=ServeConfig(batch_size=1, batch_window_ms=2.0, chunk_seconds=1.0,
-                        max_audio_seconds=60.0, warmup_buckets=(64,),
-                        **cfg_kw))
+        cfg=ServeConfig(**kw))
     svc.warmup()   # pay the compile BEFORE throttling: the timing
     #                assertions measure streaming, not cold jit
     orig = svc.enhancer.enhance_batch
@@ -1118,3 +1119,302 @@ def test_service_on_device_mesh():
         assert np.median(resid) < 5e-3
     finally:
         svc.close()
+
+
+# -- full-duplex (streaming INPUT) ---------------------------------------------
+
+
+def test_submit_stream_from_overlaps_upload():
+    """submit_stream_from enhances WHILE the feed arrives: the first
+    output segment is yielded before the feed has finished, the assembled
+    result is partition-correct over the whole signal, and request stats
+    count once."""
+    import time as _time
+
+    svc = _slow_service(sleep_s=0.2)
+    try:
+        x = _noisy_wav(seconds=8.0)
+        from dvae_tpu.enhance.longform import chunk_spans
+
+        stft = svc.enh_cfg.stft
+        n_chunks = len(chunk_spans(len(x), stft.fs, stft.hop, 1.0, 0.25))
+        feed_done = [None]
+        t0 = _time.monotonic()
+
+        def blocks():
+            step = 8000  # 0.5 s per block, ~50 ms apart: a slow uploader
+            for a in range(0, len(x), step):
+                if a + step >= len(x):   # the feeder stops pulling once it
+                    #  has n_samples, so stamp at the LAST block's handoff
+                    feed_done[0] = _time.monotonic() - t0
+                yield x[a:a + step]
+                _time.sleep(0.05)
+
+        segs, first_at = [], None
+        for seg in svc.submit_stream_from(blocks(), len(x)):
+            if first_at is None:
+                first_at = _time.monotonic() - t0
+            segs.append(seg)
+        assert feed_done[0] is not None          # feed ran to completion
+        assert first_at < feed_done[0], (first_at, feed_done[0])
+        s = np.concatenate([a for a, _ in segs])
+        n = np.concatenate([b for _, b in segs])
+        assert s.shape == x.shape and np.isfinite(s).all()
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+        with svc._lock:
+            assert svc.stats["requests"] == 1
+            assert svc.stats["utterances"] == n_chunks
+        # a short feed (no chunking trigger) buffers and yields ONCE
+        short = _noisy_wav(seconds=0.5, seed=4)
+        segs = list(svc.submit_stream_from(iter([short[:4000], short[4000:]]),
+                                           len(short)))
+        assert len(segs) == 1 and segs[0][0].shape == short.shape
+        # validation raises at CALL time, before the feed is touched
+        with pytest.raises(ValueError, match="cap"):
+            svc.submit_stream_from(iter([]), 16000 * 61)
+        with pytest.raises(ValueError, match="empty"):
+            svc.submit_stream_from(iter([]), 0)
+    finally:
+        svc.close()
+
+
+def test_submit_stream_from_short_feed_raises_and_recovers():
+    """A feed that ends early (client died mid-upload) raises ValueError
+    from the generator, abandons whatever could not be served, and leaves
+    the service fully operational."""
+    import time as _time
+
+    svc = _slow_service(sleep_s=0.05)
+    try:
+        x = _noisy_wav(seconds=6.0)
+        gen = svc.submit_stream_from(iter([x[:20000]]), len(x))  # 1.25 s of 6 s
+        got, err = [], None
+        try:
+            for seg in gen:
+                got.append(seg)
+        except ValueError as e:
+            err = e
+        assert err is not None and "ended early" in str(err)
+        deadline = _time.monotonic() + 20
+        while _time.monotonic() < deadline:
+            with svc._lock:
+                if svc._unfinished == 0 and svc._chunked_inflight == 0:
+                    break
+            _time.sleep(0.02)
+        with svc._lock:
+            assert svc._unfinished == 0 and svc._chunked_inflight == 0
+            assert svc.stats["requests"] == 0   # never completed
+        s, _ = svc.submit(_noisy_wav(seconds=0.4, seed=9))
+        assert np.isfinite(s).all()
+    finally:
+        svc.close()
+
+
+def _read_http_response(sock):
+    """Minimal HTTP/1.1 response reader for the raw-socket duplex tests:
+    returns (status, headers, body) reading exactly Content-Length."""
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        chunk = sock.recv(65536)
+        assert chunk, "connection closed before headers"
+        buf += chunk
+    head, body = buf.split(b"\r\n\r\n", 1)
+    lines = head.decode().split("\r\n")
+    status = int(lines[0].split()[1])
+    headers = dict(l.split(": ", 1) for l in lines[1:] if ": " in l)
+    want = int(headers["Content-Length"])
+    while len(body) < want:
+        chunk = sock.recv(65536)
+        assert chunk, "connection closed mid-body"
+        body += chunk
+    return status, headers, body[:want], body[want:]
+
+
+def test_http_duplex_enhances_while_uploading():
+    """The wire-level full-duplex contract: with ?stream=1 on a model-rate
+    PCM body, response audio arrives BEFORE the client finishes uploading
+    the request body — upload and device work overlap on one socket — and
+    the connection stays usable (keep-alive) afterwards."""
+    import socket
+    import time as _time
+
+    svc = _slow_service(sleep_s=0.2)
+    srv = make_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    sock = None
+    try:
+        x = _noisy_wav(seconds=8.0)
+        body = _wav_body(x)
+        sock = socket.create_connection(
+            ("127.0.0.1", srv.server_address[1]), timeout=120)
+        head = (f"POST /enhance?stream=1&return=stereo HTTP/1.1\r\n"
+                f"Host: t\r\nContent-Length: {len(body)}\r\n\r\n").encode()
+        first_resp_at, upload_done_at = [None], [None]
+        t0 = _time.monotonic()
+
+        def upload():
+            sock.sendall(head)
+            for a in range(0, len(body), 16000):   # dribble ~0.5 s per write
+                sock.sendall(body[a:a + 16000])
+                _time.sleep(0.05)
+            upload_done_at[0] = _time.monotonic() - t0
+
+        up = threading.Thread(target=upload)
+        up.start()
+        raw = b""
+        while len(raw) < 44 + 4 * 8000:   # headers + 0.5 s of stereo PCM
+            chunk = sock.recv(65536)
+            assert chunk, "connection closed early"
+            if first_resp_at[0] is None:
+                first_resp_at[0] = _time.monotonic() - t0
+            raw += chunk
+        up.join()
+        # response bytes started flowing while the body was still uploading
+        assert first_resp_at[0] < upload_done_at[0], (
+            first_resp_at[0], upload_done_at[0])
+        head_end = raw.index(b"\r\n\r\n") + 4
+        status = int(raw[:head_end].decode().split()[1])
+        assert status == 200
+        want_len = 44 + 2 * 2 * len(x)
+        body_bytes = raw[head_end:]
+        while len(body_bytes) < want_len:
+            chunk = sock.recv(65536)
+            assert chunk, "connection closed mid-body"
+            body_bytes += chunk
+        fs, d = wavfile.read(io.BytesIO(body_bytes[:want_len]))
+        assert fs == 16000 and d.shape == (len(x), 2)
+        s, n = d[:, 0] / 32768.0, d[:, 1] / 32768.0
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+        # keep-alive: a buffered short request on the SAME connection
+        short = _wav_body(_noisy_wav(seconds=0.4, seed=2))
+        sock.sendall((f"POST /enhance HTTP/1.1\r\nHost: t\r\n"
+                      f"Content-Length: {len(short)}\r\n\r\n").encode() + short)
+        status, _, resp_body, _ = _read_http_response(sock)
+        assert status == 200
+        fs2, d2 = wavfile.read(io.BytesIO(resp_body))
+        assert fs2 == 16000 and d2.ndim == 1
+    finally:
+        if sock is not None:
+            sock.close()
+        srv.shutdown()
+        srv.server_close()
+        svc.close()
+
+
+def test_http_duplex_fallbacks_and_trailers():
+    """Bodies the duplex path cannot decode incrementally still serve
+    correctly through the buffered fallback (non-model-rate + resample=1),
+    float32 PCM takes the duplex path, a post-data trailer chunk is
+    drained so keep-alive stays in sync, and an over-cap duplex request is
+    rejected with a real status code before any enhancement."""
+    import http.client
+
+    svc = _slow_service(sleep_s=0.0, max_audio_seconds=20.0)
+    srv = make_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # 48 kHz + resample=1 + stream=1: falls back to buffering; the
+        # response is at the MODEL rate/length
+        x48 = _noisy_wav(seconds=3.0, fs=48000)
+        status, ctype, out = _post(
+            f"{base}/enhance?stream=1&resample=1", _wav_body(x48, fs=48000))
+        assert status == 200
+        fs, d = wavfile.read(io.BytesIO(out))
+        assert fs == 16000 and len(d) == len(x48) // 3
+        # float32 wav: streamable duplex encoding
+        x = _noisy_wav(seconds=2.5, seed=3)
+        buf = io.BytesIO()
+        wavfile.write(buf, 16000, x.astype(np.float32))
+        status, _, out = _post(f"{base}/enhance?stream=1&return=stereo",
+                               buf.getvalue())
+        assert status == 200
+        fs, d = wavfile.read(io.BytesIO(out))
+        s, n = d[:, 0] / 32768.0, d[:, 1] / 32768.0
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3
+        # trailer after the data chunk: drained; SAME connection serves again
+        body = _wav_body(_noisy_wav(seconds=2.2, seed=5))
+        body += b"LIST" + (8).to_bytes(4, "little") + b"INFOtag!"
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", srv.server_address[1], timeout=120)
+        conn.request("POST", "/enhance?stream=1", body=body)
+        r = conn.getresponse()
+        assert r.status == 200 and len(r.read()) == int(
+            r.headers["Content-Length"])
+        conn.request("POST", "/enhance?stream=1",
+                     body=_wav_body(_noisy_wav(seconds=0.4, seed=6)))
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        r2.read()
+        conn.close()
+        # duplex admission guard: a 25 s body against a 20 s cap -> 400
+        # from the header alone (the audio is never enhanced)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/enhance?stream=1",
+                  _wav_body(np.zeros(16000 * 25, np.float32)))
+        assert ei.value.code == 400 and b"cap" in ei.value.read()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        svc.close()
+
+
+def test_riff_stream_helpers_match_buffered_decode():
+    """_riff_stream_info + _pcm_to_float_mono are byte-exact with the
+    buffered read_wav path across encodings, channel counts, and chunk
+    layouts (including a LIST chunk before data and streaming writers'
+    size-0 data headers)."""
+    import struct
+
+    from dvae_tpu.serving import (_parse_wav_bytes, _pcm_to_float_mono,
+                                  _riff_stream_info)
+
+    rng = np.random.default_rng(0)
+
+    def roundtrip(arr, fs=16000):
+        buf = io.BytesIO()
+        wavfile.write(buf, fs, arr)
+        body = buf.getvalue()
+        consumed, info = _riff_stream_info(io.BytesIO(body), len(body))
+        assert info is not None and info["fs"] == fs
+        data = body[len(consumed):len(consumed) + info["data_bytes"]]
+        got = _pcm_to_float_mono(data, info["fmt"], info["bits"],
+                                 info["channels"])
+        want, _ = _parse_wav_bytes(body)
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    roundtrip((rng.standard_normal(1000) * 8000).astype(np.int16))
+    roundtrip((rng.standard_normal((1000, 2)) * 8000).astype(np.int16))
+    roundtrip((rng.standard_normal(500) * 1e8).astype(np.int32))
+    roundtrip(rng.integers(0, 255, 500).astype(np.uint8))
+    roundtrip(rng.standard_normal(500).astype(np.float32) * 0.5)
+    roundtrip(rng.standard_normal((400, 3)).astype(np.float32) * 0.5)
+    # LIST chunk between fmt and data is skipped, not fatal
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, (rng.standard_normal(256) * 8000).astype(np.int16))
+    body = buf.getvalue()
+    insert = body.index(b"data")
+    listed = (body[:insert] + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+              + body[insert:])
+    listed = listed[:4] + struct.pack("<I", len(listed) - 8) + listed[8:]
+    consumed, info = _riff_stream_info(io.BytesIO(listed), len(listed))
+    assert info is not None and info["bits"] == 16
+    # a streaming writer's size-0 data chunk resolves to the HTTP length
+    zeroed = bytearray(body)
+    dpos = body.index(b"data")
+    zeroed[dpos + 4:dpos + 8] = (0).to_bytes(4, "little")
+    consumed, info = _riff_stream_info(io.BytesIO(bytes(zeroed)), len(zeroed))
+    assert info is not None and info["data_bytes"] == len(body) - dpos - 8
+    # non-RIFF and 24-bit-style unknown formats return None (fallback)
+    consumed, info = _riff_stream_info(io.BytesIO(b"NOTAWAV0" * 4), 32)
+    assert info is None
+    fmt24 = bytearray(body)
+    bpos = body.index(b"fmt ") + 8
+    fmt24[bpos + 14:bpos + 16] = (24).to_bytes(2, "little")  # bits=24
+    consumed, info = _riff_stream_info(io.BytesIO(bytes(fmt24)), len(fmt24))
+    assert info is None
