@@ -348,9 +348,10 @@ class EnhanceService:
     def _stream_chunked(self, wav, y_source: str, timeout: float):
         """(generator) Long request -> chunk items on the shared queue ->
         incrementally cross-faded (s_seg, n_seg) pairs, yielded as samples
-        finalize (enhance/longform.py's streaming overlap-add). The ONE
-        chunked-request implementation: ``submit`` concatenates it,
-        ``submit_stream`` forwards it.
+        finalize (enhance/longform.py's streaming overlap-add). ``submit``
+        concatenates it, ``submit_stream`` forwards it. Delegates to
+        :meth:`_stream_chunked_core` (the ONE chunked implementation) with
+        an already-complete buffer — no feeder thread.
 
         On any failure (or generator close) mid-flight the remaining
         chunks are marked abandoned — the worker drops them instead of
@@ -358,49 +359,10 @@ class EnhanceService:
         disconnected. A request that started admitting before drain() is
         allowed to finish (drain waits on ``_chunked_inflight``) — SIGTERM
         never truncates it."""
-        from dvae_tpu.enhance.longform import StreamingOverlapAdd, chunk_spans
-
-        stft = self.enh_cfg.stft
-        spans = chunk_spans(len(wav), stft.fs, stft.hop,
-                            self.cfg.chunk_seconds,
-                            min(1.0, self.cfg.chunk_seconds / 4))
-        with self._lock:
-            if self._draining:
-                raise ServiceOverloaded(
-                    "server is draining for shutdown; retry against "
-                    "another replica")
-            self._chunked_inflight += 1
-        items, n_done = [], 0
-        acc_s = StreamingOverlapAdd(spans, len(wav))
-        acc_n = StreamingOverlapAdd(spans, len(wav))
-        deadline = time.monotonic() + timeout
-        # sliding-window admission: at most `window` chunks outstanding, so
-        # (a) a request with more chunks than max_queue still serves, and
-        # (b) one long request cannot hog the admission queue against
-        # concurrent short requests
-        window = max(1, min(self.max_queue // 2, 4 * self.cfg.batch_size))
-        try:
-            while n_done < len(spans):
-                while (len(items) < len(spans)
-                       and len(items) - n_done < window):
-                    a, b = spans[len(items)]
-                    items.append(self._admit_chunk_with_retry(
-                        wav[a:b], y_source, deadline))
-                s_p, n_p = self._await(items[n_done],
-                                       max(0.0, deadline - time.monotonic()))
-                n_done += 1
-                seg = (acc_s.add(s_p), acc_n.add(n_p))
-                if len(seg[0]):
-                    yield seg
-        except BaseException:
-            # includes GeneratorExit: a closed consumer abandons its tail
-            for it in items:
-                if not it.done.is_set():
-                    it.abandoned = True
-            raise
-        finally:
-            with self._lock:
-                self._chunked_inflight -= 1
+        feed = {"received": len(wav), "error": None}
+        yield from self._stream_chunked_core(wav, len(wav), y_source,
+                                             timeout, feed,
+                                             threading.Condition())
 
     def submit_stream_from(self, blocks, n_samples: int,
                            y_source: str | None = None,
@@ -422,7 +384,10 @@ class EnhanceService:
         the generator; abandonment semantics match :meth:`submit_stream`.
         Without chunking (or for a feed no longer than one chunk) the
         single device item needs the whole signal, so the generator
-        buffers the feed and yields once."""
+        buffers the feed and yields once. NOTE: ``timeout`` is ONE shared
+        deadline over upload + device work — a client that spends nearly
+        all of it uploading surfaces as a device TimeoutError (503) on the
+        tail chunks, not as a bad request."""
         y_source = self._check_scalars(int(n_samples), y_source)
         chunk_samples = int(self.cfg.chunk_seconds * self.enh_cfg.stft.fs)
 
@@ -439,14 +404,43 @@ class EnhanceService:
 
     def _stream_chunked_from(self, blocks, n_samples: int, y_source: str,
                              timeout: float):
-        """(generator) The duplex core: a feeder thread fills one shared
-        float32 buffer left-to-right from ``blocks`` while this thread
-        admits each chunk as soon as (a) its span is fully buffered,
-        (b) the sliding window has room — then awaits/cross-fades/yields
-        exactly like :meth:`_stream_chunked`. Chunk items slice the shared
-        buffer; a span is only admitted once the feeder's write frontier
-        has passed its end, and the feeder never writes backwards, so the
-        worker always reads finalized samples."""
+        """(generator) Duplex chunking: a feeder thread fills one shared
+        float32 buffer left-to-right from ``blocks`` (publishing its write
+        frontier under ``cond``) while :meth:`_stream_chunked_core` admits
+        each chunk the moment its span is fully buffered. The feeder never
+        writes backwards and a span is only admitted once the frontier has
+        passed its end, so the worker always reads finalized samples."""
+        buf = np.zeros(n_samples, np.float32)
+        cond = threading.Condition()
+        feed = {"received": 0, "error": None}
+
+        def feeder():
+            def publish(got):
+                with cond:
+                    feed["received"] = got
+                    cond.notify_all()
+            try:
+                _feed_into(blocks, buf, n_samples, publish)
+            except BaseException as e:  # surface upload failures to the consumer
+                with cond:
+                    if feed["error"] is None:
+                        feed["error"] = e
+                    cond.notify_all()
+
+        threading.Thread(target=feeder, daemon=True,
+                         name="stream-feeder").start()
+        yield from self._stream_chunked_core(buf, n_samples, y_source,
+                                             timeout, feed, cond)
+
+    def _stream_chunked_core(self, buf, n_samples: int, y_source: str,
+                             timeout: float, feed: dict,
+                             cond: "threading.Condition"):
+        """(generator) The ONE chunked-request implementation: admits each
+        chunk of ``buf`` as soon as (a) its span is below ``feed``'s
+        published write frontier, (b) the sliding window has room — then
+        awaits/cross-fades/yields (s_seg, n_seg) pairs as samples finalize.
+        A complete buffer (``feed['received'] == n_samples``, no feeder)
+        degenerates to eager windowed admission with no waiting."""
         from dvae_tpu.enhance.longform import StreamingOverlapAdd, chunk_spans
 
         stft = self.enh_cfg.stft
@@ -459,38 +453,14 @@ class EnhanceService:
                     "server is draining for shutdown; retry against "
                     "another replica")
             self._chunked_inflight += 1
-        buf = np.zeros(n_samples, np.float32)
-        cond = threading.Condition()
-        feed = {"received": 0, "error": None}
-
-        def feeder():
-            got = 0
-            try:
-                for blk in blocks:
-                    blk = np.asarray(blk, np.float32).ravel()
-                    take = min(len(blk), n_samples - got)
-                    buf[got:got + take] = blk[:take]
-                    got += take
-                    with cond:
-                        feed["received"] = got
-                        cond.notify_all()
-                    if got >= n_samples:
-                        break
-                if got < n_samples:
-                    raise ValueError("request body ended early: got "
-                                     f"{got} of {n_samples} samples")
-            except BaseException as e:  # surface upload failures to the consumer
-                with cond:
-                    if feed["error"] is None:
-                        feed["error"] = e
-                    cond.notify_all()
-
-        threading.Thread(target=feeder, daemon=True,
-                         name="stream-feeder").start()
         items, n_done = [], 0
         acc_s = StreamingOverlapAdd(spans, n_samples)
         acc_n = StreamingOverlapAdd(spans, n_samples)
         deadline = time.monotonic() + timeout
+        # sliding-window admission: at most `window` chunks outstanding, so
+        # (a) a request with more chunks than max_queue still serves, and
+        # (b) one long request cannot hog the admission queue against
+        # concurrent short requests
         window = max(1, min(self.max_queue // 2, 4 * self.cfg.batch_size))
 
         def admissible(received):
@@ -780,22 +750,33 @@ def _parse_wav_bytes(body: bytes) -> tuple[np.ndarray, int]:
     return data, int(fs)
 
 
-def _collect_feed(blocks, n_samples: int) -> np.ndarray:
-    """Gather a sample-block feed into one float32 buffer (the no-chunking
-    path of submit_stream_from: a single device item needs the whole
-    signal before admission)."""
-    buf = np.zeros(n_samples, np.float32)
+def _feed_into(blocks, buf: np.ndarray, n_samples: int,
+               on_progress=None) -> None:
+    """Accumulate a sample-block feed into ``buf`` left-to-right (float32
+    ravel, clamp past n_samples), calling ``on_progress(got)`` after each
+    block; raises ValueError if the feed ends before ``n_samples``. The
+    one feed-accumulation contract shared by the duplex feeder thread and
+    the buffered no-chunking path."""
     got = 0
     for blk in blocks:
         blk = np.asarray(blk, np.float32).ravel()
         take = min(len(blk), n_samples - got)
         buf[got:got + take] = blk[:take]
         got += take
+        if on_progress is not None:
+            on_progress(got)
         if got >= n_samples:
-            break
-    if got < n_samples:
-        raise ValueError(f"request body ended early: got {got} of "
-                         f"{n_samples} samples")
+            return
+    raise ValueError(f"request body ended early: got {got} of "
+                     f"{n_samples} samples")
+
+
+def _collect_feed(blocks, n_samples: int) -> np.ndarray:
+    """Gather a sample-block feed into one float32 buffer (the no-chunking
+    path of submit_stream_from: a single device item needs the whole
+    signal before admission)."""
+    buf = np.zeros(n_samples, np.float32)
+    _feed_into(blocks, buf, n_samples)
     return buf
 
 
