@@ -151,6 +151,11 @@ def main():
                          "production default; 500 = the budget behind the "
                          "paper's reported results, evaluate_ntcd_M1.py:60 "
                          "comment. The driver always runs the default)")
+    ap.add_argument("--engine", choices=("mcem", "peem"), default="mcem",
+                    help="E-step engine (the driver always runs the default "
+                         "'mcem' — the reference-parity path; 'peem' "
+                         "measures the point-estimate fast engine, "
+                         "enhance/mcem.py:run_peem)")
     args = ap.parse_args()
 
     # persistent jit cache: the driver invokes bench in a fresh process every
@@ -199,7 +204,8 @@ def main():
     batch = [wavs[i % len(wavs)] for i in range(BATCH)]
     audio_sec = sum(len(w) for w in batch) / 16000.0 * N_BATCHES
 
-    enh = Enhancer(model, params, EnhancerConfig(mcem=McemConfig(niter=args.niter)))
+    enh = Enhancer(model, params, EnhancerConfig(
+        mcem=McemConfig(niter=args.niter), engine=args.engine))
     # compile + warm up, with retries: right after a busy period the tunnel
     # can transiently fail device transfers with `UNIMPLEMENTED: TPU backend
     # error` even though backend init (the probe above) succeeds — observed
@@ -264,13 +270,16 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "mcem_enhancement_throughput",
+                "metric": "%s_enhancement_throughput" % args.engine,
                 "value": round(utt_per_sec, 3),
                 "unit": "utterances/sec/chip (niter=%d, ~5.1s utts; "
                         "RTF=%.4f; device_ms_per_batch=%.0f; "
-                        "device_utt_per_sec=%.1f)"
+                        "device_utt_per_sec=%.1f)%s"
                         % (args.niter, elapsed / audio_sec, dev_sec * 1e3,
-                           BATCH / dev_sec),
+                           BATCH / dev_sec,
+                           "" if args.engine == "mcem" else
+                           "; baseline is the reference's MCEM (it has no "
+                           "point-estimate engine)"),
                 "vs_baseline": round(utt_per_sec / baseline_utt_per_sec, 1),
             }
         )

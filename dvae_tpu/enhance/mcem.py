@@ -111,6 +111,11 @@ class McemConfig:
     # is precision-independent and still tested. f32 everywhere when False.
     fast_stats: bool = True
 
+    # run_peem knobs (ignored by run_mcem): Adam steps on the latent per EM
+    # iteration and their learning rate. See run_peem's docstring.
+    peem_steps: int = 4
+    peem_lr: float = 1e-2
+
 
 class McemResult(NamedTuple):
     wfs: jnp.ndarray  # (B, N, F) speech Wiener mask  E[g*Vs / Vx]
@@ -254,6 +259,127 @@ def run_em_fixed_z(
     return McemResult(
         (vs_scaled / vx) * m3, (vb / vx) * m3, cost, z_fixed, w, h, g
     )
+
+
+def run_peem(
+    decoder: Callable[[jnp.ndarray], jnp.ndarray],
+    x2: jnp.ndarray,
+    z_init: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: McemConfig = McemConfig(),
+    y: jnp.ndarray | None = None,
+    nmf_init: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    decoder_mats=None,
+    key: jax.Array | None = None,
+) -> McemResult:
+    """Point-estimate EM: the fast, deterministic engine.
+
+    Same generative model and NMF M-step as :func:`run_mcem`, but the
+    E-step's Monte-Carlo expectation over p(z|x) is replaced by its MAP
+    point estimate, optimized by ``cfg.peem_steps`` Adam steps per EM
+    iteration on the negative log joint
+
+        E(z) = sum_f [log Vx + |X|^2/Vx] + 0.5*||z||^2,   Vx = g*Vs(z) + Vb
+
+    (the same energy the MH chain targets, _make_mh_step), warm-started
+    from the previous iteration's optimum, with the Adam moments carried
+    across EM iterations. The Wiener masks are evaluated at the final
+    point estimate instead of averaged over samples.
+
+    Point-estimate (a.k.a. PEEM/VEM) inference for VAE-based enhancement
+    is an established alternative to MCEM (e.g. Sadeghi & Alameda-Pineda,
+    arXiv:1912.10647 — typically a small quality cost for a large
+    speed-up); the reference itself ships the degenerate pinned-latent
+    form as its ``clean_z_nomcem`` ablation (commented E_step/compute_WF
+    overrides, reference mcem.py:297/:307). This engine is the deployable
+    version: it optimizes z against the MIXTURE's likelihood, needing no
+    clean oracle.
+
+    Why it is fast on TPU: the default MCEM budget runs 40 sequential
+    decoder passes per EM iteration plus a 100-step WF chain, each pass
+    re-reading the (B, N, F) stat planes from HBM; PEEM runs
+    ``peem_steps`` fwd+bwd passes per iteration (~2.5 fwd-equivalents
+    each at peem_steps=4 -> ~4x less HBM traffic) and its WF stage is one
+    deterministic evaluation. Unlike MCEM (statistical parity only), the
+    whole program is deterministic given (inputs, nmf_init-or-key):
+    bitwise-reproducible across runs.
+
+    With ``peem_steps=0`` the latent never moves and the algorithm is
+    exactly :func:`run_em_fixed_z` with ``z_fixed=z_init`` (pinned-latent
+    EM on the mixture encoding) — pinned bitwise in tests/test_mcem.py.
+
+    ``key`` seeds only the random NMF init when ``nmf_init`` is None.
+    """
+    b, n, f = x2.shape
+    x2 = x2.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    if nmf_init is None:
+        if key is None:
+            raise ValueError("need key or nmf_init")
+        w, h, g = init_nmf(jax.random.split(key, 3)[0], b, n, f,
+                           cfg.nmf_rank, cfg.eps)
+    else:
+        w, h, g = nmf_init
+
+    if decoder_mats is not None and cfg.fast_decoder:
+        decoder = make_mlp_decoder(decoder_mats, fast=True)
+
+    def dec(z):
+        zin = z if y is None else jnp.concatenate([z, y], axis=-1)
+        return decoder(zin)
+
+    def energy_sum(z, vb, g):
+        # scalar total energy; padded frames contribute finite, irrelevant
+        # terms (their z just follows its own gradient — masked out of the
+        # M-step, the cost and the final masks)
+        vx = jnp.maximum(g[:, :, None] * dec(z) + vb, VX_FLOOR)
+        return jnp.sum(jnp.log(vx) + x2 / vx) + 0.5 * jnp.sum(z * z)
+
+    egrad = jax.grad(energy_sum)
+    lr = jnp.asarray(cfg.peem_lr, jnp.float32)
+    b1, b2, eps_adam = 0.9, 0.999, 1e-8
+    denom = jnp.maximum(jnp.sum(mask) * f, 1.0)
+
+    def em_iter(carry, _):
+        z, m, v, t, w, h, g = carry
+        vb = compute_vb(w, h)
+
+        def adam_step(c, _):
+            z, m, v, t = c
+            gz = egrad(z, vb, g)
+            t = t + 1
+            m = b1 * m + (1.0 - b1) * gz
+            v = b2 * v + (1.0 - b2) * gz * gz
+            tf = t.astype(jnp.float32)
+            m_hat = m / (1.0 - jnp.power(b1, tf))
+            v_hat = v / (1.0 - jnp.power(b2, tf))
+            z = z - lr * m_hat / (jnp.sqrt(v_hat) + eps_adam)
+            return (z, m, v, t), None
+
+        (z, m, v, t), _ = jax.lax.scan(
+            adam_step, (z, m, v, t), None, length=cfg.peem_steps
+        )
+        vs = dec(z)
+        w, h, g, vb = nmf_m_step(x2, vs[None], w, h, g, mask, cfg.eps)
+        vx = jnp.maximum(g[:, :, None] * vs + vb, VX_FLOOR)
+        cost = jnp.sum(
+            (jnp.log(vx) + x2 / vx) * mask[:, :, None]
+        ) / denom
+        return (z, m, v, t, w, h, g), cost
+
+    zeros = jnp.zeros_like(z_init)
+    (z, _, _, _, w, h, g), cost = jax.lax.scan(
+        em_iter,
+        (z_init, zeros, zeros, jnp.zeros((), jnp.int32), w, h, g),
+        None,
+        length=cfg.niter,
+    )
+
+    vb = compute_vb(w, h)
+    vs_scaled = g[:, :, None] * dec(z)
+    vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
+    m3 = mask[:, :, None]
+    return McemResult((vs_scaled / vx) * m3, (vb / vx) * m3, cost, z, w, h, g)
 
 
 def run_mcem(

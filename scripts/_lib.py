@@ -197,6 +197,17 @@ def add_mcem_budgets(ap: argparse.ArgumentParser):
                     help="MH burn-in for the Wiener expectation (default 75)")
     ap.add_argument("--var-rw", type=float, default=None,
                     help="MH random-walk proposal variance (default 0.01)")
+    ap.add_argument("--engine", choices=("mcem", "peem"), default="mcem",
+                    help="E-step inference: 'mcem' = the reference's "
+                         "Metropolis-Hastings Monte-Carlo EM; 'peem' = "
+                         "gradient-based point-estimate EM (MAP latent, "
+                         "deterministic masks, several-fold faster — "
+                         "beyond-reference; see enhance/mcem.py:run_peem)")
+    ap.add_argument("--peem-steps", type=int, default=None,
+                    help="[--engine peem] Adam steps on the latent per EM "
+                         "iteration (default 4)")
+    ap.add_argument("--peem-lr", type=float, default=None,
+                    help="[--engine peem] Adam learning rate (default 0.01)")
     return ap
 
 
@@ -206,7 +217,7 @@ def mcem_config_of(args, **overrides):
 
     kw = dict(niter=args.niter, nmf_rank=args.nmf_rank)
     for field in ("nsamples_e_step", "burnin_e_step", "nsamples_wf",
-                  "burnin_wf", "var_rw"):
+                  "burnin_wf", "var_rw", "peem_steps", "peem_lr"):
         v = getattr(args, field, None)
         if v is not None:
             kw[field] = v

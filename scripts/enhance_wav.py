@@ -155,7 +155,8 @@ def main():
     y_mode = {"m1": "none", "m2": "enc_dec"}.get(args.model_class, "dec_only")
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=mcem_config_of(args),
-        y_mode=y_mode, norm=norm), mesh=make_mesh_if(args))
+        y_mode=y_mode, norm=norm, engine=args.engine),
+        mesh=make_mesh_if(args))
 
     files = gather_inputs(args.inputs)
     out_dir = pathlib.Path(args.output_dir)

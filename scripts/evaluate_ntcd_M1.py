@@ -73,7 +73,8 @@ def main():
     enh = Enhancer(model, params,
                    EnhancerConfig(mcem=mcem,
                                   ablation=ablation_of(args),
-                                  norm=norm_stats_if(args)),
+                                  norm=norm_stats_if(args),
+                                  engine=args.engine),
                    mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)
     n = evaluate_sweep(

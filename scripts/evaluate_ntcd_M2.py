@@ -88,7 +88,8 @@ def main():
     y_mode = "enc_dec" if args.model_variant == "v1" else "dec_only"
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=mcem_config_of(args), y_mode=y_mode,
-        ablation=ablation_of(args), norm=norm_stats_if(args)),
+        ablation=ablation_of(args), norm=norm_stats_if(args),
+        engine=args.engine),
         mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)
     n = evaluate_sweep(

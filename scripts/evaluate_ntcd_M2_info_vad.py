@@ -130,7 +130,7 @@ def main():
     # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=mcem_config_of(args), y_mode="dec_only",
-        ablation=ablation_of(args), norm=norm),
+        ablation=ablation_of(args), norm=norm, engine=args.engine),
         mesh=make_mesh_if(args))
     out_dir = default_out_dir(args, path)
 

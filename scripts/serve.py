@@ -106,7 +106,7 @@ def main():
     svc = EnhanceService(
         model, params, args.model_class,
         enh_cfg=EnhancerConfig(mcem=mcem_config_of(args), y_mode=y_mode,
-                               norm=norm),
+                               norm=norm, engine=args.engine),
         cfg=ServeConfig(batch_size=args.batch_size,
                         batch_window_ms=args.batch_window_ms,
                         y_source=args.y_source, y_dim=args.y_dim,

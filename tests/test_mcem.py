@@ -233,3 +233,103 @@ def test_silent_utterance_in_batch_stays_finite():
     # real row: unaffected by the degenerate neighbor — partition holds
     np.testing.assert_allclose(np.asarray(res.wfs[0] + res.wfn[0]), 1.0,
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# run_peem — the gradient-based point-estimate engine (beyond-reference)
+# ---------------------------------------------------------------------------
+
+def test_peem_steps0_is_fixed_z():
+    """With peem_steps=0 the latent never moves, so PEEM degenerates to
+    run_em_fixed_z(z_init): identical algorithm, pinned to float tolerance
+    (not bitwise — fixed_z hoists dec(z) out of the EM scan as a true loop
+    invariant while PEEM recomputes it per iteration, so XLA fuses the two
+    programs differently; observed delta is 1-2 ULP). The LATENT must be
+    bitwise-unmoved."""
+    from dvae_tpu.enhance.mcem import run_em_fixed_z, run_peem
+
+    cfg = McemConfig(niter=8, nmf_rank=K, peem_steps=0, fast_stats=False)
+    b, n = 2, 26
+    x2, _ = _mixture(b, n, jax.random.PRNGKey(60))
+    z0 = jax.random.normal(jax.random.PRNGKey(61), (b, n, L)) * 0.5
+    nmf = init_nmf(jax.random.PRNGKey(62), b, n, F, K, 1e-8)
+    mask = jnp.stack([jnp.ones(n), (jnp.arange(n) < 17).astype(jnp.float32)])
+
+    peem = run_peem(toy_decoder, x2, z0, mask, cfg, nmf_init=nmf)
+    fixed = run_em_fixed_z(toy_decoder, x2, z0, mask, cfg, nmf_init=nmf)
+    assert np.array_equal(np.asarray(peem.z), np.asarray(z0))
+    np.testing.assert_allclose(np.asarray(peem.wfs), np.asarray(fixed.wfs),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(peem.wfn), np.asarray(fixed.wfn),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(peem.cost), np.asarray(fixed.cost),
+                               rtol=1e-5)
+
+
+def test_peem_cost_descends_below_pinned_and_is_deterministic():
+    """The MAP E-step must buy something: PEEM's final EM cost is strictly
+    below the pinned-latent (steps=0) EM's on the same inputs; the whole
+    program is bitwise-reproducible run-to-run (no sampling); the Wiener
+    partition identity holds."""
+    from dvae_tpu.enhance.mcem import run_peem
+
+    b, n = 2, 32
+    x2, _ = _mixture(b, n, jax.random.PRNGKey(63))
+    z0 = jnp.zeros((b, n, L))
+    mask = jnp.ones((b, n))
+    nmf = init_nmf(jax.random.PRNGKey(64), b, n, F, K, 1e-8)
+    cfg = McemConfig(niter=25, nmf_rank=K, peem_steps=4, peem_lr=1e-2)
+    res = run_peem(toy_decoder, x2, z0, mask, cfg, nmf_init=nmf)
+    pinned = run_peem(toy_decoder, x2, z0, mask,
+                      McemConfig(niter=25, nmf_rank=K, peem_steps=0),
+                      nmf_init=nmf)
+    assert float(res.cost[-1]) < float(pinned.cost[-1])
+    cost = np.asarray(res.cost)
+    assert cost[-1] < cost[0]
+    np.testing.assert_allclose(np.asarray(res.wfs + res.wfn), 1.0, atol=1e-4)
+    again = run_peem(toy_decoder, x2, z0, mask, cfg, nmf_init=nmf)
+    assert np.array_equal(np.asarray(res.wfs), np.asarray(again.wfs))
+    assert np.array_equal(np.asarray(res.z), np.asarray(again.z))
+
+
+def test_peem_masked_batch_matches_trimmed_runs():
+    """Frame masking is airtight for PEEM too: the energy, its gradient and
+    Adam's moments are all per-frame separable, so a padded batch must equal
+    per-utterance exact-length runs on the valid frames."""
+    from dvae_tpu.enhance.mcem import run_peem
+
+    cfg = McemConfig(niter=8, nmf_rank=K, peem_steps=3, peem_lr=1e-2)
+    n1, n2 = 30, 19
+    x2_full, _ = _mixture(2, n1, jax.random.PRNGKey(65))
+    x2_b = x2_full[1:2, :n2]
+    z0 = jax.random.normal(jax.random.PRNGKey(66), (2, n1, L)) * 0.5
+    w, h, g = init_nmf(jax.random.PRNGKey(67), 2, n1, F, K, 1e-8)
+    mask = jnp.stack([jnp.ones(n1), (jnp.arange(n1) < n2).astype(jnp.float32)])
+
+    batched = run_peem(toy_decoder, x2_full, z0, mask, cfg,
+                       nmf_init=(w, h, g))
+    solo = run_peem(toy_decoder, x2_b, z0[1:2, :n2], jnp.ones((1, n2)), cfg,
+                    nmf_init=(w[1:2], h[1:2, :n2], g[1:2, :n2]))
+    np.testing.assert_allclose(np.asarray(batched.wfs[1, :n2]),
+                               np.asarray(solo.wfs[0]), rtol=2e-4, atol=2e-5)
+    assert float(jnp.abs(batched.wfs[1, n2:]).max()) == 0.0
+
+
+def test_peem_conditional_y():
+    """Decoder conditioning ([z; y]) flows through the energy and its
+    gradient; partition identity and cost descent hold."""
+    from dvae_tpu.enhance.mcem import run_peem
+
+    def cond_decoder(zin):
+        return toy_decoder(zin)
+
+    b, n, ydim = 2, 24, 1
+    x2, _ = _mixture(b, n, jax.random.PRNGKey(68))
+    y = (jax.random.uniform(jax.random.PRNGKey(69), (b, n, ydim)) > 0.5
+         ).astype(jnp.float32)
+    mask = jnp.ones((b, n))
+    res = run_peem(cond_decoder, x2, jnp.zeros((b, n, L - ydim)), mask,
+                   McemConfig(niter=12, nmf_rank=K, peem_steps=3), y=y,
+                   key=jax.random.PRNGKey(70))
+    np.testing.assert_allclose(np.asarray(res.wfs + res.wfn), 1.0, atol=1e-4)
+    assert float(res.cost[-1]) < float(res.cost[0])

@@ -523,3 +523,29 @@ def test_long_utterance_enhancement():
     assert len(s) == len(wav)
     assert np.isfinite(s).all() and np.isfinite(n).all()
     np.testing.assert_allclose(s + n, wav, atol=2e-4)
+
+
+def test_peem_engine_end_to_end(subset_dir, m1):
+    """EnhancerConfig(engine='peem'): full wav->wav path through the
+    point-estimate engine — Wiener partition reconstructs the mixture, and
+    the whole program is deterministic (same inputs -> identical wavs;
+    the key only seeds the NMF init)."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    enh = Enhancer(model, params, EnhancerConfig(
+        mcem=McemConfig(niter=5, peem_steps=3), engine="peem"))
+    out = enh.enhance_batch([x1, x2], key=jax.random.PRNGKey(0))
+    assert len(out) == 2
+    for (s, n), x in zip(out, (x1, x2)):
+        assert s.shape == x.shape and np.isfinite(s).all()
+        resid = np.abs((s + n) - x)[: len(x) - 1024]
+        assert np.median(resid) < 5e-3, f"partition residual {np.median(resid)}"
+    again = enh.enhance_batch([x1, x2], key=jax.random.PRNGKey(0))
+    for (s, n), (s2, n2) in zip(out, again):
+        assert np.array_equal(s, s2) and np.array_equal(n, n2)
+
+
+def test_peem_engine_rejects_bad_name(m1):
+    model, params = m1
+    with pytest.raises(ValueError, match="bad engine"):
+        Enhancer(model, params, EnhancerConfig(engine="map"))
