@@ -127,6 +127,37 @@ class McemResult(NamedTuple):
     g: jnp.ndarray  # (B, N) gains
 
 
+def _prep_em(decoder, x2, mask, cfg: McemConfig, y, nmf_init, decoder_mats,
+             key):
+    """Shared engine preamble (run_mcem / run_peem / run_em_fixed_z): f32
+    inputs; NMF init drawn on the FIRST of ``split(key, 3)`` — the same
+    k_nmf stream in every engine, so runs sharing a key share their NMF
+    init regardless of engine (the other two streams are run_mcem's
+    k_em/k_wf; they must come from one split, NOT fold_in: under the
+    partitionable threefry PRNG ``fold_in(k, c) == split(k, n)[c]``, so a
+    folded WF key would replay EM iteration c's exact proposal noise);
+    bf16 fast-decoder swap; the [z; y]-concat closure.
+
+    Returns ``(x2, mask, (w, h, g), decoder, dec, keys)`` where ``keys``
+    is ``split(key, 3)`` or None when no key was given."""
+    x2 = x2.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    keys = None if key is None else jax.random.split(key, 3)
+    if nmf_init is None:
+        if keys is None:
+            raise ValueError("need key or nmf_init")
+        b, n, f = x2.shape
+        nmf_init = init_nmf(keys[0], b, n, f, cfg.nmf_rank, cfg.eps)
+    if decoder_mats is not None and cfg.fast_decoder:
+        decoder = make_mlp_decoder(decoder_mats, fast=True)
+
+    def dec(z):
+        zin = z if y is None else jnp.concatenate([z, y], axis=-1)
+        return decoder(zin)
+
+    return x2, mask, nmf_init, decoder, dec, keys
+
+
 def _make_mh_step(decoder: Callable, x2, y, var_rw: float, stats_dtype=jnp.float32):
     """Returns one Metropolis-Hastings step over the utterance batch.
 
@@ -223,20 +254,9 @@ def run_em_fixed_z(
     random NMF init when ``nmf_init`` is None.
     """
     b, n, f = x2.shape
-    x2 = x2.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
-    if nmf_init is None:
-        if key is None:
-            raise ValueError("need key or nmf_init")
-        w, h, g = init_nmf(jax.random.split(key, 3)[0], b, n, f,
-                           cfg.nmf_rank, cfg.eps)
-    else:
-        w, h, g = nmf_init
-
-    if decoder_mats is not None and cfg.fast_decoder:
-        decoder = make_mlp_decoder(decoder_mats, fast=True)
-    zin = z_fixed if y is None else jnp.concatenate([z_fixed, y], axis=-1)
-    vs = decoder(zin)  # (B, N, F), loop-invariant
+    x2, mask, (w, h, g), decoder, dec, _ = _prep_em(
+        decoder, x2, mask, cfg, y, nmf_init, decoder_mats, key)
+    vs = dec(z_fixed)  # (B, N, F), loop-invariant
     vs_r = vs[None]  # the degenerate one-sample "Monte-Carlo" set
 
     denom = jnp.maximum(jnp.sum(mask) * f, 1.0)
@@ -305,28 +325,17 @@ def run_peem(
     bitwise-reproducible across runs.
 
     With ``peem_steps=0`` the latent never moves and the algorithm is
-    exactly :func:`run_em_fixed_z` with ``z_fixed=z_init`` (pinned-latent
-    EM on the mixture encoding) — pinned bitwise in tests/test_mcem.py.
+    :func:`run_em_fixed_z` with ``z_fixed=z_init`` (pinned-latent EM on
+    the mixture encoding) — same math, pinned in tests/test_mcem.py at
+    float tolerance: the two compile to different XLA fusions (fixed_z
+    hoists dec(z) out of the scan), so masks/cost agree to ~1-2 ULP, not
+    bitwise; only the unmoved latent itself is bitwise.
 
     ``key`` seeds only the random NMF init when ``nmf_init`` is None.
     """
     b, n, f = x2.shape
-    x2 = x2.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
-    if nmf_init is None:
-        if key is None:
-            raise ValueError("need key or nmf_init")
-        w, h, g = init_nmf(jax.random.split(key, 3)[0], b, n, f,
-                           cfg.nmf_rank, cfg.eps)
-    else:
-        w, h, g = nmf_init
-
-    if decoder_mats is not None and cfg.fast_decoder:
-        decoder = make_mlp_decoder(decoder_mats, fast=True)
-
-    def dec(z):
-        zin = z if y is None else jnp.concatenate([z, y], axis=-1)
-        return decoder(zin)
+    x2, mask, (w, h, g), decoder, dec, _ = _prep_em(
+        decoder, x2, mask, cfg, y, nmf_init, decoder_mats, key)
 
     def energy_sum(z, vb, g):
         # scalar total energy; padded frames contribute finite, irrelevant
@@ -420,20 +429,10 @@ def run_mcem(
             (CPU correctness tests).
     """
     b, n, f = x2.shape
-    x2 = x2.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
-    # three independent streams: NMF init, EM iterations, WF expectation.
-    # (k_wf must NOT be fold_in(k_em, c): under the partitionable threefry
-    # PRNG fold_in(k, c) == split(k, n)[c], so the WF chain would replay EM
-    # iteration c's exact proposal/acceptance noise.)
-    k_nmf, k_em, k_wf = jax.random.split(key, 3)
-    if nmf_init is None:
-        w, h, g = init_nmf(k_nmf, b, n, f, cfg.nmf_rank, cfg.eps)
-    else:
-        w, h, g = nmf_init
-
-    if decoder_mats is not None and cfg.fast_decoder:
-        decoder = make_mlp_decoder(decoder_mats, fast=True)
+    # three independent key streams via _prep_em: NMF init, EM iterations,
+    # WF expectation (see its docstring for why fold_in would be wrong)
+    x2, mask, (w, h, g), decoder, _, (_, k_em, k_wf) = _prep_em(
+        decoder, x2, mask, cfg, y, nmf_init, decoder_mats, key)
     sd = jnp.bfloat16 if cfg.fast_stats else jnp.float32
     dec, energy, mh_step, mh_light = _make_mh_step(
         decoder, x2, y, cfg.var_rw, stats_dtype=sd

@@ -409,32 +409,59 @@ class EnhanceService:
         frontier under ``cond``) while :meth:`_stream_chunked_core` admits
         each chunk the moment its span is fully buffered. The feeder never
         writes backwards and a span is only admitted once the frontier has
-        passed its end, so the worker always reads finalized samples."""
-        buf = np.zeros(n_samples, np.float32)
-        cond = threading.Condition()
-        feed = {"received": 0, "error": None}
+        passed its end, so the worker always reads finalized samples.
 
-        def feeder():
-            def publish(got):
-                with cond:
-                    feed["received"] = got
-                    cond.notify_all()
-            try:
-                _feed_into(blocks, buf, n_samples, publish)
-            except BaseException as e:  # surface upload failures to the consumer
-                with cond:
-                    if feed["error"] is None:
-                        feed["error"] = e
-                    cond.notify_all()
+        Admission (drain check + inflight count) happens HERE, before the
+        feeder thread starts: a request rejected during drain must not
+        leave a daemon feeder consuming the request socket behind the 503
+        (the handler assumes a pre-stream failure left the body unread)."""
+        self._enter_chunked()
+        try:
+            buf = np.zeros(n_samples, np.float32)
+            cond = threading.Condition()
+            feed = {"received": 0, "error": None}
 
-        threading.Thread(target=feeder, daemon=True,
-                         name="stream-feeder").start()
+            def feeder():
+                def publish(got):
+                    with cond:
+                        feed["received"] = got
+                        cond.notify_all()
+                try:
+                    _feed_into(blocks, buf, n_samples, publish)
+                except BaseException as e:  # surface upload failures to the consumer
+                    with cond:
+                        if feed["error"] is None:
+                            feed["error"] = e
+                        cond.notify_all()
+
+            threading.Thread(target=feeder, daemon=True,
+                             name="stream-feeder").start()
+        except BaseException:
+            # the count is handed to the core's finally only once the core
+            # runs; a failure before that must release it here
+            with self._lock:
+                self._chunked_inflight -= 1
+            raise
         yield from self._stream_chunked_core(buf, n_samples, y_source,
-                                             timeout, feed, cond)
+                                             timeout, feed, cond,
+                                             preadmitted=True)
+
+    def _enter_chunked(self) -> None:
+        """Chunked-request admission: reject while draining, else count the
+        request into ``_chunked_inflight`` (drain() waits on it — 'everything
+        admitted is answered'). Every successful call must be paired with the
+        decrement in :meth:`_stream_chunked_core`'s ``finally``."""
+        with self._lock:
+            if self._draining:
+                raise ServiceOverloaded(
+                    "server is draining for shutdown; retry against "
+                    "another replica")
+            self._chunked_inflight += 1
 
     def _stream_chunked_core(self, buf, n_samples: int, y_source: str,
                              timeout: float, feed: dict,
-                             cond: "threading.Condition"):
+                             cond: "threading.Condition",
+                             preadmitted: bool = False):
         """(generator) The ONE chunked-request implementation: admits each
         chunk of ``buf`` as soon as (a) its span is below ``feed``'s
         published write frontier, (b) the sliding window has room — then
@@ -443,32 +470,31 @@ class EnhanceService:
         degenerates to eager windowed admission with no waiting."""
         from dvae_tpu.enhance.longform import StreamingOverlapAdd, chunk_spans
 
-        stft = self.enh_cfg.stft
-        spans = chunk_spans(n_samples, stft.fs, stft.hop,
-                            self.cfg.chunk_seconds,
-                            min(1.0, self.cfg.chunk_seconds / 4))
-        with self._lock:
-            if self._draining:
-                raise ServiceOverloaded(
-                    "server is draining for shutdown; retry against "
-                    "another replica")
-            self._chunked_inflight += 1
+        if not preadmitted:
+            self._enter_chunked()
         items, n_done = [], 0
-        acc_s = StreamingOverlapAdd(spans, n_samples)
-        acc_n = StreamingOverlapAdd(spans, n_samples)
-        deadline = time.monotonic() + timeout
-        # sliding-window admission: at most `window` chunks outstanding, so
-        # (a) a request with more chunks than max_queue still serves, and
-        # (b) one long request cannot hog the admission queue against
-        # concurrent short requests
-        window = max(1, min(self.max_queue // 2, 4 * self.cfg.batch_size))
-
-        def admissible(received):
-            return (len(items) < len(spans)
-                    and len(items) - n_done < window
-                    and received >= spans[len(items)][1])
-
         try:
+            # everything below the admission sits inside the try so the
+            # ``finally`` decrement is unconditional — a setup failure must
+            # not leave drain() waiting on a request that already died
+            stft = self.enh_cfg.stft
+            spans = chunk_spans(n_samples, stft.fs, stft.hop,
+                                self.cfg.chunk_seconds,
+                                min(1.0, self.cfg.chunk_seconds / 4))
+            acc_s = StreamingOverlapAdd(spans, n_samples)
+            acc_n = StreamingOverlapAdd(spans, n_samples)
+            deadline = time.monotonic() + timeout
+            # sliding-window admission: at most `window` chunks outstanding,
+            # so (a) a request with more chunks than max_queue still serves,
+            # and (b) one long request cannot hog the admission queue against
+            # concurrent short requests
+            window = max(1, min(self.max_queue // 2, 4 * self.cfg.batch_size))
+
+            def admissible(received):
+                return (len(items) < len(spans)
+                        and len(items) - n_done < window
+                        and received >= spans[len(items)][1])
+
             while n_done < len(spans):
                 with cond:
                     while True:
