@@ -157,6 +157,9 @@ class EnhanceService:
         self._unfinished = 0             # admitted items not yet answered
         self._chunked_inflight = 0       # chunked requests mid-admission
         self.started = time.time()
+        self.ready = threading.Event()   # cleared only by warmup_async
+        self.ready.set()
+        self.warmup_error: Exception | None = None
         self.warm_buckets: list[int] = []
         self._batch_counter = 0
         self._stop = threading.Event()
@@ -674,12 +677,52 @@ class EnhanceService:
         (CLAUDE.md 2026-08-19) — startup must outwait that, not die."""
         buckets = tuple(buckets if buckets is not None else self.cfg.warmup_buckets)
         for b in buckets:
+            if self._draining:  # shutdown won the race: stand down quietly
+                return
             t = samples_for_frames(int(b), self.enh_cfg.stft)
             wav = np.zeros(t, np.float32)
-            self.submit(wav, "zeros" if (self.conditional and
-                                         self.classify_method is None)
-                        else None, timeout=timeout, _count_stats=False)
+            try:
+                self.submit(wav, "zeros" if (self.conditional and
+                                             self.classify_method is None)
+                            else None, timeout=timeout, _count_stats=False)
+            except ServiceOverloaded:
+                if self._draining:
+                    # drain() flipped between the check and the submit — an
+                    # operator stop mid-warmup is a clean exit, not a
+                    # warmup failure
+                    return
+                raise
             self.warm_buckets.append(int(b))
+
+    def warmup_async(self, buckets=None, timeout: float = 1800.0,
+                     on_done=None) -> None:
+        """Run :meth:`warmup` on a background thread so the HTTP listener
+        binds IMMEDIATELY: over a remote-attached chip the cold compiles
+        take minutes, and a blocking warmup leaves the port unbound that
+        whole time (load balancers see connection-refused, not a health
+        state). With this, /healthz answers "warming" from the first
+        second, requests admit and queue normally behind the warmup items
+        (they are served once their bucket compiles — or 503 at their own
+        deadline), and ``ready`` flips only when every bucket is warm.
+
+        A warmup failure means the model cannot run at all: it lands in
+        ``warmup_error`` (healthz status "warmup failed"), ``ready`` stays
+        unset, and ``on_done(error)`` lets the caller decide to exit."""
+        self.ready.clear()
+
+        def run():
+            err = None
+            try:
+                self.warmup(buckets, timeout)
+            except Exception as e:  # surface via healthz + on_done
+                err = e
+                self.warmup_error = e
+            else:
+                self.ready.set()
+            if on_done is not None:
+                on_done(err)
+
+        threading.Thread(target=run, daemon=True, name="warmup").start()
 
     def drain(self, timeout: float = 600.0) -> bool:
         """Graceful shutdown: stop admitting (new ``submit``s raise
@@ -940,18 +983,29 @@ class RequestHandler(BaseHTTPRequestHandler):
         if path == "/healthz":
             import jax
 
-            self._json(200, {
-                "status": "ok",
+            ready = svc.ready.is_set()
+            body = {
+                "status": ("ok" if ready else
+                           "warmup failed" if svc.warmup_error is not None
+                           else "warming"),
+                "ready": ready,   # the readiness-probe bit (warmup_async)
                 "model_class": svc.model_class,
                 "platform": jax.devices()[0].platform,
                 "warm_buckets": svc.warm_buckets,
                 "checkpoint": svc.checkpoint,
                 "uptime_seconds": round(time.time() - svc.started, 1),
-            })
+            }
+            if svc.warmup_error is not None:
+                body["warmup_error"] = str(svc.warmup_error)
+            self._json(200, body)
         elif path == "/stats":
             with svc._lock:
                 stats = dict(svc.stats)
                 lat = list(svc._latencies)
+                # live queue pressure (admitted-but-unanswered), distinct
+                # from the completed-work counters above: what an
+                # autoscaler or a load-shedding probe actually wants
+                stats["pending"] = svc._unfinished
             stats["rtf"] = (round(stats["busy_seconds"] / stats["audio_seconds"], 5)
                             if stats["audio_seconds"] else None)
             if lat:

@@ -3,8 +3,11 @@
 
 `enhance_wav.py` is the one-shot CLI; every invocation pays the cold jit
 compile (~minutes over a remote-attached chip). This daemon binds the chip
-once, pre-compiles the MCEM program for the expected utterance-length
-buckets, then serves enhancement over plain HTTP with micro-batching:
+once and pre-compiles the MCEM program for the expected utterance-length
+buckets IN THE BACKGROUND — the port binds immediately, /healthz reports
+"warming" (ready:false) until every bucket is compiled, and requests
+arriving mid-warmup queue behind the warmup items. It serves enhancement
+over plain HTTP with micro-batching:
 concurrent requests are merged into fixed-size device batches (padded with
 silence), so the compiled program is reused forever and overlapping
 traffic fills the MXU instead of running at batch-1. See
@@ -149,19 +152,33 @@ def main():
                   "batch to its bucket. Pass --chunk-seconds (e.g. 60) or "
                   "lower --max-audio-seconds.", flush=True)
 
-    if args.warmup_buckets:
-        print(f"warming {len(args.warmup_buckets)} bucket(s) "
-              "(cold compile — minutes on a remote-attached chip)...")
-        # pass the list explicitly: the auto-added chunk bucket lands in
-        # args AFTER the ServeConfig snapshot above
-        svc.warmup(args.warmup_buckets)
-        print(f"warm: {svc.warm_buckets}")
-
     server = make_server(svc, args.host, args.port, verbose=args.verbose,
                          admin_token=args.admin_token)
 
     import signal
     import threading
+
+    warmup_failed = threading.Event()
+    if args.warmup_buckets:
+        print(f"warming {len(args.warmup_buckets)} bucket(s) in the "
+              "background (cold compile — minutes on a remote-attached "
+              "chip); /healthz reports \"warming\" until done...", flush=True)
+
+        def _warm_done(err):
+            if err is None:
+                print(f"warm: {svc.warm_buckets}", flush=True)
+            else:
+                # the model cannot run at all — stop serving, exit nonzero
+                print(f"warmup FAILED: {err!r}", flush=True)
+                warmup_failed.set()
+                server.shutdown()
+
+        # pass the list explicitly: the auto-added chunk bucket lands in
+        # args AFTER the ServeConfig snapshot above. The listener binds
+        # NOW: requests arriving mid-warmup queue behind the warmup items
+        # and are answered once their bucket compiles (or 503 at their
+        # own deadline) — the port is never connection-refused.
+        svc.warmup_async(args.warmup_buckets, on_done=_warm_done)
 
     def _drain_and_stop():
         drained = svc.drain()
@@ -188,6 +205,8 @@ def main():
     finally:
         server.server_close()
         svc.close()
+    if warmup_failed.is_set():
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -240,6 +241,69 @@ def test_self_soft_labels_batched_matches_per_utterance():
                             np.float32).reshape(-1, 1)
             assert yb.shape == y1.shape
             np.testing.assert_allclose(yb, y1, rtol=0, atol=1e-6)
+
+
+def test_warmup_async_background_readiness():
+    """warmup_async: the service is usable from construction (requests
+    admit and are answered while warmup compiles in the background),
+    /healthz exposes the readiness bit, and ``ready`` flips only once
+    every bucket is warm. A failing warmup leaves ``ready`` unset and
+    lands in warmup_error / healthz "warmup failed"."""
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(
+        model, params, "m1", enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=2, batch_window_ms=10.0,
+                        warmup_buckets=()))
+    srv = make_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert svc.ready.is_set()  # no warmup requested -> born ready
+        done = []
+        svc.warmup_async([64], on_done=done.append)
+        # a request racing the warmup is served, not refused
+        status, _, body = _post(f"{url}/enhance", _wav_body(_noisy_wav()),
+                                timeout=300)
+        assert status == 200 and len(body) > 44
+        assert svc.ready.wait(300) and done == [None]
+        assert svc.warm_buckets == [64] and svc.warmup_error is None
+        with urllib.request.urlopen(f"{url}/healthz", timeout=60) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["ready"] is True
+
+        # healthz mid-warmup (pinned state, no timing race)
+        svc.ready.clear()
+        with urllib.request.urlopen(f"{url}/healthz", timeout=60) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "warming" and h["ready"] is False
+        svc.ready.set()
+
+        # failure path: an impossible bucket errors before any submit
+        done2 = []
+        svc.warmup_async([-64], on_done=done2.append)
+        deadline = time.time() + 60
+        while not done2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(done2) == 1 and done2[0] is not None
+        assert not svc.ready.is_set() and svc.warmup_error is done2[0]
+        with urllib.request.urlopen(f"{url}/healthz", timeout=60) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "warmup failed" and "warmup_error" in h
+
+        # drain racing warmup: the warmup stands down quietly (an operator
+        # stop mid-warmup is a clean exit, never a "warmup failure")
+        svc.warmup_error = None
+        svc._draining = True
+        svc.warmup([128])  # would raise ServiceOverloaded without the guard
+        assert svc.warmup_error is None and 128 not in svc.warm_buckets
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        svc.close()
 
 
 def test_warmup_traffic_is_stats_exempt():
@@ -704,14 +768,31 @@ def test_serve_cli_sigterm_drains(tmp_path):
         def client():
             # no warmup buckets: this request pays the compile, so it is
             # still in flight when SIGTERM lands
-            results["resp"] = _post(f"{url}/enhance",
-                                    _wav_body(_noisy_wav()), timeout=240)
+            try:
+                results["resp"] = _post(f"{url}/enhance",
+                                        _wav_body(_noisy_wav()), timeout=240)
+            except Exception as e:  # keep the failure diagnosable
+                results["error"] = e
 
         t = threading.Thread(target=client)
         t.start()
-        time.sleep(1.0)
+        # wait until the request is ADMITTED (visible as /stats pending)
+        # before signaling — a fixed sleep races admission under load and
+        # a too-early SIGTERM turns the request into a drain 503
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
+                st = json.loads(r.read())
+            # pending = in flight now; requests = already answered (a fast
+            # compile can finish before we ever observe it pending)
+            if st.get("pending", 0) >= 1 or st.get("requests", 0) >= 1:
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("request never admitted")
         proc.send_signal(_signal.SIGTERM)
         t.join(timeout=240)
+        assert "error" not in results, results["error"]
         assert results.get("resp") and results["resp"][0] == 200
         assert proc.wait(timeout=120) == 0
         out = "".join(lines) + proc.stdout.read()
