@@ -44,6 +44,9 @@ Wire protocol (see ``RequestHandler``):
   GET /healthz    -> {"status": "ok", ...}
   GET /stats      -> request/batch/audio-seconds counters, rtf, and
       p50/p90/p99 request latency over the last ``latency_window`` requests.
+  GET /metrics    -> the same counters in Prometheus text exposition
+      format (counters + gauges + a latency summary), so a standard
+      scrape job / autoscaler can watch the server without a JSON shim.
   POST /reload?checkpoint=<path> -> hot-swap to a new checkpoint of the
       SAME model (msgpack or reference .pt) with zero downtime: params are
       per-call arguments of the compiled programs, so the swap reuses every
@@ -745,6 +748,27 @@ class EnhanceService:
         self.close()
         return drained
 
+    def stats_snapshot(self) -> dict:
+        """Counters + live gauges as one consistent dict (the /stats body):
+        the cumulative ``stats`` counters, ``pending`` (admitted but not yet
+        answered — live queue pressure), ``rtf`` (busy/audio seconds), and a
+        p50/p90/p99 latency summary over the last ``latency_window``
+        requests."""
+        with self._lock:
+            stats = dict(self.stats)
+            lat = list(self._latencies)
+            stats["pending"] = self._unfinished
+        stats["rtf"] = (round(stats["busy_seconds"] / stats["audio_seconds"], 5)
+                        if stats["audio_seconds"] else None)
+        if lat:
+            q = np.quantile(lat, [0.5, 0.9, 0.99])
+            stats["latency_seconds"] = {
+                "p50": round(float(q[0]), 4), "p90": round(float(q[1]), 4),
+                "p99": round(float(q[2]), 4),
+                "mean": round(float(np.mean(lat)), 4),
+                "window": len(lat)}
+        return stats
+
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
@@ -930,6 +954,66 @@ def _pcm_to_float_mono(raw: bytes, fmt_code: int, bits: int,
     return x.astype(np.float32)
 
 
+_PROM_COUNTERS = (
+    # (stats key, metric name, help) — cumulative-since-start counters
+    ("requests", "dvae_requests_total", "Answered enhancement requests"),
+    ("failed", "dvae_requests_failed_total", "Requests answered with an error"),
+    ("rejected", "dvae_requests_rejected_total",
+     "Requests refused at admission (queue full or draining)"),
+    ("timeouts", "dvae_requests_timeout_total",
+     "Requests abandoned by their waiter before the device answered"),
+    ("batches", "dvae_device_batches_total", "Device batches dispatched"),
+    ("utterances", "dvae_utterances_total",
+     "Utterances/chunks enhanced (>= requests under chunking)"),
+    ("reloads", "dvae_checkpoint_reloads_total", "Hot checkpoint swaps applied"),
+    ("audio_seconds", "dvae_audio_seconds_total", "Audio seconds enhanced"),
+    ("busy_seconds", "dvae_device_busy_seconds_total",
+     "Wall seconds the worker spent on device batches"),
+    ("warmup_seconds", "dvae_warmup_seconds_total",
+     "Wall seconds spent compiling/warming buckets"),
+)
+
+
+def _prometheus_text(svc: EnhanceService) -> str:
+    """The /stats counters in Prometheus text exposition format (0.0.4).
+
+    Same numbers as ``stats_snapshot`` — counters as counters, live queue
+    pressure / readiness / RTF as gauges, and the rolling-window latency
+    quantiles as quantile-labelled gauges (the window is a ring buffer of
+    the last ``latency_window`` requests, not a cumulative summary, so a
+    true summary type would be a lie)."""
+    st = svc.stats_snapshot()
+    out = []
+    for key, name, help_ in _PROM_COUNTERS:
+        out.append(f"# HELP {name} {help_}.")
+        out.append(f"# TYPE {name} counter")
+        out.append(f"{name} {st[key]}")
+    out.append("# HELP dvae_pending_requests Admitted but not yet answered.")
+    out.append("# TYPE dvae_pending_requests gauge")
+    out.append(f"dvae_pending_requests {st['pending']}")
+    out.append("# HELP dvae_ready 1 once warmup finished (readiness probe).")
+    out.append("# TYPE dvae_ready gauge")
+    out.append(f"dvae_ready {int(svc.ready.is_set())}")
+    if st["rtf"] is not None:
+        out.append("# HELP dvae_rtf Device real-time factor "
+                   "(busy seconds per audio second).")
+        out.append("# TYPE dvae_rtf gauge")
+        out.append(f"dvae_rtf {st['rtf']}")
+    lat = st.get("latency_seconds")
+    if lat:
+        name = "dvae_request_latency_seconds"
+        out.append(f"# HELP {name} Request latency over the last "
+                   f"{lat['window']} requests (rolling window).")
+        out.append(f"# TYPE {name} gauge")
+        for q, k in (("0.5", "p50"), ("0.9", "p90"), ("0.99", "p99")):
+            out.append(f'{name}{{quantile="{q}"}} {lat[k]}')
+        out.append(f"{name}_window {lat['window']}")
+    out.append("# HELP dvae_uptime_seconds Seconds since service start.")
+    out.append("# TYPE dvae_uptime_seconds gauge")
+    out.append(f"dvae_uptime_seconds {round(time.time() - svc.started, 1)}")
+    return "\n".join(out) + "\n"
+
+
 class RequestHandler(BaseHTTPRequestHandler):
     """Bound to a service via ``make_server`` (class attribute injection)."""
 
@@ -999,23 +1083,13 @@ class RequestHandler(BaseHTTPRequestHandler):
                 body["warmup_error"] = str(svc.warmup_error)
             self._json(200, body)
         elif path == "/stats":
-            with svc._lock:
-                stats = dict(svc.stats)
-                lat = list(svc._latencies)
-                # live queue pressure (admitted-but-unanswered), distinct
-                # from the completed-work counters above: what an
-                # autoscaler or a load-shedding probe actually wants
-                stats["pending"] = svc._unfinished
-            stats["rtf"] = (round(stats["busy_seconds"] / stats["audio_seconds"], 5)
-                            if stats["audio_seconds"] else None)
-            if lat:
-                q = np.quantile(lat, [0.5, 0.9, 0.99])
-                stats["latency_seconds"] = {
-                    "p50": round(float(q[0]), 4), "p90": round(float(q[1]), 4),
-                    "p99": round(float(q[2]), 4),
-                    "mean": round(float(np.mean(lat)), 4),
-                    "window": len(lat)}
-            self._json(200, stats)
+            # "pending" (live queue pressure, admitted-but-unanswered) is
+            # what an autoscaler or a load-shedding probe actually wants,
+            # distinct from the completed-work counters
+            self._json(200, svc.stats_snapshot())
+        elif path == "/metrics":
+            self._send(200, _prometheus_text(svc).encode(),
+                       "text/plain; version=0.0.4; charset=utf-8")
         else:
             self._json(404, {"error": f"unknown path {path}"})
 

@@ -23,6 +23,7 @@ at all (its eval scripts walk the corpus tree, evaluate_ntcd_M1.py).
                      # wav body STREAMS as chunks finalize — first audio
                      # after one chunk's latency, not the whole file's
     curl -s localhost:8571/healthz; curl -s localhost:8571/stats
+    curl -s localhost:8571/metrics   # same counters, Prometheus text format
     curl -s -X POST 'localhost:8571/reload?checkpoint=/path/M1_...msgpack'
         # hot-swap to a newer checkpoint of the same model: zero downtime,
         # zero recompiles (params are per-call args of the warm programs)

@@ -139,6 +139,38 @@ def test_healthz_and_stats(server, m1_service):
     assert st["audio_seconds"] > 0 and st["rtf"] is not None
 
 
+def test_prometheus_metrics_endpoint(server):
+    """/metrics: text exposition format, counters agree with /stats, every
+    metric line parses as <name>[{labels}] <float>."""
+    # at least one answered request, so counters/latency exist even when
+    # this test runs alone against the module-scoped service
+    status, _, _ = _post(f"{server}/enhance", _wav_body(_noisy_wav()))
+    assert status == 200
+    with urllib.request.urlopen(f"{server}/stats", timeout=60) as r:
+        st = json.loads(r.read())
+    with urllib.request.urlopen(f"{server}/metrics", timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    values = {}
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            assert line.startswith(("# HELP ", "# TYPE ")), line
+            continue
+        name_part, val = line.rsplit(" ", 1)
+        values[name_part] = float(val)
+    # counters mirror the JSON stats (scraped a moment later: monotone >=)
+    assert values["dvae_requests_total"] >= st["requests"] >= 1
+    assert values["dvae_device_batches_total"] >= st["batches"] >= 1
+    assert values["dvae_audio_seconds_total"] > 0
+    assert values["dvae_ready"] == 1.0
+    assert values["dvae_pending_requests"] >= 0
+    assert values["dvae_rtf"] > 0
+    # latency summary present once requests have been answered
+    assert 'dvae_request_latency_seconds{quantile="0.5"}' in values
+    assert values["dvae_request_latency_seconds_window"] >= 1
+    assert values["dvae_uptime_seconds"] > 0
+
+
 def test_concurrent_requests_microbatch(server, m1_service):
     """Parallel clients coalesce: utterances advance by 4, batches by <4."""
     with m1_service._lock:
