@@ -212,8 +212,28 @@ def add_mcem_budgets(ap: argparse.ArgumentParser):
 
 
 def mcem_config_of(args, **overrides):
-    """McemConfig from the add_mcem_budgets flags (None = class default)."""
+    """McemConfig from the add_mcem_budgets flags (None = class default).
+
+    Also the one place every enhancement surface (evaluate_ntcd_*,
+    enhance_wav, serve) passes through, so the PEEM budget footgun is
+    guarded HERE: under ``--engine peem`` a reduced ``--niter`` was
+    measured per-utterance UNSTABLE (NMF underfit, +6/−3.5 dB SI-SDR
+    swings at niter=20 — evidence/realchip_peem_engine.json), unlike
+    MCEM whose quality degrades gracefully. PEEM's speedup comes from
+    cheap iterations, not fewer of them."""
+    import warnings
+
     from dvae_tpu.enhance.mcem import McemConfig
+
+    if getattr(args, "engine", "mcem") == "peem" and args.niter < 100:
+        warnings.warn(
+            f"--engine peem with --niter {args.niter} < 100: PEEM quality "
+            "was measured UNSTABLE at reduced EM budgets (per-utterance "
+            "SI-SDR swings of +6/-3.5 dB at niter=20; the NMF noise model "
+            "underfits without the full EM schedule). Keep --niter >= 100 "
+            "under peem — its speedup comes from cheaper iterations, not "
+            "fewer. Proceeding as requested.",
+            stacklevel=2)
 
     kw = dict(niter=args.niter, nmf_rank=args.nmf_rank)
     for field in ("nsamples_e_step", "burnin_e_step", "nsamples_wf",

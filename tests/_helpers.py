@@ -92,3 +92,51 @@ def load_reference_module(relpath: str):
 # exact outputs are hashed into frozen score vectors and golden pins —
 # consolidating them behind one parameterization risks silently shifting
 # those pinned values. Keep each test's generator with its pins.
+
+
+def wait_admitted(stats_url: str, deadline_s: float, proc=None,
+                  urlopen=None, sleep=None, clock=None) -> dict:
+    """Poll a serve.py /stats endpoint until a request is ADMITTED
+    (``pending >= 1``) or already ANSWERED (``requests >= 1``); returns the
+    stats dict that satisfied the condition.
+
+    The retry rules this encodes (and the unit test pins):
+    * a transient poll failure (slow/refused /stats while the server thread
+      starves for the GIL under parallel CPU load) RETRIES until the
+      deadline instead of failing the caller;
+    * ...UNLESS the server subprocess has DIED — then fail fast with its
+      exit status and output instead of spinning on connection refusals for
+      the whole deadline and reporting the misleading "never admitted";
+    * a clean poll that shows no admission yet re-polls quickly (50 ms).
+
+    ``urlopen``/``sleep``/``clock`` are injectable for unit testing.
+    """
+    import json as _json
+    import time as _time
+    import urllib.request as _request
+
+    urlopen = urlopen or _request.urlopen
+    sleep = sleep or _time.sleep
+    clock = clock or _time.time
+    deadline = clock() + deadline_s
+    while clock() < deadline:
+        try:
+            with urlopen(stats_url, timeout=30) as r:
+                st = _json.loads(r.read())
+        except Exception:
+            if proc is not None and proc.poll() is not None:
+                out = ""
+                if getattr(proc, "stdout", None) is not None:
+                    try:
+                        out = proc.stdout.read()
+                    except Exception:
+                        pass
+                raise AssertionError(
+                    f"server subprocess exited rc={proc.returncode} while "
+                    f"polling {stats_url}:\n{out}")
+            sleep(0.5)
+            continue
+        if st.get("pending", 0) >= 1 or st.get("requests", 0) >= 1:
+            return st
+        sleep(0.05)
+    raise AssertionError("request never admitted")

@@ -666,6 +666,34 @@ def test_mcem_budget_flags():
         (7, 3, 11, 0.02)
     assert cfg.burnin_e_step == 30 and cfg.nsamples_wf == 25  # untouched
     for script in ("evaluate_ntcd_M1.py", "evaluate_ntcd_M2.py",
-                   "evaluate_ntcd_M2_info_vad.py", "enhance_wav.py"):
+                   "evaluate_ntcd_M2_info_vad.py", "enhance_wav.py",
+                   "serve.py"):
         src = (SCRIPTS / script).read_text()
         assert "add_mcem_budgets" in src and "mcem_config_of" in src, script
+
+
+def test_peem_low_niter_warns():
+    """--engine peem with a reduced --niter warns on EVERY enhancement
+    surface (they all build their McemConfig through mcem_config_of):
+    PEEM was measured unstable at low EM budgets (+6/−3.5 dB per-utterance
+    swings at niter=20), unlike MCEM which degrades gracefully."""
+    import argparse
+    import warnings
+
+    sys.path.insert(0, str(SCRIPTS))
+    from _lib import add_mcem_budgets, mcem_config_of
+
+    ap = add_mcem_budgets(argparse.ArgumentParser())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mcem_config_of(ap.parse_args(["--engine", "peem", "--niter", "20"]))
+    assert any("peem" in str(x.message) and "niter" in str(x.message)
+               for x in w), [str(x.message) for x in w]
+    # no warning at the production budget, nor for mcem at any budget
+    for argv in (["--engine", "peem"],                  # default niter=100
+                 ["--engine", "mcem", "--niter", "20"],
+                 ["--niter", "20"]):                    # default engine
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            mcem_config_of(ap.parse_args(argv))
+        assert not w, (argv, [str(x.message) for x in w])

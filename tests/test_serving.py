@@ -167,7 +167,7 @@ def test_prometheus_metrics_endpoint(server):
     assert values["dvae_rtf"] > 0
     # latency summary present once requests have been answered
     assert 'dvae_request_latency_seconds{quantile="0.5"}' in values
-    assert values["dvae_request_latency_seconds_window"] >= 1
+    assert values["dvae_request_latency_window_size"] >= 1
     assert values["dvae_uptime_seconds"] > 0
 
 
@@ -486,6 +486,7 @@ def test_m2_requires_constant_labels():
                        cfg=ServeConfig(warmup_buckets=()))
 
 
+@pytest.mark.serving_cli
 def test_serve_cli_end_to_end(tmp_path):
     """scripts/serve.py boots from a checkpoint, serves a request, shuts
     down cleanly (subprocess, CPU-pinned like the other CLI chains)."""
@@ -774,9 +775,16 @@ def test_drain_answers_inflight_then_rejects():
         svc.close()
 
 
+@pytest.mark.serving_cli
 def test_serve_cli_sigterm_drains(tmp_path):
     """SIGTERM during an in-flight request: the response still completes
-    (drain), new work would get 503, and the process exits 0."""
+    (drain), new work would get 503, and the process exits 0.
+
+    Timing-sensitive by nature (a subprocess compiles JAX programs while
+    this process polls it): marked ``serving_cli`` so it can be deselected
+    (-m 'not serving_cli') when the machine is under heavy EXTERNAL CPU
+    load and run in isolation afterwards — the in-suite serial run is
+    stable (evidence/suite_stability.json)."""
     import os
     import pathlib
     import signal as _signal
@@ -831,27 +839,14 @@ def test_serve_cli_sigterm_drains(tmp_path):
 
         t = threading.Thread(target=client)
         t.start()
-        # wait until the request is ADMITTED (visible as /stats pending)
-        # before signaling — a fixed sleep races admission under load and
-        # a too-early SIGTERM turns the request into a drain 503
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            # a transient slow /stats (the server thread starves for the
-            # GIL while the compile churns under parallel-suite CPU load)
-            # must not fail the poll — retry until the deadline
-            try:
-                with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
-                    st = json.loads(r.read())
-            except Exception:
-                time.sleep(0.5)
-                continue
-            # pending = in flight now; requests = already answered (a fast
-            # compile can finish before we ever observe it pending)
-            if st.get("pending", 0) >= 1 or st.get("requests", 0) >= 1:
-                break
-            time.sleep(0.05)
-        else:
-            raise AssertionError("request never admitted")
+        # wait until the request is ADMITTED (pending >= 1; or already
+        # answered — a fast compile can finish before we observe it) before
+        # signaling: a fixed sleep races admission under load and a
+        # too-early SIGTERM turns the request into a drain 503. The retry/
+        # fail-fast rules live in _helpers.wait_admitted (unit-tested).
+        from _helpers import wait_admitted
+
+        wait_admitted(f"{url}/stats", 180, proc=proc)
         proc.send_signal(_signal.SIGTERM)
         t.join(timeout=420)
         assert "error" not in results, results["error"]
@@ -1561,3 +1556,85 @@ def test_riff_stream_helpers_match_buffered_decode():
     fmt24[bpos + 14:bpos + 16] = (24).to_bytes(2, "little")  # bits=24
     consumed, info = _riff_stream_info(io.BytesIO(bytes(fmt24)), len(fmt24))
     assert info is None
+
+
+def test_wait_admitted_retry_rules():
+    """Unit test for the admission-poll helper the serve-CLI tests rely on
+    (the structural de-flake): transient poll failures retry; a DEAD
+    subprocess fails fast with its exit status instead of spinning to the
+    deadline; a clean no-admission poll keeps polling; admission (or an
+    already-answered request) returns."""
+    import contextlib
+
+    from _helpers import wait_admitted
+
+    class FakeClock:
+        def __init__(self):
+            self.t = 0.0
+
+        def __call__(self):
+            return self.t
+
+        def sleep(self, dt):
+            self.t += dt
+
+    def opener(responses):
+        """responses: list of dicts (served in order; exceptions raised)."""
+        calls = []
+
+        def urlopen(url, timeout=None):
+            calls.append(url)
+            r = responses[min(len(calls) - 1, len(responses) - 1)]
+            if isinstance(r, Exception):
+                raise r
+
+            @contextlib.contextmanager
+            def ctx():
+                class R:
+                    @staticmethod
+                    def read():
+                        return json.dumps(r).encode()
+                yield R()
+            return ctx()
+        return urlopen, calls
+
+    # 1. transient failures then admission -> returns the satisfying stats
+    clock = FakeClock()
+    urlopen, calls = opener([ConnectionRefusedError(), OSError("slow"),
+                             {"pending": 0}, {"pending": 1}])
+    st = wait_admitted("http://x/stats", 60, proc=None, urlopen=urlopen,
+                       sleep=clock.sleep, clock=clock)
+    assert st["pending"] == 1 and len(calls) == 4
+
+    # 2. requests >= 1 satisfies too (fast compile answered before a
+    #    pending snapshot was ever observed)
+    clock = FakeClock()
+    urlopen, _ = opener([{"pending": 0, "requests": 1}])
+    st = wait_admitted("http://x/stats", 60, urlopen=urlopen,
+                       sleep=clock.sleep, clock=clock)
+    assert st["requests"] == 1
+
+    # 3. dead subprocess -> fail FAST (far before the deadline), message
+    #    carries the exit status
+    class DeadProc:
+        returncode = 3
+        stdout = io.StringIO("boom: traceback\n")
+
+        @staticmethod
+        def poll():
+            return 3
+
+    clock = FakeClock()
+    urlopen, calls = opener([ConnectionRefusedError()])
+    with pytest.raises(AssertionError, match="rc=3.*\n.*boom"):
+        wait_admitted("http://x/stats", 600, proc=DeadProc(),
+                      urlopen=urlopen, sleep=clock.sleep, clock=clock)
+    assert len(calls) == 1 and clock.t < 1
+
+    # 4. live-but-never-admitting server -> "never admitted" at deadline
+    clock = FakeClock()
+    urlopen, _ = opener([{"pending": 0}])
+    with pytest.raises(AssertionError, match="never admitted"):
+        wait_admitted("http://x/stats", 10, urlopen=urlopen,
+                      sleep=clock.sleep, clock=clock)
+    assert clock.t >= 10
