@@ -137,6 +137,21 @@ class EnhancerConfig:
     #            its clean_z_nomcem ablation).
     # The clean_z_nomcem ablation pins the latent outright and ignores this.
     engine: str = "mcem"
+    # Directory for Ahead-Of-Time-serialized device executables. When set
+    # (and no mesh is attached), the Enhancer manages its own compile cache
+    # INSTEAD of jax.jit dispatch: per input signature it deserializes a
+    # previously-saved executable from disk (jax.experimental.
+    # serialize_executable) or lower+compile+saves on first sight. This is
+    # the serving cold-boot fix: over a remote-attached chip the persistent
+    # HLO jit cache was observed NOT to help a fresh serve.py process
+    # (522 s warmup despite a warm cache entry — axon-side deserialization/
+    # recompile miss), while an executable blob restored in-process skips
+    # the compile path entirely. Entries are keyed by a hash of the full
+    # program identity (jax version, backend, config, param/arg avals) and
+    # fall back to a normal compile on any mismatch or load failure.
+    # Trust note: blobs are unpickled — point this only at an
+    # operator-controlled directory (same trust level as --checkpoint).
+    aot_dir: str | None = None
 
 
 class Enhancer:
@@ -165,6 +180,14 @@ class Enhancer:
             raise ValueError(f"bad engine {cfg.engine!r}")
         self.params = self._device_params(params)
         self._core = self._build_core()
+        self._aot: dict = {}
+        self.aot_stats = {"loaded": 0, "compiled": 0}
+        self._aot_enabled = bool(cfg.aot_dir) and mesh is None
+        if cfg.aot_dir and mesh is not None:
+            import warnings
+
+            warnings.warn("aot_dir is ignored under a mesh (serialized "
+                          "executables bake in single-device shardings)")
 
     def _device_params(self, params):
         """Params as device arrays (replicated under a mesh). Checkpoint
@@ -289,6 +312,109 @@ class Enhancer:
 
         return core
 
+    # -- AOT executable cache --------------------------------------------------
+    def _call_core(self, *args, n_frames: int):
+        """Run the device program for one batch: the jitted core by
+        default; under ``cfg.aot_dir`` an explicitly-managed compile cache
+        whose executables round-trip through disk, so a FRESH PROCESS
+        (serve.py cold boot) restores yesterday's compile in seconds
+        instead of re-paying minutes of XLA time per bucket."""
+        if not self._aot_enabled:
+            return self._core(*args, n_frames=n_frames)
+        sig = self._aot_sig(args, n_frames)
+        fn = self._aot.get(sig)
+        if fn is None:
+            fn = self._aot_load(sig)
+            if fn is None:
+                fn = self._core.lower(*args, n_frames=n_frames).compile()
+                self.aot_stats["compiled"] += 1
+                self._aot_save(sig, fn)
+            self._aot[sig] = fn
+        return fn(*args)
+
+    def _aot_sig(self, args, n_frames: int) -> str:
+        """Hash of the full program identity: anything that changes the
+        compiled executable must change the key (else a stale blob would be
+        silently loaded for the wrong program)."""
+        import hashlib
+
+        import jax.numpy as _jnp
+
+        def aval(x):
+            if x is None:
+                return "None"
+            return f"{_jnp.shape(x)}:{_jnp.result_type(x)}"
+
+        dev = jax.devices()[0]
+        norm = self.cfg.norm
+        norm_id = ("none" if norm is None else
+                   hashlib.sha256(np.asarray(norm[0]).tobytes()
+                                  + np.asarray(norm[1]).tobytes()).hexdigest())
+        parts = [
+            jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
+            repr(dataclasses.replace(self.cfg, norm=None)), norm_id,
+            repr(self.model), str(n_frames),
+            str(jax.tree.map(aval, args, is_leaf=lambda x: x is None)),
+        ]
+        return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
+
+    def _aot_path(self, sig: str):
+        import pathlib
+
+        return pathlib.Path(self.cfg.aot_dir) / f"core_{sig}.aotx"
+
+    def _aot_load(self, sig: str):
+        """Deserialize a saved executable; None on any miss/failure (a
+        corrupt or stale blob must degrade to a normal compile, never
+        crash serving startup)."""
+        import pickle
+
+        from jax.experimental.serialize_executable import deserialize_and_load
+
+        path = self._aot_path(sig)
+        if not path.exists():
+            return None
+        try:
+            with open(path, "rb") as f:
+                blob = pickle.load(f)
+            # pin execution to the default device: the program was jitted
+            # single-device, and the default load would span every
+            # addressable device (breaks under a multi-device topology)
+            fn = deserialize_and_load(blob["payload"], blob["in_tree"],
+                                      blob["out_tree"],
+                                      execution_devices=(jax.devices()[0],))
+        except Exception as e:
+            import warnings
+
+            warnings.warn(f"AOT cache entry {path.name} failed to load "
+                          f"({e}); recompiling")
+            return None
+        self.aot_stats["loaded"] += 1
+        return fn
+
+    def _aot_save(self, sig: str, compiled) -> None:
+        import os
+        import pickle
+        import tempfile
+
+        from jax.experimental.serialize_executable import serialize
+
+        try:
+            payload, in_tree, out_tree = serialize(compiled)
+            os.makedirs(self.cfg.aot_dir, exist_ok=True)
+            # atomic publish: a concurrent boot must never read a half-
+            # written blob (it would fall back to compiling, but noisily)
+            fd, tmp = tempfile.mkstemp(dir=self.cfg.aot_dir, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump({"payload": payload, "in_tree": in_tree,
+                             "out_tree": out_tree}, f)
+            os.replace(tmp, self._aot_path(sig))
+        except Exception as e:
+            import warnings
+
+            warnings.warn(f"could not save AOT cache entry ({e}); "
+                          "serving continues uncached")
+
     # -- host orchestration ----------------------------------------------------
     def _prepare(self, wavs, ys, max_frames, clean_wavs=None):
         """Host-side batch assembly: pad/bucket the wavs into the wire arrays
@@ -371,7 +497,7 @@ class Enhancer:
             wavs, ys, max_frames, clean_wavs
         )
 
-        out_dev = self._core(
+        out_dev = self._call_core(
             self.params, self._shard(xw), self._shard(x_scale),
             self._shard(sw) if sw is not None else None,
             self._shard(s_scale) if s_scale is not None else None,

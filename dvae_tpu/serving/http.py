@@ -87,6 +87,10 @@ class RequestHandler(BaseHTTPRequestHandler):
             }
             if svc.warmup_error is not None:
                 body["warmup_error"] = str(svc.warmup_error)
+            if getattr(svc.enhancer, "_aot_enabled", False):
+                # loaded vs compiled per bucket — lets an operator verify a
+                # boot actually hit the AOT cache (the whole point of it)
+                body["aot"] = dict(svc.enhancer.aot_stats)
             self._json(200, body)
         elif path == "/stats":
             # "pending" (live queue pressure, admitted-but-unanswered) is

@@ -99,6 +99,17 @@ def maybe_force_platform(args):
         jax.config.update("jax_platforms", args.platform)
     if not getattr(args, "no_jit_cache", False):
         enable_jit_cache()
+    else:
+        # actually OFF, even when the environment inherited
+        # JAX_COMPILATION_CACHE_DIR (jax reads the env var as the config
+        # default, so skipping enable_jit_cache alone is not enough).
+        # Matters beyond hygiene: serializing an AOT executable that
+        # compile() silently satisfied from a persistent-cache entry of a
+        # DIFFERENT device topology produced blobs that misexecute
+        # ('Buffer Definition Event ... not found' on XLA:CPU).
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
     if getattr(args, "multihost", False):
         # must run BEFORE anything initializes the XLA backend (model init,
         # jax.devices(), ...) — scripts call this right after arg parsing

@@ -77,6 +77,18 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--no-jit-cache", action="store_true")
+    ap.add_argument("--aot-cache", default=None, metavar="DIR",
+                    help="directory of Ahead-Of-Time-serialized device "
+                         "executables: warmup saves each bucket's compiled "
+                         "program there, and the NEXT boot restores it "
+                         "instead of recompiling — the cold-boot fix for "
+                         "remote-attached chips where the HLO jit cache "
+                         "does not help a fresh process. Keyed by the full "
+                         "program identity (jax/backend/config/shapes); "
+                         "stale entries fall back to compiling. Blobs are "
+                         "unpickled: use an operator-controlled directory "
+                         "(same trust as --checkpoint). Ignored with "
+                         "--data-parallel")
     ap.add_argument("--admin-token", default=None,
                     help="require ?token=<value> on POST /reload — set this "
                          "whenever --host is not loopback (/reload loads "
@@ -110,7 +122,8 @@ def main():
     svc = EnhanceService(
         model, params, args.model_class,
         enh_cfg=EnhancerConfig(mcem=mcem_config_of(args), y_mode=y_mode,
-                               norm=norm, engine=args.engine),
+                               norm=norm, engine=args.engine,
+                               aot_dir=args.aot_cache),
         cfg=ServeConfig(batch_size=args.batch_size,
                         batch_window_ms=args.batch_window_ms,
                         y_source=args.y_source, y_dim=args.y_dim,

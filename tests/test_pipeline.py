@@ -549,3 +549,68 @@ def test_peem_engine_rejects_bad_name(m1):
     model, params = m1
     with pytest.raises(ValueError, match="bad engine"):
         Enhancer(model, params, EnhancerConfig(engine="map"))
+
+
+def test_aot_cache_compile_save_and_fallback(subset_dir, m1, tmp_path):
+    """The Enhancer half of the serving cold-boot fix (cfg.aot_dir): first
+    sight of a signature lower+compiles, SERIALIZES the executable to disk,
+    and matches the plain jit path bitwise; repeated shapes reuse the
+    in-memory entry; new shapes are separate programs; corrupt blobs warn
+    and degrade to a compile, never a crash.
+
+    The actual cross-process disk RESTORE (zero recompiles on a second
+    boot) is pinned by test_serving.py::test_serve_cli_aot_cache_boot in a
+    subprocess: XLA:CPU's deserialized executables misexecute under this
+    suite's forced 8-device host topology ('Buffer Definition Event ... not
+    found'), while a plain single-device process — the actual production
+    shape — round-trips fine."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    cfg = EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(tmp_path / "aot"))
+    key = jax.random.PRNGKey(7)
+
+    enh1 = Enhancer(model, params, cfg)
+    out1 = enh1.enhance_batch([x1, x2], key=key)
+    assert enh1.aot_stats == {"loaded": 0, "compiled": 1}
+    blobs = list((tmp_path / "aot").glob("core_*.aotx"))
+    assert len(blobs) == 1 and blobs[0].stat().st_size > 0
+    # same shapes again: in-memory hit, no new load/compile
+    enh1.enhance_batch([x2, x1], key=key)
+    assert enh1.aot_stats == {"loaded": 0, "compiled": 1}
+    # a DIFFERENT shape signature (batch of 1) is a separate program
+    enh1.enhance_batch([x1], key=key)
+    assert enh1.aot_stats["compiled"] == 2
+
+    # matches the plain jit path bitwise (same math, different dispatch)
+    ref = Enhancer(model, params, EnhancerConfig(mcem=QUICK_MCEM))
+    for (s1, n1), (sr, nr) in zip(out1, ref.enhance_batch([x1, x2], key=key)):
+        np.testing.assert_array_equal(s1, sr)
+        np.testing.assert_array_equal(n1, nr)
+
+    # corrupt blob -> warn + recompile, results still served
+    for b in (tmp_path / "aot").glob("core_*.aotx"):
+        b.write_bytes(b"not a pickle")
+    enh3 = Enhancer(model, params, cfg)
+    with pytest.warns(UserWarning, match="failed to load"):
+        out3 = enh3.enhance_batch([x1, x2], key=key)
+    assert enh3.aot_stats["loaded"] == 0 and enh3.aot_stats["compiled"] >= 1
+    for (s1, _), (s3, _) in zip(out1, out3):
+        np.testing.assert_array_equal(s1, s3)
+
+
+def test_aot_cache_disabled_under_mesh(subset_dir, m1, tmp_path):
+    """aot_dir + mesh warns and falls back to normal jit dispatch
+    (serialized executables bake in single-device shardings)."""
+    from dvae_tpu.parallel import make_mesh
+
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    mesh = make_mesh()
+    with pytest.warns(UserWarning, match="mesh"):
+        enh = Enhancer(model, params,
+                       EnhancerConfig(mcem=QUICK_MCEM,
+                                      aot_dir=str(tmp_path / "aot")),
+                       mesh=mesh)
+    out = enh.enhance_batch([x1, x2] * 4, key=jax.random.PRNGKey(0))
+    assert len(out) == 8 and enh.aot_stats == {"loaded": 0, "compiled": 0}
+    assert not (tmp_path / "aot").exists()

@@ -1638,3 +1638,89 @@ def test_wait_admitted_retry_rules():
         wait_admitted("http://x/stats", 10, urlopen=urlopen,
                       sleep=clock.sleep, clock=clock)
     assert clock.t >= 10
+
+
+@pytest.mark.serving_cli
+def test_serve_cli_aot_cache_boot(tmp_path):
+    """The serving cold-boot fix end to end: FIRST boot with --aot-cache
+    compiles the warmup bucket and serializes its executable; the SECOND
+    boot of the same server restores it from disk with ZERO recompiles
+    (healthz aot counters pin it) and serves a correct request. Runs in
+    subprocesses (the production shape): XLA:CPU's deserialized
+    executables misexecute under this suite's in-process forced 8-device
+    topology."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    import time
+
+    from dvae_tpu.train.checkpoint import save_checkpoint
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    save_checkpoint(tmp_path, "M1_epoch_001_vloss_1.00", params)
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    argv = [sys.executable, str(repo / "scripts/serve.py"),
+            "--checkpoint", str(tmp_path / "M1_epoch_001_vloss_1.00.msgpack"),
+            "--z-dim", "4", "--h-dim", "16", "16",
+            "--niter", "3", "--nsamples-e-step", "2", "--burnin-e-step", "2",
+            "--nsamples-wf", "3", "--burnin-wf", "3",
+            "--batch-size", "2", "--port", "0", "--warmup-buckets", "64",
+            "--platform", "cpu", "--aot-cache", str(tmp_path / "aot"),
+            # the HLO jit cache would ALSO warm boot 2 — disable it so the
+            # aot counters below prove the executable restore on its own
+            "--no-jit-cache"]
+
+    def boot_and_stats():
+        proc = subprocess.Popen(argv, cwd=repo, env=env,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        try:
+            url, deadline, lines = None, time.time() + 240, []
+            while time.time() < deadline:
+                line = proc.stdout.readline()
+                if not line:
+                    assert proc.poll() is None, "".join(lines)
+                    continue
+                lines.append(line)
+                if line.startswith("serving on "):
+                    url = line.split()[2]
+                    break
+            assert url, "".join(lines)
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                try:
+                    with urllib.request.urlopen(f"{url}/healthz",
+                                                timeout=30) as r:
+                        h = json.loads(r.read())
+                except Exception:
+                    if proc.poll() is not None:
+                        raise AssertionError(
+                            f"serve.py died rc={proc.returncode}:\n"
+                            f"{''.join(lines)}{proc.stdout.read()}")
+                    time.sleep(0.5)
+                    continue
+                if h.get("ready"):
+                    break
+                time.sleep(0.2)
+            else:
+                raise AssertionError(f"never ready: {''.join(lines)}")
+            status, ctype, body = _post(f"{url}/enhance",
+                                        _wav_body(_noisy_wav()), timeout=120)
+            assert status == 200 and ctype == "audio/wav"
+            return h["aot"]
+        finally:
+            proc.terminate()
+            proc.wait(timeout=30)
+
+    aot1 = boot_and_stats()
+    assert aot1 == {"loaded": 0, "compiled": 1}, aot1
+    assert list((tmp_path / "aot").glob("core_*.aotx"))
+    aot2 = boot_and_stats()
+    assert aot2 == {"loaded": 1, "compiled": 0}, aot2
