@@ -697,3 +697,22 @@ def test_peem_low_niter_warns():
             warnings.simplefilter("always")
             mcem_config_of(ap.parse_args(argv))
         assert not w, (argv, [str(x.message) for x in w])
+
+
+def test_bench_profile_once_worker(tmp_path):
+    """bench.py --profile-once's trace SUBPROCESS (the bounded-window
+    replacement for --profile, which wedges over the tunnel): warms one
+    shape, traces exactly one dispatch, writes TensorBoard/Perfetto trace
+    files, exits 0. Driven here in its CPU mode; the parent orchestration
+    adds only a timeout + retry around this."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"),
+         "--_profile-worker", str(tmp_path), "--_force-cpu", "--niter", "3"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=420)
+    assert r.returncode == 0 and "PROFILE_WORKER_OK" in r.stdout, \
+        r.stdout[-1000:] + r.stderr[-1000:]
+    traces = list(tmp_path.rglob("*.xplane.pb")) \
+        + list(tmp_path.rglob("*.trace.json.gz"))
+    assert traces, list(tmp_path.rglob("*"))
