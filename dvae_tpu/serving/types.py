@@ -42,6 +42,11 @@ class ServeConfig:
     #                                SAME micro-batch queue (fixed buckets,
     #                                no recompile) and cross-fade on the
     #                                caller's thread (enhance/longform.py)
+    pipeline_dispatch: bool = True  # 2-deep worker pipeline: dispatch batch
+    #                                k+1 before collecting k (hides the
+    #                                per-dispatch link RTT under sustained
+    #                                load; zero extra latency when idle).
+    #                                False = strictly sequential worker.
 
 
 class _Item:

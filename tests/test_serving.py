@@ -1010,13 +1010,22 @@ def test_worker_error_is_server_fault_and_timeouts_counted():
         with svc._lock:
             assert len(svc._latencies) == 1
 
-        # worker-side ValueError -> EnhancementError for the waiter
-        orig = svc.enhancer.enhance_batch
-        svc.enhancer.enhance_batch = lambda *a, **k: (_ for _ in ()).throw(
+        # worker-side ValueError (here: at dispatch) -> EnhancementError
+        # for the waiter
+        orig = svc.enhancer.dispatch
+        svc.enhancer.dispatch = lambda *a, **k: (_ for _ in ()).throw(
             ValueError("operator misconfiguration"))
         with pytest.raises(EnhancementError, match="misconfiguration"):
             svc.submit(_noisy_wav(seconds=0.3))
-        svc.enhancer.enhance_batch = orig
+        svc.enhancer.dispatch = orig
+
+        # ...and at collect (the other worker phase under pipelining)
+        orig_c = svc.enhancer.collect
+        svc.enhancer.collect = lambda h: (_ for _ in ()).throw(
+            ValueError("device fault at fetch"))
+        with pytest.raises(EnhancementError, match="device fault"):
+            svc.submit(_noisy_wav(seconds=0.3))
+        svc.enhancer.collect = orig_c
 
         # timeout path is counted
         svc._stop.set()
@@ -1050,13 +1059,13 @@ def _slow_service(sleep_s=0.15, **cfg_kw):
         cfg=ServeConfig(**kw))
     svc.warmup()   # pay the compile BEFORE throttling: the timing
     #                assertions measure streaming, not cold jit
-    orig = svc.enhancer.enhance_batch
+    orig = svc.enhancer.dispatch
 
     def slow(*a, **k):
         _time.sleep(sleep_s)
         return orig(*a, **k)
 
-    svc.enhancer.enhance_batch = slow
+    svc.enhancer.dispatch = slow
     return svc
 
 
@@ -1724,3 +1733,69 @@ def test_serve_cli_aot_cache_boot(tmp_path):
     assert list((tmp_path / "aot").glob("core_*.aotx"))
     aot2 = boot_and_stats()
     assert aot2 == {"loaded": 1, "compiled": 0}, aot2
+
+
+def test_worker_pipelined_dispatch_overlaps_batches():
+    """Under sustained load, the worker DISPATCHES batch k+1 before
+    COLLECTING batch k (2-deep pipeline: the per-dispatch link RTT hides
+    behind device compute), results stay correct per request, and with
+    pipeline_dispatch=False the order is strictly
+    dispatch->collect->dispatch."""
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+
+    def run(pipeline: bool):
+        svc = EnhanceService(
+            model, params, "m1",
+            enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+            cfg=ServeConfig(batch_size=1, batch_window_ms=1.0,
+                            pipeline_dispatch=pipeline))
+        events = []
+        ev_lock = threading.Lock()
+        real_dispatch, real_collect = svc.enhancer.dispatch, svc.enhancer.collect
+
+        def spy_dispatch(*a, **k):
+            h = real_dispatch(*a, **k)
+            with ev_lock:
+                events.append("d")
+            return h
+
+        def spy_collect(h):
+            with ev_lock:
+                events.append("c")
+            return real_collect(h)
+
+        svc.enhancer.dispatch, svc.enhancer.collect = spy_dispatch, spy_collect
+        try:
+            svc.submit(_noisy_wav(seed=99), timeout=300)  # warm the bucket
+            with ev_lock:
+                events.clear()
+            xs = [_noisy_wav(seed=i) for i in range(4)]
+            results = [None] * 4
+
+            def client(i):
+                results[i] = svc.submit(xs[i], timeout=300)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            for (s, n), x in zip(results, xs):
+                resid = np.abs((s + n) - x)[: len(x) - 1024]
+                assert np.median(resid) < 5e-3
+            return events
+        finally:
+            svc.close()
+
+    ev = run(pipeline=True)
+    assert ev.count("d") == 4 and ev.count("c") == 4, ev
+    # at least one second-dispatch before the first collect (batch_size=1,
+    # 4 queued requests: the pipelined worker overlaps somewhere)
+    assert "".join(ev).find("dd") >= 0, ev
+
+    ev = run(pipeline=False)
+    assert "".join(ev) == "dcdcdcdc", ev
