@@ -51,6 +51,8 @@ def family_specs():
                      ["oracle-vad"]),
         "v3": ("ntcd_M2v3_VAD_Uloss_alpha_0.0_nonorm_*", "CVAE_v3", 1,
                "dec_only", ["self-soft", "oracle-vad"]),
+        "v4": ("ntcd_M2v4_VAD_alpha_10.0_beta_10.0_*", "CVAE_v4", 1,
+               "dec_only", ["self-soft"]),
         "v5": ("ntcd_M2_info_VAD_Lenc_aux_v1_*", "DisentangledVAE", 1,
                "dec_only", ["self-soft", "oracle-vad"]),
     }
