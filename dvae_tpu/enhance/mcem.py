@@ -391,6 +391,77 @@ def run_peem(
     return McemResult((vs_scaled / vx) * m3, (vb / vx) * m3, cost, z, w, h, g)
 
 
+def run_peem_wf(
+    decoder: Callable[[jnp.ndarray], jnp.ndarray],
+    x2: jnp.ndarray,
+    z_init: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: McemConfig = McemConfig(),
+    y: jnp.ndarray | None = None,
+    nmf_init: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    decoder_mats=None,
+    key: jax.Array | None = None,
+) -> McemResult:
+    """PEEM's EM loop + MCEM's Monte-Carlo Wiener expectation (the hybrid).
+
+    The round-3 engine-quality matrix (PARITY.md §2b) showed WHERE pure
+    PEEM loses: on checkpoints whose posterior is informative (IBM-
+    conditioned M2, v3) the point-evaluated Wiener mask gives up 2.7-5 dB
+    vs MCEM's posterior-AVERAGED mask. This engine keeps PEEM's cheap
+    deterministic EM iterations (cfg.peem_steps Adam steps each — the NMF
+    noise model fits the same way) and then computes the FINAL masks the
+    MCEM way: one Metropolis-Hastings chain seeded at the PEEM optimum
+    (``burnin_wf`` steps, masks averaged over ``nsamples_wf`` draws —
+    identical machinery to run_mcem's tail, mcem.py:310-329 in the
+    reference). Device cost is PEEM + one WF chain: ~100 MH steps total
+    instead of MCEM's ~4100 at the default budget.
+
+    Stochastic like MCEM (the WF chain samples), so parity claims are
+    statistical; the EM trajectory itself is PEEM's deterministic one.
+    ``key`` is REQUIRED; its NMF-init stream matches the other engines'
+    (same ``split(key, 3)[0]``), and the WF chain uses the same third
+    stream as run_mcem, so engines sharing a key share their NMF init.
+    """
+    if key is None:
+        raise ValueError("run_peem_wf needs a key (the WF chain samples)")
+    b, n, f = x2.shape
+    x2f, maskf, nmf0, decoder_f, dec, keys = _prep_em(
+        decoder, x2, mask, cfg, y, nmf_init, decoder_mats, key)
+    res = run_peem(decoder, x2, z_init, mask, cfg, y=y, nmf_init=nmf0,
+                   decoder_mats=decoder_mats)
+
+    sd = jnp.bfloat16 if cfg.fast_stats else jnp.float32
+    _, energy, mh_step, mh_light = _make_mh_step(
+        decoder_f, x2f, y, cfg.var_rw, stats_dtype=sd)
+    z, w, h, g = res.z, res.w, res.h, res.g
+    vb = compute_vb(w, h)
+    vbe = vb.astype(sd)
+    vs = dec(z)
+    e = energy(z, vs, vbe, g)
+    kb, ks = jax.random.split(keys[2])
+
+    (z, e), _ = jax.lax.scan(
+        lambda c, k: mh_light(c, k, vbe, g),
+        (z, e), jax.random.split(kb, cfg.burnin_wf))
+    vs = dec(z)
+
+    def wf_step(carry, k):
+        (z, vs, e), wfs_sum, wfn_sum = carry
+        (z, vs, e), _ = mh_step((z, vs, e), k, vbe, g)
+        vs_scaled = g[:, :, None] * vs
+        vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
+        return ((z, vs, e), wfs_sum + vs_scaled / vx, wfn_sum + vb / vx), None
+
+    zero = jnp.zeros_like(x2f)
+    ((z, vs, e), wfs_sum, wfn_sum), _ = jax.lax.scan(
+        wf_step, ((z, vs, e), zero, zero),
+        jax.random.split(ks, cfg.nsamples_wf))
+    m3 = maskf[:, :, None]
+    return McemResult(wfs_sum / cfg.nsamples_wf * m3,
+                      wfn_sum / cfg.nsamples_wf * m3,
+                      res.cost, z, w, h, g)
+
+
 def run_mcem(
     decoder: Callable[[jnp.ndarray], jnp.ndarray],
     x2: jnp.ndarray,

@@ -34,6 +34,7 @@ from dvae_tpu.enhance.mcem import (
     run_em_fixed_z,
     run_mcem,
     run_peem,
+    run_peem_wf,
 )
 from dvae_tpu.enhance.pallas_mcem import extract_decoder_mlp
 from dvae_tpu.ops.stft import (
@@ -129,6 +130,10 @@ class EnhancerConfig:
     # Inference engine for the E-step:
     #   "mcem" — the reference's Metropolis-Hastings Monte-Carlo EM
     #            (statistical parity with the reference at matched budgets).
+    #   "peem-wf" — PEEM's EM loop + MCEM's Monte-Carlo Wiener expectation
+    #            (run_peem_wf): recovers the posterior-averaged masks pure
+    #            PEEM gives up on strong checkpoints, at ~PEEM cost
+    #            (one ~100-step MH chain instead of ~4100).
     #   "peem" — gradient-based point-estimate EM (run_peem): MAP latent via
     #            cfg.mcem.peem_steps Adam steps/iter instead of the MH chain,
     #            deterministic Wiener masks. Several-fold fewer decoder/HBM
@@ -176,7 +181,7 @@ class Enhancer:
             raise ValueError(f"bad wire_dtype {cfg.wire_dtype!r}")
         if cfg.ablation not in ("none", "clean_z", "clean_z_nomcem"):
             raise ValueError(f"bad ablation {cfg.ablation!r}")
-        if cfg.engine not in ("mcem", "peem"):
+        if cfg.engine not in ("mcem", "peem", "peem-wf"):
             raise ValueError(f"bad engine {cfg.engine!r}")
         self.params = self._device_params(params)
         self._core = self._build_core()
@@ -279,6 +284,11 @@ class Enhancer:
                 )
             elif cfg.engine == "peem":
                 res = run_peem(
+                    dec, x2, z0, mask, cfg.mcem, y=y_dec,
+                    decoder_mats=extract_decoder_mlp(params, z_dim), key=key,
+                )
+            elif cfg.engine == "peem-wf":
+                res = run_peem_wf(
                     dec, x2, z0, mask, cfg.mcem, y=y_dec,
                     decoder_mats=extract_decoder_mlp(params, z_dim), key=key,
                 )

@@ -208,12 +208,17 @@ def add_mcem_budgets(ap: argparse.ArgumentParser):
                     help="MH burn-in for the Wiener expectation (default 75)")
     ap.add_argument("--var-rw", type=float, default=None,
                     help="MH random-walk proposal variance (default 0.01)")
-    ap.add_argument("--engine", choices=("mcem", "peem"), default="mcem",
+    ap.add_argument("--engine", choices=("mcem", "peem", "peem-wf"),
+                    default="mcem",
                     help="E-step inference: 'mcem' = the reference's "
                          "Metropolis-Hastings Monte-Carlo EM; 'peem' = "
                          "gradient-based point-estimate EM (MAP latent, "
                          "deterministic masks, several-fold faster — "
-                         "beyond-reference; see enhance/mcem.py:run_peem)")
+                         "beyond-reference; see enhance/mcem.py:run_peem; "
+                         "validity bounded, PARITY.md 2b); 'peem-wf' = "
+                         "PEEM iterations + MCEM's sampled final Wiener "
+                         "expectation (run_peem_wf — recovers the "
+                         "posterior-averaged masks at ~PEEM cost)")
     ap.add_argument("--peem-steps", type=int, default=None,
                     help="[--engine peem] Adam steps on the latent per EM "
                          "iteration (default 4)")

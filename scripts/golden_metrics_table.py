@@ -112,8 +112,10 @@ def main():
             print(f"| (input mixture) | — | — | — | {ib['si_sdr']:.2f} "
                   f"| {ib['estoi']:.3f} | {ib['pesq']:.2f} |")
         for c in matrix["cells"]:
-            for engine in ("mcem", "peem"):
-                e = c[engine]
+            for engine in ("mcem", "peem", "peem-wf"):
+                e = c.get(engine)
+                if e is None:
+                    continue
                 print(f"| {c['family']} | {c['labels']} | {engine} "
                       f"| {c['niter']} | {e['si_sdr']:.2f} "
                       f"| {e['estoi']:.3f} | {e['pesq']:.2f} |")

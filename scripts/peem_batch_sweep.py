@@ -32,7 +32,7 @@ SUBSET = "/root/reference/data/subset/processed/ntcd_timit"
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--engine", choices=("mcem", "peem"), default="peem")
+    ap.add_argument("--engine", choices=("mcem", "peem", "peem-wf"), default="peem")
     ap.add_argument("--niter", type=int, default=100)
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[16, 32, 48, 64, 96, 128])

@@ -70,6 +70,11 @@ def main():
     ap.add_argument("--niters", type=int, nargs="+", default=[100, 500])
     ap.add_argument("--families", nargs="+", default=None,
                     help="subset of %s" % list(family_specs()))
+    ap.add_argument("--engines", nargs="+",
+                    default=["mcem", "peem"],
+                    choices=["mcem", "peem", "peem-wf"],
+                    help="engines per cell; the first is the baseline the "
+                         "others' deltas are computed against")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) before first use")
     args = ap.parse_args()
@@ -183,11 +188,12 @@ def main():
             for niter in args.niters:
                 cell = {"family": fam, "labels": source, "niter": niter,
                         "checkpoint": os.path.basename(path)}
-                for engine in ("mcem", "peem"):
+                for engine in args.engines:
                     enh = Enhancer(model, params, EnhancerConfig(
                         mcem=McemConfig(niter=niter), y_mode=y_mode,
                         engine=engine))
-                    keys = range(args.seeds) if engine == "mcem" else (0,)
+                    keys = (range(args.seeds)
+                            if engine != "peem" else (0,))
                     per_seed = []
                     t0 = time.time()
                     for seed in keys:
@@ -207,21 +213,27 @@ def main():
                             "si_sdr": round(float(means[:, 0].std()), 3),
                             "estoi": round(float(means[:, 1].std()), 4),
                             "pesq": round(float(means[:, 2].std()), 3)}
-                d = {k: round(cell["peem"][k] - cell["mcem"][k],
-                              4 if k == "estoi" else 3)
-                     for k in ("si_sdr", "estoi", "pesq")}
-                cell["peem_minus_mcem"] = d
-                std = cell["mcem"].get("seed_std", {})
-                cell["delta_in_seed_stds"] = {
-                    k: (round(d[k] / std[k], 2) if std.get(k) else None)
-                    for k in d}
+                base_name = args.engines[0]
+                base_cell = cell[base_name]
+                std = base_cell.get("seed_std", {})
+                for other in args.engines[1:]:
+                    d = {k: round(cell[other][k] - base_cell[k],
+                                  4 if k == "estoi" else 3)
+                         for k in ("si_sdr", "estoi", "pesq")}
+                    cell[f"{other}_minus_{base_name}"] = d
+                    cell[f"{other}_delta_in_seed_stds"] = {
+                        k: (round(d[k] / std[k], 2) if std.get(k) else None)
+                        for k in d}
                 results["cells"].append(cell)
+                extras = "  ".join(
+                    f"{o} d=({cell[f'{o}_minus_{base_name}']['si_sdr']:+.2f} dB, "
+                    f"{cell[f'{o}_minus_{base_name}']['estoi']:+.4f}, "
+                    f"{cell[f'{o}_minus_{base_name}']['pesq']:+.2f})"
+                    for o in args.engines[1:])
                 print(f"  {source:>10} niter={niter}: "
-                      f"mcem {cell['mcem']['si_sdr']:+.2f} dB / "
-                      f"{cell['mcem']['estoi']:.3f} / "
-                      f"{cell['mcem']['pesq']:.2f}  "
-                      f"peem d=({d['si_sdr']:+.2f} dB, {d['estoi']:+.4f}, "
-                      f"{d['pesq']:+.2f})", flush=True)
+                      f"{base_name} {base_cell['si_sdr']:+.2f} dB / "
+                      f"{base_cell['estoi']:.3f} / "
+                      f"{base_cell['pesq']:.2f}  {extras}", flush=True)
 
     pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     with open(args.out, "w") as f:
@@ -229,19 +241,26 @@ def main():
     print(f"\nwrote {args.out}")
 
     # markdown table for PARITY.md section 2b
-    print("\n| family | labels | niter | MCEM si_sdr/estoi/pesq (±σ seeds) "
-          "| PEEM Δ (in σ units) |")
-    print("|---|---|---|---|---|")
+    base = args.engines[0]
+    others = args.engines[1:]
+    head = " | ".join(f"{o} Δ (in σ units)" for o in others)
+    print(f"\n| family | labels | niter | {base} si_sdr/estoi/pesq "
+          f"(±σ seeds) | {head} |")
+    print("|---|---|---|---|" + "---|" * len(others))
     for c in results["cells"]:
-        m, d, z = c["mcem"], c["peem_minus_mcem"], c["delta_in_seed_stds"]
+        m = c[base]
         sd = m.get("seed_std", {})
+        cols = []
+        for o in others:
+            d, z = c[f"{o}_minus_{base}"], c[f"{o}_delta_in_seed_stds"]
+            cols.append(f"{d['si_sdr']:+.2f} dB ({z['si_sdr']}σ), "
+                        f"{d['estoi']:+.4f} ({z['estoi']}σ), "
+                        f"{d['pesq']:+.2f} ({z['pesq']}σ)")
         print(f"| {c['family']} | {c['labels']} | {c['niter']} "
               f"| {m['si_sdr']:+.2f}±{sd.get('si_sdr', 0):.2f} dB, "
               f"{m['estoi']:.3f}±{sd.get('estoi', 0):.3f}, "
-              f"{m['pesq']:.2f}±{sd.get('pesq', 0):.2f} "
-              f"| {d['si_sdr']:+.2f} dB ({z['si_sdr']}σ), "
-              f"{d['estoi']:+.4f} ({z['estoi']}σ), "
-              f"{d['pesq']:+.2f} ({z['pesq']}σ) |")
+              f"{m['pesq']:.2f}±{sd.get('pesq', 0):.2f} | "
+              + " | ".join(cols) + " |")
 
 
 if __name__ == "__main__":

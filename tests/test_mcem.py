@@ -333,3 +333,47 @@ def test_peem_conditional_y():
                    key=jax.random.PRNGKey(70))
     np.testing.assert_allclose(np.asarray(res.wfs + res.wfn), 1.0, atol=1e-4)
     assert float(res.cost[-1]) < float(res.cost[0])
+
+
+def test_peem_wf_hybrid_engine():
+    """run_peem_wf = PEEM's EM loop + MCEM's sampled Wiener expectation:
+    masks partition to 1 on valid frames, cost trajectory equals pure
+    PEEM's bitwise (same deterministic EM path), and the masks differ from
+    pure PEEM's point evaluation (the chain actually sampled)."""
+    import numpy as np
+
+    from dvae_tpu.enhance.mcem import McemConfig, run_peem, run_peem_wf
+
+    rng = np.random.default_rng(3)
+    b, n, f, l = 2, 12, 33, 4
+    x2 = jnp.asarray(np.abs(rng.standard_normal((b, n, f))).astype(np.float32) + 0.1)
+    z0 = jnp.asarray(rng.standard_normal((b, n, l)).astype(np.float32))
+    mask = jnp.asarray((np.arange(n)[None, :] < np.array([[12], [9]])).astype(np.float32))
+    w1 = rng.standard_normal((l, 16)).astype(np.float32) * 0.2
+    b1 = np.zeros(16, np.float32)
+    w2 = rng.standard_normal((16, 16)).astype(np.float32) * 0.2
+    b2 = np.zeros(16, np.float32)
+    w3 = rng.standard_normal((16, f)).astype(np.float32) * 0.2
+    b3 = np.zeros(f, np.float32)
+
+    def dec(zin):
+        h = jnp.tanh(zin @ w1 + b1)
+        h = jnp.tanh(h @ w2 + b2)
+        return jnp.exp(h @ w3 + b3)
+
+    cfg = McemConfig(niter=4, peem_steps=2, nsamples_wf=5, burnin_wf=5,
+                     fast_decoder=False, fast_stats=False)
+    key = jax.random.PRNGKey(11)
+    hy = run_peem_wf(dec, x2, z0, mask, cfg, key=key)
+    pe = run_peem(dec, x2, z0, mask, cfg, key=key)
+
+    m3 = np.broadcast_to(np.asarray(mask)[:, :, None], (b, n, f))
+    np.testing.assert_allclose(np.asarray(hy.wfs + hy.wfn), m3, atol=1e-5)
+    assert np.isfinite(np.asarray(hy.cost)).all()
+    # same key -> same NMF init stream -> identical deterministic EM path
+    np.testing.assert_allclose(np.asarray(hy.cost), np.asarray(pe.cost),
+                               rtol=1e-6)
+    # ...but the final masks are the chain average, not the point mask
+    assert np.abs(np.asarray(hy.wfs - pe.wfs)).max() > 1e-4
+    # masked frames are zero
+    assert float(jnp.abs(hy.wfs * (1 - mask[:, :, None])).max()) == 0.0
