@@ -227,6 +227,31 @@ def add_mcem_budgets(ap: argparse.ArgumentParser):
     return ap
 
 
+def warn_peem_family(args, model_class: str, y_dim: int = 1) -> None:
+    """Operational guard from the round-3 engine-quality matrix
+    (PARITY.md §2b): the point-estimate engines measured -2.7…-5.0 dB vs
+    MCEM on IBM-conditioned M2 (y_dim=513) and v3-class checkpoints —
+    exactly the families whose posteriors are informative. Warn when
+    --engine peem/peem-wf targets one, so an operator runs a paired check
+    before trusting the speedup. ``model_class``: m1/m2/m2v2/v3/v4/v5."""
+    import warnings
+
+    if getattr(args, "engine", "mcem") not in ("peem", "peem-wf"):
+        return
+    risky = model_class == "v3" or (model_class in ("m2", "m2v2")
+                                    and y_dim == 513)
+    if risky:
+        warnings.warn(
+            f"--engine {args.engine} on an "
+            f"{'IBM-conditioned' if y_dim == 513 else model_class}-class "
+            "model: the engine-quality matrix measured the point-estimate "
+            "engines 2.7-5.0 dB BELOW MCEM on this family class "
+            "(PARITY.md 2b, evidence/peem_quality_matrix.json). Run a "
+            "paired MCEM-vs-PEEM check on your checkpoint before relying "
+            "on these outputs; MCEM is the quality-safe default.",
+            stacklevel=2)
+
+
 def mcem_config_of(args, **overrides):
     """McemConfig from the add_mcem_budgets flags (None = class default).
 

@@ -115,6 +115,9 @@ def main():
     from dvae_tpu.enhance.pipeline import Enhancer, EnhancerConfig
     from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped
 
+    from _lib import warn_peem_family
+
+    warn_peem_family(args, args.model_class, args.y_dim)
     model, params, path = load_family_model(args)
     print(f"loaded {path}")
 

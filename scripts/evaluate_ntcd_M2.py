@@ -85,6 +85,10 @@ def main():
     suffix = {"oracle": "", "classifier": "_y_hat_hard",
               "ones": "_oracle_1", "zeros": "_oracle_0"}[args.y_source]
 
+    from _lib import warn_peem_family
+
+    warn_peem_family(args, "m2" if args.model_variant == "v1" else "m2v2",
+                     y_dim)
     y_mode = "enc_dec" if args.model_variant == "v1" else "dec_only"
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=mcem_config_of(args), y_mode=y_mode,

@@ -128,6 +128,9 @@ def main():
 
     # the Enhancer only touches encode/decode; DisentangledVAE exposes the
     # enc_dec_clf submodules through those methods (MCEM_M2v3 semantics)
+    from _lib import warn_peem_family
+
+    warn_peem_family(args, args.model_class)
     enh = Enhancer(model, params, EnhancerConfig(
         mcem=mcem_config_of(args), y_mode="dec_only",
         ablation=ablation_of(args), norm=norm, engine=args.engine),

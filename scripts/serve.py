@@ -108,6 +108,9 @@ def main():
     from dvae_tpu.enhance.pipeline import EnhancerConfig
     from dvae_tpu.serving import EnhanceService, ServeConfig, make_server
 
+    from _lib import warn_peem_family
+
+    warn_peem_family(args, args.model_class, args.y_dim)
     model, params, path = load_family_model(args)
     print(f"loaded {path}")
 

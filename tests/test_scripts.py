@@ -716,3 +716,37 @@ def test_bench_profile_once_worker(tmp_path):
     traces = list(tmp_path.rglob("*.xplane.pb")) \
         + list(tmp_path.rglob("*.trace.json.gz"))
     assert traces, list(tmp_path.rglob("*"))
+
+
+def test_peem_family_warning():
+    """warn_peem_family: the engine-quality matrix's measured boundary is
+    operational — peem/peem-wf on IBM-conditioned M2 or v3-class models
+    warns (PARITY.md 2b); safe combinations stay silent."""
+    import argparse
+    import warnings
+
+    sys.path.insert(0, str(SCRIPTS))
+    from _lib import warn_peem_family
+
+    def args_for(engine):
+        ns = argparse.Namespace()
+        ns.engine = engine
+        return ns
+
+    def warns(engine, model_class, y_dim=1):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            warn_peem_family(args_for(engine), model_class, y_dim)
+        return [str(x.message) for x in w]
+
+    assert warns("peem", "v3")                       # v3-class
+    assert warns("peem-wf", "m2", y_dim=513)         # IBM-conditioned
+    assert warns("peem", "m2v2", y_dim=513)
+    assert not warns("mcem", "v3")                   # default engine: quiet
+    assert not warns("peem", "m1")                   # measured-safe families
+    assert not warns("peem", "m2", y_dim=1)
+    assert not warns("peem", "v5")
+    # every surface that knows its family calls it
+    for script in ("evaluate_ntcd_M2.py", "evaluate_ntcd_M2_info_vad.py",
+                   "enhance_wav.py", "serve.py"):
+        assert "warn_peem_family" in (SCRIPTS / script).read_text(), script
