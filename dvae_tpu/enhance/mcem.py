@@ -223,6 +223,43 @@ def _make_mh_step(decoder: Callable, x2, y, var_rw: float, stats_dtype=jnp.float
     return dec, energy, step, step_light
 
 
+def _wf_expectation(dec, energy, mh_step, mh_light, x2, mask, z, w, h, g,
+                    k_wf, cfg: McemConfig, stats_dtype):
+    """The Monte-Carlo Wiener-filter expectation (reference mcem.py:310-329),
+    shared VERBATIM by run_mcem's tail and run_peem_wf: a fresh MH chain
+    from ``z`` (``burnin_wf`` light steps, then masks accumulated over
+    ``nsamples_wf`` draws). Mask accumulation stays f32 with the SAME f32
+    ``vb`` in numerator and denominator so the partition identity
+    WFs + WFn = (g*Vs + Vb)/Vx ≡ 1 holds exactly; the chain's energies
+    read the stats-dtype copy (``vbe``). Returns (wfs, wfn, z) with the
+    frame mask applied."""
+    vb = compute_vb(w, h)
+    vbe = vb.astype(stats_dtype)
+    vs = dec(z)
+    e = energy(z, vs, vbe, g)
+    kb, ks = jax.random.split(k_wf)
+
+    (z, e), _ = jax.lax.scan(
+        lambda c, k: mh_light(c, k, vbe, g),
+        (z, e), jax.random.split(kb, cfg.burnin_wf))
+    vs = dec(z)
+
+    def wf_step(carry, key):
+        (z, vs, e), wfs_sum, wfn_sum = carry
+        (z, vs, e), _ = mh_step((z, vs, e), key, vbe, g)
+        vs_scaled = g[:, :, None] * vs
+        vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
+        return ((z, vs, e), wfs_sum + vs_scaled / vx, wfn_sum + vb / vx), None
+
+    zero = jnp.zeros_like(x2)
+    ((z, vs, e), wfs_sum, wfn_sum), _ = jax.lax.scan(
+        wf_step, ((z, vs, e), zero, zero),
+        jax.random.split(ks, cfg.nsamples_wf))
+    m3 = mask[:, :, None]
+    return (wfs_sum / cfg.nsamples_wf * m3,
+            wfn_sum / cfg.nsamples_wf * m3, z)
+
+
 def run_em_fixed_z(
     decoder: Callable[[jnp.ndarray], jnp.ndarray],
     x2: jnp.ndarray,
@@ -424,7 +461,6 @@ def run_peem_wf(
     """
     if key is None:
         raise ValueError("run_peem_wf needs a key (the WF chain samples)")
-    b, n, f = x2.shape
     x2f, maskf, nmf0, decoder_f, dec, keys = _prep_em(
         decoder, x2, mask, cfg, y, nmf_init, decoder_mats, key)
     res = run_peem(decoder, x2, z_init, mask, cfg, y=y, nmf_init=nmf0,
@@ -433,33 +469,10 @@ def run_peem_wf(
     sd = jnp.bfloat16 if cfg.fast_stats else jnp.float32
     _, energy, mh_step, mh_light = _make_mh_step(
         decoder_f, x2f, y, cfg.var_rw, stats_dtype=sd)
-    z, w, h, g = res.z, res.w, res.h, res.g
-    vb = compute_vb(w, h)
-    vbe = vb.astype(sd)
-    vs = dec(z)
-    e = energy(z, vs, vbe, g)
-    kb, ks = jax.random.split(keys[2])
-
-    (z, e), _ = jax.lax.scan(
-        lambda c, k: mh_light(c, k, vbe, g),
-        (z, e), jax.random.split(kb, cfg.burnin_wf))
-    vs = dec(z)
-
-    def wf_step(carry, k):
-        (z, vs, e), wfs_sum, wfn_sum = carry
-        (z, vs, e), _ = mh_step((z, vs, e), k, vbe, g)
-        vs_scaled = g[:, :, None] * vs
-        vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
-        return ((z, vs, e), wfs_sum + vs_scaled / vx, wfn_sum + vb / vx), None
-
-    zero = jnp.zeros_like(x2f)
-    ((z, vs, e), wfs_sum, wfn_sum), _ = jax.lax.scan(
-        wf_step, ((z, vs, e), zero, zero),
-        jax.random.split(ks, cfg.nsamples_wf))
-    m3 = maskf[:, :, None]
-    return McemResult(wfs_sum / cfg.nsamples_wf * m3,
-                      wfn_sum / cfg.nsamples_wf * m3,
-                      res.cost, z, w, h, g)
+    wfs, wfn, z = _wf_expectation(
+        dec, energy, mh_step, mh_light, x2f, maskf,
+        res.z, res.w, res.h, res.g, keys[2], cfg, sd)
+    return McemResult(wfs, wfn, res.cost, z, res.w, res.h, res.g)
 
 
 def run_mcem(
@@ -605,40 +618,8 @@ def run_mcem(
     (z, w, h, g), cost = jax.lax.scan(
         em_iter, (z_init, w, h, g), jax.random.split(k_em, cfg.niter)
     )
-    vs = dec(z)
 
     # ----- Wiener-filter expectation over a fresh MH chain (mcem.py:310-329)
-    vb = compute_vb(w, h)
-    vbe = vb.astype(sd)  # chain energies read the stats-dtype copy
-    e = energy(z, vs, vbe, g)
-    kb, ks = jax.random.split(k_wf)
-
-    # WF burn-in accumulates nothing: run it with the light (z, e) carry
-    (z, e), _ = jax.lax.scan(
-        lambda c, k: mh_light(c, k, vbe, g),
-        (z, e),
-        jax.random.split(kb, cfg.burnin_wf),
-    )
-    vs = dec(z)
-
-    def wf_step(carry, key):
-        # mask accumulation stays f32: WFs + WFn = (g*Vs + Vb)/Vx ≡ 1 uses
-        # the SAME f32 vb in numerator and denominator (partition identity)
-        (z, vs, e), wfs_sum, wfn_sum = carry
-        (z, vs, e), _ = mh_step((z, vs, e), key, vbe, g)
-        vs_scaled = g[:, :, None] * vs
-        vx = jnp.maximum(vs_scaled + vb, VX_FLOOR)
-        wfs_sum = wfs_sum + vs_scaled / vx
-        wfn_sum = wfn_sum + vb / vx
-        return ((z, vs, e), wfs_sum, wfn_sum), None
-
-    zero = jnp.zeros_like(x2)
-    ((z, vs, e), wfs_sum, wfn_sum), _ = jax.lax.scan(
-        wf_step,
-        ((z, vs, e), zero, zero),
-        jax.random.split(ks, cfg.nsamples_wf),
-    )
-    wfs = wfs_sum / cfg.nsamples_wf
-    wfn = wfn_sum / cfg.nsamples_wf
-    m3 = mask[:, :, None]
-    return McemResult(wfs * m3, wfn * m3, cost, z, w, h, g)
+    wfs, wfn, z = _wf_expectation(
+        dec, energy, mh_step, mh_light, x2, mask, z, w, h, g, k_wf, cfg, sd)
+    return McemResult(wfs, wfn, cost, z, w, h, g)

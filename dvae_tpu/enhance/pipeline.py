@@ -188,6 +188,7 @@ class Enhancer:
         self._aot: dict = {}
         self.aot_stats = {"loaded": 0, "compiled": 0}
         self._aot_enabled = bool(cfg.aot_dir) and mesh is None
+        self._aot_static = self._aot_static_sig() if self._aot_enabled else ""
         if cfg.aot_dir and mesh is not None:
             import warnings
 
@@ -334,18 +335,69 @@ class Enhancer:
         sig = self._aot_sig(args, n_frames)
         fn = self._aot.get(sig)
         if fn is None:
-            fn = self._aot_load(sig)
+            loaded = fn = self._aot_load(sig)
             if fn is None:
                 fn = self._core.lower(*args, n_frames=n_frames).compile()
                 self.aot_stats["compiled"] += 1
                 self._aot_save(sig, fn)
+            if loaded is not None:
+                # VALIDATE a disk-restored executable by running it once to
+                # completion before trusting it: XLA's persistent HLO cache
+                # is not reliably topology-keyed, and an executable that
+                # compile() once satisfied from a foreign-topology entry
+                # serializes fine but MISEXECUTES at run time ('Buffer
+                # Definition Event ... not found') — a failure the
+                # deserialize try/except cannot see. One forced sync on the
+                # first use of each loaded signature; a bad blob is
+                # quarantined and recompiled.
+                try:
+                    out = fn(*args)
+                    jax.block_until_ready(out)
+                    self._aot[sig] = fn
+                    return out
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn(
+                        f"AOT cache entry for {sig} failed VALIDATION ({e});"
+                        " quarantining and recompiling")
+                    self.aot_stats["loaded"] -= 1
+                    try:
+                        self._aot_path(sig).rename(
+                            self._aot_path(sig).with_suffix(".bad"))
+                    except OSError:
+                        pass
+                    fn = self._core.lower(*args, n_frames=n_frames).compile()
+                    self.aot_stats["compiled"] += 1
+                    self._aot_save(sig, fn)
             self._aot[sig] = fn
         return fn(*args)
+
+    def _aot_static_sig(self) -> str:
+        """The Enhancer-lifetime-invariant half of the program identity,
+        computed ONCE (hashing it per dispatch would put repr/sha256 work
+        on the serving worker's hot path). Includes the device TOPOLOGY:
+        executables compiled under a different addressable-device set must
+        never share a key (see _call_core's validation note)."""
+        import hashlib
+
+        devs = jax.devices()
+        norm = self.cfg.norm
+        norm_id = ("none" if norm is None else
+                   hashlib.sha256(np.asarray(norm[0]).tobytes()
+                                  + np.asarray(norm[1]).tobytes()).hexdigest())
+        return "|".join([
+            jax.__version__, devs[0].platform,
+            getattr(devs[0], "device_kind", "?"), str(len(devs)),
+            repr(dataclasses.replace(self.cfg, norm=None)), norm_id,
+            repr(self.model),
+        ])
 
     def _aot_sig(self, args, n_frames: int) -> str:
         """Hash of the full program identity: anything that changes the
         compiled executable must change the key (else a stale blob would be
-        silently loaded for the wrong program)."""
+        silently loaded for the wrong program). Static material is cached
+        (:meth:`_aot_static_sig`); only the arg avals hash per call."""
         import hashlib
 
         import jax.numpy as _jnp
@@ -355,15 +407,8 @@ class Enhancer:
                 return "None"
             return f"{_jnp.shape(x)}:{_jnp.result_type(x)}"
 
-        dev = jax.devices()[0]
-        norm = self.cfg.norm
-        norm_id = ("none" if norm is None else
-                   hashlib.sha256(np.asarray(norm[0]).tobytes()
-                                  + np.asarray(norm[1]).tobytes()).hexdigest())
         parts = [
-            jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
-            repr(dataclasses.replace(self.cfg, norm=None)), norm_id,
-            repr(self.model), str(n_frames),
+            self._aot_static, str(n_frames),
             str(jax.tree.map(aval, args, is_leaf=lambda x: x is None)),
         ]
         return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]

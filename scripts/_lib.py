@@ -266,9 +266,11 @@ def mcem_config_of(args, **overrides):
 
     from dvae_tpu.enhance.mcem import McemConfig
 
-    if getattr(args, "engine", "mcem") == "peem" and args.niter < 100:
+    if getattr(args, "engine", "mcem") in ("peem", "peem-wf") \
+            and args.niter < 100:
         warnings.warn(
-            f"--engine peem with --niter {args.niter} < 100: PEEM quality "
+            f"--engine {args.engine} with --niter {args.niter} < 100: PEEM "
+            "quality (and peem-wf's — it runs the identical PEEM EM loop) "
             "was measured UNSTABLE at reduced EM budgets (per-utterance "
             "SI-SDR swings of +6/-3.5 dB at niter=20; the NMF noise model "
             "underfits without the full EM schedule). Keep --niter >= 100 "

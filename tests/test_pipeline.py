@@ -614,3 +614,37 @@ def test_aot_cache_disabled_under_mesh(subset_dir, m1, tmp_path):
     out = enh.enhance_batch([x1, x2] * 4, key=jax.random.PRNGKey(0))
     assert len(out) == 8 and enh.aot_stats == {"loaded": 0, "compiled": 0}
     assert not (tmp_path / "aot").exists()
+
+
+def test_aot_cache_validation_quarantines_wrong_blob(subset_dir, m1, tmp_path):
+    """A blob that DESERIALIZES fine but cannot run this signature's
+    program (here: an executable for a different batch shape copied onto
+    the wrong key — the same failure mode as a topology-poisoned entry)
+    must fail _call_core's first-use VALIDATION, be quarantined to .bad,
+    and be replaced by a fresh compile with correct results."""
+    import shutil
+
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    cfg = EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(tmp_path / "aot"))
+    key = jax.random.PRNGKey(7)
+
+    enh1 = Enhancer(model, params, cfg)
+    ref = enh1.enhance_batch([x1, x2], key=key)       # compiles sig A
+    enh1.enhance_batch([x1], key=key)                 # compiles sig B
+    blobs = sorted((tmp_path / "aot").glob("core_*.aotx"))
+    assert len(blobs) == 2
+    # cross-wire the two entries: both keys now hold the OTHER program
+    tmpf = tmp_path / "swap"
+    shutil.copy(blobs[0], tmpf)
+    shutil.copy(blobs[1], blobs[0])
+    shutil.copy(tmpf, blobs[1])
+
+    enh2 = Enhancer(model, params, cfg)
+    with pytest.warns(UserWarning, match="(?i)validation|failed to load"):
+        out = enh2.enhance_batch([x1, x2], key=key)
+    # served correct results via the recompile, never the wrong program
+    for (s, n), (sr, nr) in zip(out, ref):
+        np.testing.assert_array_equal(s, sr)
+    assert enh2.aot_stats["compiled"] >= 1 and enh2.aot_stats["loaded"] == 0
+    assert list((tmp_path / "aot").glob("*.bad"))     # quarantined

@@ -684,11 +684,13 @@ def test_peem_low_niter_warns():
     from _lib import add_mcem_budgets, mcem_config_of
 
     ap = add_mcem_budgets(argparse.ArgumentParser())
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        mcem_config_of(ap.parse_args(["--engine", "peem", "--niter", "20"]))
-    assert any("peem" in str(x.message) and "niter" in str(x.message)
-               for x in w), [str(x.message) for x in w]
+    for engine in ("peem", "peem-wf"):  # the hybrid runs the same EM loop
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            mcem_config_of(ap.parse_args(["--engine", engine,
+                                          "--niter", "20"]))
+        assert any("niter" in str(x.message) and engine in str(x.message)
+                   for x in w), (engine, [str(x.message) for x in w])
     # no warning at the production budget, nor for mcem at any budget
     for argv in (["--engine", "peem"],                  # default niter=100
                  ["--engine", "mcem", "--niter", "20"],
