@@ -92,8 +92,9 @@ class EnhancerConfig:
     # only). Tested against the device-computed n_est.
     noise_from_partition: bool = True
     # Largest per-dispatch utterance count. XLA's fusion of the MCEM scan
-    # degrades past ~32 utterances of ~320 frames on v5e (measured: B=32
-    # 52.7 utt/s, B=64 35.5 utt/s for the bare engine) — oversized requests
+    # degrades past ~32 utterances of ~320 frames on v5e (settled sweep,
+    # bare-engine best windows: B=32 56.6, B=40 54.8, B=48 49.0, B=64
+    # 45.3 utt/s — the cliff starts past B≈48) — oversized requests
     # are split into sub-dispatches that pipeline like separate batches.
     max_device_batch: int = 32
     # Dispatches kept in flight by enhance_stream before collecting the
@@ -189,6 +190,8 @@ class Enhancer:
         self.aot_stats = {"loaded": 0, "compiled": 0}
         self._aot_enabled = bool(cfg.aot_dir) and mesh is None
         self._aot_static = self._aot_static_sig() if self._aot_enabled else ""
+        if self._aot_enabled:
+            self._aot_check_dir_trust()
         if cfg.aot_dir and mesh is not None:
             import warnings
 
@@ -367,11 +370,40 @@ class Enhancer:
                             self._aot_path(sig).with_suffix(".bad"))
                     except OSError:
                         pass
-                    fn = self._core.lower(*args, n_frames=n_frames).compile()
-                    self.aot_stats["compiled"] += 1
-                    self._aot_save(sig, fn)
+                    fn = self._recompile_validated(sig, args, n_frames)
             self._aot[sig] = fn
         return fn(*args)
+
+    def _recompile_validated(self, sig: str, args, n_frames: int):
+        """Replace a quarantined blob, VALIDATING the replacement before it
+        is published: if ``compile()`` is again satisfied by the same
+        foreign-topology persistent-HLO-cache entry that produced the bad
+        blob, the replacement misexecutes identically — saving it
+        unvalidated would re-publish a bad blob on every boot (self-healing
+        but the AOT win silently lost). On a failed validation, retry once
+        with the persistent compilation cache bypassed; if that also fails
+        the program is genuinely broken and the error propagates."""
+        fn = self._core.lower(*args, n_frames=n_frames).compile()
+        self.aot_stats["compiled"] += 1
+        try:
+            jax.block_until_ready(fn(*args))
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"recompiled executable for {sig} ALSO failed validation — "
+                "likely the same stale persistent-compilation-cache entry; "
+                "recompiling with the persistent cache bypassed")
+            prev = jax.config.jax_enable_compilation_cache
+            jax.config.update("jax_enable_compilation_cache", False)
+            try:
+                fn = self._core.lower(*args, n_frames=n_frames).compile()
+                self.aot_stats["compiled"] += 1
+            finally:
+                jax.config.update("jax_enable_compilation_cache", prev)
+            jax.block_until_ready(fn(*args))
+        self._aot_save(sig, fn)
+        return fn
 
     def _aot_static_sig(self) -> str:
         """The Enhancer-lifetime-invariant half of the program identity,
@@ -389,9 +421,34 @@ class Enhancer:
         return "|".join([
             jax.__version__, devs[0].platform,
             getattr(devs[0], "device_kind", "?"), str(len(devs)),
-            repr(dataclasses.replace(self.cfg, norm=None)), norm_id,
+            # aot_dir is excluded: the cache directory's own location does
+            # not affect the compiled program, and hashing it would silently
+            # invalidate every saved executable on a dir move/rename.
+            repr(dataclasses.replace(self.cfg, norm=None, aot_dir=None)),
+            norm_id,
             repr(self.model),
         ])
+
+    def _aot_check_dir_trust(self) -> None:
+        """AOT blobs are restored with pickle.load — executing a blob is
+        equivalent to executing code as this process. The directory must
+        therefore be writable only by the operator (same trust level as
+        ``--checkpoint``); warn loudly if it is group/world-writable."""
+        import os
+        import stat
+
+        try:
+            st = os.stat(self.cfg.aot_dir)
+        except OSError:
+            return  # not created yet — mkdir later inherits the umask
+        if st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+            import warnings
+
+            warnings.warn(
+                f"aot_dir {self.cfg.aot_dir!r} is group/world-writable; "
+                "cached executables are unpickled on load, so anyone who "
+                "can write there can execute code in this process. "
+                "chmod 755 (or tighter) the directory.")
 
     def _aot_sig(self, args, n_frames: int) -> str:
         """Hash of the full program identity: anything that changes the

@@ -7,7 +7,7 @@ repo, so the script is unrunnable from the reference checkout (SURVEY
 §2.2 #20). This module exists so that import resolves to a pointed error
 naming the working native equivalents instead of an ImportError:
 
-* model: :class:`dvae_tpu.models.lstm_vad.LstmVad` (audio),
+* model: :class:`dvae_tpu.models.lstm_vad.LSTMVad` (audio),
   :class:`dvae_tpu.models.video_vad.VideoVad` / ``AVVad`` (video / AV);
 * trainer: ``scripts/train_audio_net.py`` / ``scripts/train_video_net.py``;
 * label producer: ``scripts/predict_vad_labels.py``.
@@ -22,7 +22,7 @@ def __getattr__(name):
             f"packages.models.Audio_Net.{name} never existed in the "
             "reference (train_audio_net.py:18 imports it from the sibling "
             "audio-visual-vad repo). The working equivalents here are "
-            "dvae_tpu.models.lstm_vad.LstmVad / video_vad.{VideoVad,AVVad} "
+            "dvae_tpu.models.lstm_vad.LSTMVad / video_vad.{VideoVad,AVVad} "
             "with scripts/train_audio_net.py, train_video_net.py and "
             "predict_vad_labels.py. See MIGRATING.md.")
     raise AttributeError(

@@ -648,3 +648,44 @@ def test_aot_cache_validation_quarantines_wrong_blob(subset_dir, m1, tmp_path):
         np.testing.assert_array_equal(s, sr)
     assert enh2.aot_stats["compiled"] >= 1 and enh2.aot_stats["loaded"] == 0
     assert list((tmp_path / "aot").glob("*.bad"))     # quarantined
+
+
+def test_aot_cache_key_survives_dir_move(subset_dir, m1, tmp_path):
+    """aot_dir is EXCLUDED from the program-identity hash (round-3 advisor):
+    relocating the cache directory must not invalidate saved executables —
+    the path does not affect the compiled program."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    key = jax.random.PRNGKey(7)
+    d1 = tmp_path / "aot_here"
+    enh1 = Enhancer(model, params,
+                    EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(d1)))
+    enh1.enhance_batch([x1, x2], key=key)
+    assert enh1.aot_stats == {"loaded": 0, "compiled": 1}
+    d2 = tmp_path / "aot_moved"
+    d1.rename(d2)
+    enh2 = Enhancer(model, params,
+                    EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(d2)))
+    # the program-identity hash must be path-independent
+    assert enh2._aot_static == enh1._aot_static
+    # same signature in the relocated dir: the saved blob must be FOUND and
+    # load-attempted. Under this suite's forced 8-device host topology the
+    # XLA:CPU deserialized executable may then fail first-use validation
+    # (quarantine → loaded decremented, blob renamed .bad) — either outcome
+    # proves the key matched across the move; a MISS would leave the .aotx
+    # untouched and loaded at 0.
+    enh2.enhance_batch([x1, x2], key=key)
+    assert enh2.aot_stats["loaded"] >= 1 or list(d2.glob("*.bad"))
+
+
+def test_aot_cache_warns_on_world_writable_dir(subset_dir, m1, tmp_path):
+    """Blobs are unpickled on load: a group/world-writable cache dir means
+    anyone who can write there can execute code in the server process.
+    The Enhancer warns at construction (round-3 advisor)."""
+    model, params = m1
+    d = tmp_path / "aot_open"
+    d.mkdir()
+    d.chmod(0o777)
+    with pytest.warns(UserWarning, match="world-writable"):
+        Enhancer(model, params,
+                 EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(d)))
