@@ -116,6 +116,16 @@ class McemConfig:
     peem_steps: int = 4
     peem_lr: float = 1e-2
 
+    # run_pmcem knobs (ignored by the other engines): R parallel MH chains,
+    # MH steps per EM iteration (all chains advance together in one batched
+    # decoder pass per step), and the WF tail's burn-in steps. Defaults give
+    # the same 40 chain-energy evaluations per EM iteration as the
+    # reference's sequential budget (10 chains x 4 steps vs 30 burn-in + 10
+    # samples) and an M-step sample set of the same size (R=10 vs 10).
+    pmcem_chains: int = 10
+    pmcem_steps: int = 4
+    pmcem_wf_burn: int = 8
+
 
 class McemResult(NamedTuple):
     wfs: jnp.ndarray  # (B, N, F) speech Wiener mask  E[g*Vs / Vx]
@@ -473,6 +483,156 @@ def run_peem_wf(
         dec, energy, mh_step, mh_light, x2f, maskf,
         res.z, res.w, res.h, res.g, keys[2], cfg, sd)
     return McemResult(wfs, wfn, res.cost, z, res.w, res.h, res.g)
+
+
+def run_pmcem(
+    decoder: Callable[[jnp.ndarray], jnp.ndarray],
+    x2: jnp.ndarray,
+    z_init: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    cfg: McemConfig = McemConfig(),
+    y: jnp.ndarray | None = None,
+    nmf_init: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    decoder_mats=None,
+) -> McemResult:
+    """Parallel-chain MCEM: R Metropolis-Hastings chains advanced together.
+
+    The round-3 engine matrix localized PEEM's quality deficit to the
+    SPREAD of Vs samples feeding the NMF M-step (run_peem_wf recovered
+    ~nothing, so it is not the final mask average) — and MCEM buys that
+    spread with 40 *sequential* decoder passes per EM iteration
+    (reference mcem.py:207-265: burn-in 30 + 10 emitted samples on one
+    chain). This engine is the TPU-first way to buy the same spread:
+    ``cfg.pmcem_chains`` (R) independent chains carried across EM
+    iterations, each EM iteration advancing ALL chains through
+    ``cfg.pmcem_steps`` MH steps as ONE batched (R*B*N, L) decoder pass
+    per step, with the last step's R accepted states as the M-step sample
+    set (reference mcem.py:91-153 — the M-step is already defined over an
+    R-sample set; it never cared that the reference's R samples came from
+    one chain's history).
+
+    Why this maps better to the hardware: the MH energy pass is
+    HBM-bandwidth-bound on the loop-invariant |X|^2 and Vb planes (see
+    McemConfig.fast_stats). A sequential chain re-reads both planes every
+    step — 40 reads per EM iteration; R parallel chains evaluate against
+    ONE broadcast read per step — ``pmcem_steps`` reads per iteration
+    (4 at the default), while the R-fold decoder matmul batches onto the
+    MXU instead of running R launches. Same chain-eval budget
+    (R x steps = 40), ~10x fewer sequential HBM sweeps of the stat
+    planes.
+
+    Statistics: each chain is an exact MH kernel for the current
+    (vb, g) posterior — detailed balance holds per chain, so at
+    stationarity the R final states are R unbiased (correlated-in-time,
+    independent-across-chains) posterior draws; ACROSS-chain independence
+    is stronger than the reference's within-chain autocorrelated set.
+    The trade-off is per-iteration mixing depth (4 sequential steps vs
+    40): chains track the slowly-moving (vb, g) target across the
+    ``niter`` outer iterations (400 total steps per chain at defaults),
+    warm-started exactly like the reference's single chain. Chains are
+    initialized overdispersed around ``z_init`` (chain 0 exactly at it,
+    the rest perturbed by sqrt(var_rw)).
+
+    The Wiener tail averages masks over ALL chains: ``pmcem_wf_burn``
+    batched steps, then ``ceil(nsamples_wf / R)`` collect steps — a
+    >= nsamples_wf-sample average like run_mcem's tail
+    (mcem.py:310-329) at ~1/R the sequential depth.
+
+    Key streams match the other engines (``_prep_em``): same k_nmf, so
+    runs sharing a key share their NMF init.
+    """
+    b, n, f = x2.shape
+    r = cfg.pmcem_chains
+    x2, mask, (w, h, g), decoder, _, (_, k_em, k_wf) = _prep_em(
+        decoder, x2, mask, cfg, y, nmf_init, decoder_mats, key)
+    sd = jnp.bfloat16 if cfg.fast_stats else jnp.float32
+    sqrt_var = jnp.sqrt(jnp.asarray(cfg.var_rw, jnp.float32))
+    x2e = x2.astype(sd)
+
+    def dec(z):  # z: (R, B, N, L) -> vs (R, B, N, F)
+        if y is None:
+            return decoder(z)
+        yb = jnp.broadcast_to(y[None], z.shape[:-1] + (y.shape[-1],))
+        return decoder(jnp.concatenate([z, yb], axis=-1))
+
+    def energy(z, vs, vb, g):
+        # vb (B,N,F) and g (B,N) broadcast over the chain axis: ONE HBM
+        # read of each plane serves all R chains' energies
+        vx = jnp.maximum(g[None, :, :, None] * vs + vb[None], VX_FLOOR)
+        return jnp.sum(jnp.log(vx) + x2e[None] / vx, axis=-1) + \
+            0.5 * jnp.sum(z**2, axis=-1)          # (R, B, N)
+
+    def mh(carry, key, vb, g):
+        """One batched MH step on all R chains (light carry: vs is a
+        deterministic cache of z — recomputed where needed, never carried,
+        same rationale as _make_mh_step.step_light)."""
+        z, e = carry
+        k1, k2 = jax.random.split(key)
+        z_prime = z + sqrt_var * jax.random.normal(k1, z.shape)
+        e_prime = energy(z_prime, dec(z_prime), vb, g)
+        u = jax.random.uniform(k2, e.shape, minval=1e-38)
+        acc = jnp.log(u) < (e - e_prime)          # (R, B, N)
+        z = jnp.where(acc[..., None], z_prime, z)
+        e = jnp.where(acc, e_prime, e)
+        return (z, e), None
+
+    denom = jnp.maximum(jnp.sum(mask) * f, 1.0)
+
+    def em_iter(carry, key):
+        z, w, h, g = carry
+        vb = compute_vb(w, h)
+        vbe = vb.astype(sd)
+        e = energy(z, dec(z), vbe, g)   # refresh: vb/g changed since last iter
+        (z, e), _ = jax.lax.scan(
+            lambda c, k: mh(c, k, vbe, g),
+            (z, e), jax.random.split(key, cfg.pmcem_steps))
+        vs_samples = dec(z).astype(sd)            # (R, B, N, F)
+        w, h, g, vb = nmf_m_step(x2, vs_samples, w, h, g, mask, cfg.eps)
+        vx = jnp.maximum(
+            g[None, :, :, None] * vs_samples.astype(jnp.float32) + vb[None],
+            VX_FLOOR)
+        cost = jnp.sum(
+            jnp.mean(jnp.log(vx) + x2[None] / vx, axis=0) * mask[:, :, None]
+        ) / denom
+        return (z, w, h, g), cost
+
+    k_init, k_em = jax.random.split(k_em)
+    # overdispersed start: chain 0 at the encoder mean, the rest perturbed
+    keep = (jnp.arange(r) > 0).astype(jnp.float32).reshape(
+        (r,) + (1,) * z_init.ndim)
+    z0 = z_init[None] + sqrt_var * keep * jax.random.normal(
+        k_init, (r,) + z_init.shape)
+    (z, w, h, g), cost = jax.lax.scan(
+        em_iter, (z0, w, h, g), jax.random.split(k_em, cfg.niter))
+
+    # ----- Wiener expectation over all chains (run_mcem tail, parallel-R)
+    vb = compute_vb(w, h)
+    vbe = vb.astype(sd)
+    e = energy(z, dec(z), vbe, g)
+    kb, ks = jax.random.split(k_wf)
+    (z, e), _ = jax.lax.scan(
+        lambda c, k: mh(c, k, vbe, g),
+        (z, e), jax.random.split(kb, cfg.pmcem_wf_burn))
+
+    n_collect = -(-cfg.nsamples_wf // r)          # ceil: >= nsamples_wf draws
+
+    def wf_step(carry, key):
+        (z, e), wfs_sum, wfn_sum = carry
+        (z, e), _ = mh((z, e), key, vbe, g)
+        vs = dec(z)
+        vs_scaled = g[None, :, :, None] * vs
+        vx = jnp.maximum(vs_scaled + vb[None], VX_FLOOR)
+        return ((z, e), wfs_sum + jnp.sum(vs_scaled / vx, axis=0),
+                wfn_sum + jnp.sum(vb[None] / vx, axis=0)), None
+
+    zero = jnp.zeros_like(x2)
+    ((z, e), wfs_sum, wfn_sum), _ = jax.lax.scan(
+        wf_step, ((z, e), zero, zero), jax.random.split(ks, n_collect))
+    n_avg = n_collect * r
+    m3 = mask[:, :, None]
+    return McemResult(wfs_sum / n_avg * m3, wfn_sum / n_avg * m3, cost,
+                      z[0], w, h, g)
 
 
 def run_mcem(

@@ -35,6 +35,7 @@ from dvae_tpu.enhance.mcem import (
     run_mcem,
     run_peem,
     run_peem_wf,
+    run_pmcem,
 )
 from dvae_tpu.enhance.pallas_mcem import extract_decoder_mlp
 from dvae_tpu.ops.stft import (
@@ -141,6 +142,11 @@ class EnhancerConfig:
     #            passes; bitwise-reproducible. Beyond-reference (the
     #            reference only ships the pinned-latent degenerate form as
     #            its clean_z_nomcem ablation).
+    #   "pmcem" — parallel-chain MCEM (run_pmcem): cfg.mcem.pmcem_chains
+    #            independent MH chains advanced together, one batched
+    #            decoder pass per MH step; same chain-eval budget as mcem
+    #            at the defaults with ~10x fewer sequential HBM sweeps of
+    #            the stat planes. Statistical like mcem.
     # The clean_z_nomcem ablation pins the latent outright and ignores this.
     engine: str = "mcem"
     # Directory for Ahead-Of-Time-serialized device executables. When set
@@ -182,7 +188,7 @@ class Enhancer:
             raise ValueError(f"bad wire_dtype {cfg.wire_dtype!r}")
         if cfg.ablation not in ("none", "clean_z", "clean_z_nomcem"):
             raise ValueError(f"bad ablation {cfg.ablation!r}")
-        if cfg.engine not in ("mcem", "peem", "peem-wf"):
+        if cfg.engine not in ("mcem", "peem", "peem-wf", "pmcem"):
             raise ValueError(f"bad engine {cfg.engine!r}")
         self.params = self._device_params(params)
         self._core = self._build_core()
@@ -295,6 +301,11 @@ class Enhancer:
                 res = run_peem_wf(
                     dec, x2, z0, mask, cfg.mcem, y=y_dec,
                     decoder_mats=extract_decoder_mlp(params, z_dim), key=key,
+                )
+            elif cfg.engine == "pmcem":
+                res = run_pmcem(
+                    dec, x2, z0, mask, key, cfg.mcem, y=y_dec,
+                    decoder_mats=extract_decoder_mlp(params, z_dim),
                 )
             else:
                 # use_pallas=False: measured on v5e, the XLA scan engine wins

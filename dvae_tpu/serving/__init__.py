@@ -71,20 +71,44 @@ whole public surface so ``dvae_tpu.serving`` keeps its historical names):
   http.py      RequestHandler + make_server (wire status mapping)
   wire.py      RIFF/PCM encode/decode + feed accumulation
   metrics.py   Prometheus text exposition of the stats snapshot
-"""
+  boot.py      boot-phase ledger + early port bind (stdlib-only)
 
-from dvae_tpu.serving.http import RequestHandler, make_server
-from dvae_tpu.serving.metrics import _PROM_COUNTERS, _prometheus_text
-from dvae_tpu.serving.service import (EnhancementError, EnhanceService,
-                                      ServeConfig, ServiceOverloaded, _Item,
-                                      _Y_SOURCES)
-from dvae_tpu.serving.wire import (_collect_feed, _feed_into,
-                                   _parse_wav_bytes, _pcm_seg_bytes,
-                                   _pcm_to_float_mono, _riff_header,
-                                   _riff_stream_info, _wav_bytes,
-                                   _STREAMABLE_PCM)
+Re-exports are LAZY (PEP 562): ``boot.py`` must be importable before the
+heavy jax/flax stack loads (serve.py binds its port off it within ~1 s of
+exec), so this __init__ cannot eagerly import the submodules that pull
+jax in. ``from dvae_tpu.serving import EnhanceService`` still works —
+resolved on first attribute access."""
+
+_EXPORTS = {
+    "RequestHandler": "http", "make_server": "http",
+    "_PROM_COUNTERS": "metrics", "_prometheus_text": "metrics",
+    "EnhancementError": "service", "EnhanceService": "service",
+    "ServeConfig": "service", "ServiceOverloaded": "service",
+    "_Item": "service", "_Y_SOURCES": "service",
+    "_collect_feed": "wire", "_feed_into": "wire",
+    "_parse_wav_bytes": "wire", "_pcm_seg_bytes": "wire",
+    "_pcm_to_float_mono": "wire", "_riff_header": "wire",
+    "_riff_stream_info": "wire", "_wav_bytes": "wire",
+    "_STREAMABLE_PCM": "wire",
+    "BootTimer": "boot", "bind_boot_server": "boot",
+    "attach_service": "boot",
+}
 
 __all__ = [
     "EnhanceService", "ServeConfig", "ServiceOverloaded", "EnhancementError",
     "RequestHandler", "make_server",
+    "BootTimer", "bind_boot_server", "attach_service",
 ]
+
+
+def __getattr__(name):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(f"{__name__}.{mod}"), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))

@@ -91,6 +91,13 @@ class RequestHandler(BaseHTTPRequestHandler):
                 # loaded vs compiled per bucket — lets an operator verify a
                 # boot actually hit the AOT cache (the whole point of it)
                 body["aot"] = dict(svc.enhancer.aot_stats)
+            boot = getattr(svc, "boot", None)
+            if boot is not None:
+                # the boot-phase ledger (serving/boot.py): where the start
+                # time went — imports, backend init, model load, service
+                # init, warmup — and the ready mark. Kept after boot so a
+                # slow restart is diagnosable post-hoc.
+                body["boot"] = boot.snapshot()
             self._json(200, body)
         elif path == "/stats":
             # "pending" (live queue pressure, admitted-but-unanswered) is

@@ -208,7 +208,7 @@ def add_mcem_budgets(ap: argparse.ArgumentParser):
                     help="MH burn-in for the Wiener expectation (default 75)")
     ap.add_argument("--var-rw", type=float, default=None,
                     help="MH random-walk proposal variance (default 0.01)")
-    ap.add_argument("--engine", choices=("mcem", "peem", "peem-wf"),
+    ap.add_argument("--engine", choices=("mcem", "peem", "peem-wf", "pmcem"),
                     default="mcem",
                     help="E-step inference: 'mcem' = the reference's "
                          "Metropolis-Hastings Monte-Carlo EM; 'peem' = "
@@ -218,12 +218,21 @@ def add_mcem_budgets(ap: argparse.ArgumentParser):
                          "validity bounded, PARITY.md 2b); 'peem-wf' = "
                          "PEEM iterations + MCEM's sampled final Wiener "
                          "expectation (run_peem_wf — recovers the "
-                         "posterior-averaged masks at ~PEEM cost)")
+                         "posterior-averaged masks at ~PEEM cost); "
+                         "'pmcem' = parallel-chain MCEM (R chains, one "
+                         "batched decoder pass per MH step — same sample "
+                         "budget as mcem with ~10x fewer sequential HBM "
+                         "sweeps; run_pmcem)")
     ap.add_argument("--peem-steps", type=int, default=None,
                     help="[--engine peem] Adam steps on the latent per EM "
                          "iteration (default 4)")
     ap.add_argument("--peem-lr", type=float, default=None,
                     help="[--engine peem] Adam learning rate (default 0.01)")
+    ap.add_argument("--pmcem-chains", type=int, default=None,
+                    help="[--engine pmcem] parallel MH chains (default 10)")
+    ap.add_argument("--pmcem-steps", type=int, default=None,
+                    help="[--engine pmcem] MH steps per EM iteration, all "
+                         "chains together (default 4)")
     return ap
 
 
@@ -280,7 +289,8 @@ def mcem_config_of(args, **overrides):
 
     kw = dict(niter=args.niter, nmf_rank=args.nmf_rank)
     for field in ("nsamples_e_step", "burnin_e_step", "nsamples_wf",
-                  "burnin_wf", "var_rw", "peem_steps", "peem_lr"):
+                  "burnin_wf", "var_rw", "peem_steps", "peem_lr",
+                  "pmcem_chains", "pmcem_steps"):
         v = getattr(args, field, None)
         if v is not None:
             kw[field] = v
@@ -374,12 +384,23 @@ def add_model_family(ap: argparse.ArgumentParser):
     ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
 
 
-def load_family_model(args):
+def load_family_model(args, abstract: bool = False):
     """(model, params, checkpoint_path) from the add_model_family flags.
 
-    Call after maybe_force_platform (first jax use binds the platform)."""
+    Call after maybe_force_platform (first jax use binds the platform).
+
+    ``abstract=True`` builds the checkpoint-load template with
+    ``jax.eval_shape`` instead of a real flax init: identical tree
+    structure/shapes/dtypes (pinned by test_scripts.py) but ZERO device
+    compute — no init program is compiled or executed, the params come
+    back as the checkpoint's host numpy arrays. This is the serving-boot
+    fast path (serve.py): a real init was measured at 6 s of the boot's
+    model_load phase on this host's CPU, pure compile+dispatch overhead
+    for values the checkpoint immediately overwrites. The default stays
+    concrete for trainers that may use the init values (fresh runs)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from dvae_tpu.models import (CVAE, CVAE_v2, CVAE_v3, CVAE_v4,
                                  DisentangledVAE, VAE, init_params)
@@ -390,12 +411,21 @@ def load_family_model(args):
     if args.model_class != "m1":
         model = cls(x_dim=513, y_dim=args.y_dim, z_dim=args.z_dim,
                     h_dim=tuple(args.h_dim))
-        init_args = (jnp.ones((4, 513)), jnp.ones((4, args.y_dim)))
+        shapes = ((4, 513), (4, args.y_dim))
     else:
         model = cls(x_dim=513, z_dim=args.z_dim, h_dim=tuple(args.h_dim))
-        init_args = (jnp.ones((4, 513)),)
-    params_t = init_params(
-        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        *init_args)
+        shapes = ((4, 513),)
+    if abstract:
+        key_s = jax.ShapeDtypeStruct((2,), np.uint32)
+        arg_s = [jax.ShapeDtypeStruct(s, np.float32) for s in shapes]
+        params_t = jax.eval_shape(
+            lambda k1, k2, *a: init_params(
+                model, {"params": k1, "sample": k2}, *a),
+            key_s, key_s, *arg_s)
+    else:
+        params_t = init_params(
+            model,
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            *[jnp.ones(s) for s in shapes])
     path = args.checkpoint or ckpt.best_checkpoint(args.model_dir)
     return model, ckpt.load_checkpoint(path, params_t), path

@@ -36,6 +36,13 @@ from _lib import (add_mcem_budgets, add_model_family, load_family_model,
 
 
 def main():
+    # BootTimer first: it anchors at the PROCESS start (/proc starttime),
+    # so the interpreter+light-import segment is measured, not lost.
+    # boot.py is stdlib-only — importing it costs nothing.
+    from dvae_tpu.serving.boot import (BootTimer, attach_service,
+                                       bind_boot_server)
+
+    boot = BootTimer()
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     add_model_family(ap)
@@ -103,39 +110,72 @@ def main():
     if args.model_class in ("m2", "m2v2") and args.y_source == "self-soft":
         ap.error(f"{args.model_class} has no classifier; use --y-source "
                  "ones/zeros")
-    maybe_force_platform(args)
 
-    from dvae_tpu.enhance.pipeline import EnhancerConfig
-    from dvae_tpu.serving import EnhanceService, ServeConfig, make_server
+    # Bind the listening socket NOW — before the heavy imports, before any
+    # backend touch. A readiness probe sees {"status": "booting", phases}
+    # within ~1 s of exec instead of connection-refused for the whole boot
+    # (round-3: 20-22.6 s of unexplained bind_s on a chip restart).
+    server = bind_boot_server(args.host, args.port, boot)
 
-    from _lib import warn_peem_family
+    with boot.phase("platform_select"):
+        maybe_force_platform(args)           # first `import jax`
+
+    with boot.phase("imports"):
+        from dvae_tpu.enhance.pipeline import EnhancerConfig
+        from dvae_tpu.serving import EnhanceService, ServeConfig
+
+        from _lib import warn_peem_family
 
     warn_peem_family(args, args.model_class, args.y_dim)
-    model, params, path = load_family_model(args)
-    print(f"loaded {path}")
 
-    norm = None
-    if args.std_norm:
-        import h5py
+    # Backend init (over a remote-attached chip: the tunnel handshake,
+    # seconds) overlaps the host-side checkpoint read below. jax
+    # serializes concurrent backend touches internally, so model_load's
+    # first device op simply joins the in-flight init instead of paying
+    # it twice.
+    import threading
 
-        with h5py.File(args.norm_h5, "r") as f:
-            norm = (f["X_train_mean"][:], f["X_train_std"][:])
+    def _backend_init():
+        with boot.phase("backend_init"):
+            import jax
+
+            jax.devices()
+
+    backend_thread = threading.Thread(target=_backend_init, daemon=True)
+    backend_thread.start()
+
+    with boot.phase("model_load"):
+        # abstract=True: the checkpoint-load template comes from
+        # jax.eval_shape — no init program is compiled or run (measured
+        # 6 s of this phase), the checkpoint's own arrays are the params
+        model, params, path = load_family_model(args, abstract=True)
+        print(f"loaded {path}")
+
+        norm = None
+        if args.std_norm:
+            import h5py
+
+            with h5py.File(args.norm_h5, "r") as f:
+                norm = (f["X_train_mean"][:], f["X_train_std"][:])
+    backend_thread.join()
 
     y_mode = {"m1": "none", "m2": "enc_dec"}.get(args.model_class, "dec_only")
-    svc = EnhanceService(
-        model, params, args.model_class,
-        enh_cfg=EnhancerConfig(mcem=mcem_config_of(args), y_mode=y_mode,
-                               norm=norm, engine=args.engine,
-                               aot_dir=args.aot_cache),
-        cfg=ServeConfig(batch_size=args.batch_size,
-                        batch_window_ms=args.batch_window_ms,
-                        y_source=args.y_source, y_dim=args.y_dim,
-                        seed=args.seed,
-                        max_audio_seconds=args.max_audio_seconds,
-                        max_queue=args.max_queue,
-                        chunk_seconds=args.chunk_seconds,
-                        warmup_buckets=tuple(args.warmup_buckets)),
-        mesh=make_mesh_if(args))
+    with boot.phase("service_init"):
+        svc = EnhanceService(
+            model, params, args.model_class,
+            enh_cfg=EnhancerConfig(mcem=mcem_config_of(args), y_mode=y_mode,
+                                   norm=norm, engine=args.engine,
+                                   aot_dir=args.aot_cache),
+            cfg=ServeConfig(batch_size=args.batch_size,
+                            batch_window_ms=args.batch_window_ms,
+                            y_source=args.y_source, y_dim=args.y_dim,
+                            seed=args.seed,
+                            max_audio_seconds=args.max_audio_seconds,
+                            max_queue=args.max_queue,
+                            chunk_seconds=args.chunk_seconds,
+                            warmup_buckets=tuple(args.warmup_buckets)),
+            mesh=make_mesh_if(args))
+    svc.boot = boot                          # /healthz carries the ledger
     from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped
 
     if args.chunk_seconds:
@@ -169,8 +209,13 @@ def main():
                   "batch to its bucket. Pass --chunk-seconds (e.g. 60) or "
                   "lower --max-audio-seconds.", flush=True)
 
-    server = make_server(svc, args.host, args.port, verbose=args.verbose,
-                         admin_token=args.admin_token)
+    # Swap the real handler onto the already-listening socket: from here
+    # every new connection reaches the service (requests arriving
+    # mid-warmup queue behind the warmup items and are answered once
+    # their bucket compiles, or 503 at their own deadline).
+    attach_service(server, svc, verbose=args.verbose,
+                   admin_token=args.admin_token)
+    boot.mark("service_attached")
 
     import signal
     import threading
@@ -180,10 +225,15 @@ def main():
         print(f"warming {len(args.warmup_buckets)} bucket(s) in the "
               "background (cold compile — minutes on a remote-attached "
               "chip); /healthz reports \"warming\" until done...", flush=True)
+        boot.start("warmup")
 
         def _warm_done(err):
+            boot.end("warmup")
             if err is None:
-                print(f"warm: {svc.warm_buckets}", flush=True)
+                boot.mark("ready")
+                print(f"warm: {svc.warm_buckets} "
+                      f"(ready {boot.snapshot()['marks']['ready']:.1f}s "
+                      "after process start)", flush=True)
             else:
                 # the model cannot run at all — stop serving, exit nonzero
                 print(f"warmup FAILED: {err!r}", flush=True)
@@ -191,11 +241,10 @@ def main():
                 server.shutdown()
 
         # pass the list explicitly: the auto-added chunk bucket lands in
-        # args AFTER the ServeConfig snapshot above. The listener binds
-        # NOW: requests arriving mid-warmup queue behind the warmup items
-        # and are answered once their bucket compiles (or 503 at their
-        # own deadline) — the port is never connection-refused.
+        # args AFTER the ServeConfig snapshot above
         svc.warmup_async(args.warmup_buckets, on_done=_warm_done)
+    else:
+        boot.mark("ready")
 
     def _drain_and_stop():
         drained = svc.drain()
@@ -216,9 +265,13 @@ def main():
           f"(model_class={args.model_class}, batch={args.batch_size}, "
           f"window={args.batch_window_ms}ms)", flush=True)
     try:
-        server.serve_forever()
+        # serve_forever has been running on its own thread since the early
+        # bind; main just waits for shutdown() (SIGTERM drain / warmup
+        # failure / Ctrl-C)
+        server._serve_thread.join()
     except KeyboardInterrupt:
-        pass
+        server.shutdown()
+        server._serve_thread.join()
     finally:
         server.server_close()
         svc.close()

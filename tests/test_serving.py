@@ -1799,3 +1799,101 @@ def test_worker_pipelined_dispatch_overlaps_batches():
 
     ev = run(pipeline=False)
     assert "".join(ev) == "dcdcdcdc", ev
+
+
+@pytest.mark.serving_cli
+def test_serve_cli_boot_phase_ledger(tmp_path):
+    """serve.py binds its port BEFORE the heavy imports/backend init
+    (round-3: 20+s of connection-refused bind_s on a chip restart) and
+    carries a boot-phase ledger: during boot /healthz answers
+    {"status": "booting", boot: {...}} from the stdlib-only boot handler
+    and /enhance answers 503 + Retry-After; after warmup the ready
+    /healthz keeps the full phase breakdown (imports, backend_init,
+    model_load, service_init, warmup) with ordered marks
+    port_bound <= service_attached <= ready."""
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from dvae_tpu.train.checkpoint import save_checkpoint
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    save_checkpoint(tmp_path, "M1_epoch_001_vloss_1.00", params)
+
+    with socket.socket() as s:   # a free fixed port, known before exec
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, str(repo / "scripts/serve.py"),
+         "--checkpoint", str(tmp_path / "M1_epoch_001_vloss_1.00.msgpack"),
+         "--z-dim", "4", "--h-dim", "16", "16",
+         "--niter", "3", "--nsamples-e-step", "2", "--burnin-e-step", "2",
+         "--nsamples-wf", "3", "--burnin-wf", "3",
+         "--batch-size", "2", "--port", str(port),
+         "--warmup-buckets", "64", "--platform", "cpu"],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env)
+    saw_booting = None
+    saw_enhance_503 = None
+    try:
+        deadline = time.time() + 300
+        h = None
+        while time.time() < deadline:
+            assert proc.poll() is None, proc.stdout.read()
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+                    h = json.loads(r.read())
+            except urllib.error.HTTPError:
+                time.sleep(0.05)
+                continue
+            except Exception:
+                time.sleep(0.05)
+                continue
+            if h["status"] == "booting":
+                saw_booting = h
+                if saw_enhance_503 is None:
+                    try:
+                        urllib.request.urlopen(
+                            f"http://127.0.0.1:{port}/enhance",
+                            data=b"x", timeout=10)
+                        saw_enhance_503 = False
+                    except urllib.error.HTTPError as e:
+                        saw_enhance_503 = (
+                            e.code == 503 and
+                            e.headers.get("Retry-After") is not None)
+            elif h["status"] == "ok":
+                break
+            time.sleep(0.02)
+        assert h is not None and h["status"] == "ok", h
+        boot = h["boot"]
+        for phase in ("imports", "backend_init", "model_load",
+                      "service_init", "warmup"):
+            assert phase in boot["phases"], boot
+            assert boot["phases"][phase]["dur_s"] >= 0
+        m = boot["marks"]
+        assert m["port_bound"] <= m["service_attached"] <= m["ready"]
+        assert not boot["in_progress"]
+        # mid-boot observations are timing-dependent (the boot window can
+        # be sub-poll-interval on a warm jit cache); when we DID catch the
+        # window, its contract must have held
+        if saw_booting is not None:
+            assert saw_booting["ready"] is False
+            assert "phases" in saw_booting["boot"]
+            assert saw_enhance_503 in (True, None)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
