@@ -260,7 +260,7 @@ def main():
                          "production default; 500 = the budget behind the "
                          "paper's reported results, evaluate_ntcd_M1.py:60 "
                          "comment. The driver always runs the default)")
-    ap.add_argument("--engine", choices=("mcem", "peem", "peem-wf"), default="mcem",
+    ap.add_argument("--engine", choices=("mcem", "peem", "peem-wf", "pmcem"), default="mcem",
                     help="E-step engine (the driver always runs the default "
                          "'mcem' — the reference-parity path; 'peem' "
                          "measures the point-estimate fast engine, "

@@ -72,9 +72,13 @@ def main():
                     help="subset of %s" % list(family_specs()))
     ap.add_argument("--engines", nargs="+",
                     default=["mcem", "peem"],
-                    choices=["mcem", "peem", "peem-wf"],
+                    choices=["mcem", "peem", "peem-wf", "pmcem"],
                     help="engines per cell; the first is the baseline the "
-                         "others' deltas are computed against")
+                         "others' deltas are computed against. pmcem "
+                         "(parallel-chain MCEM) is stochastic like mcem "
+                         "and runs the full seed set")
+    ap.add_argument("--pmcem-chains", type=int, default=None)
+    ap.add_argument("--pmcem-steps", type=int, default=None)
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) before first use")
     args = ap.parse_args()
@@ -189,8 +193,13 @@ def main():
                 cell = {"family": fam, "labels": source, "niter": niter,
                         "checkpoint": os.path.basename(path)}
                 for engine in args.engines:
+                    mkw = {}
+                    if args.pmcem_chains is not None:
+                        mkw["pmcem_chains"] = args.pmcem_chains
+                    if args.pmcem_steps is not None:
+                        mkw["pmcem_steps"] = args.pmcem_steps
                     enh = Enhancer(model, params, EnhancerConfig(
-                        mcem=McemConfig(niter=niter), y_mode=y_mode,
+                        mcem=McemConfig(niter=niter, **mkw), y_mode=y_mode,
                         engine=engine))
                     keys = (range(args.seeds)
                             if engine != "peem" else (0,))
@@ -208,8 +217,8 @@ def main():
                         "pesq": round(float(means[:, 2].mean()), 3),
                         "wall_s": round(time.time() - t0, 1),
                     }
-                    if engine == "mcem" and args.seeds > 1:
-                        cell["mcem"]["seed_std"] = {
+                    if len(per_seed) > 1:
+                        cell[engine]["seed_std"] = {
                             "si_sdr": round(float(means[:, 0].std()), 3),
                             "estoi": round(float(means[:, 1].std()), 4),
                             "pesq": round(float(means[:, 2].std()), 3)}
