@@ -346,13 +346,27 @@ class Enhancer:
         instead of re-paying minutes of XLA time per bucket."""
         if not self._aot_enabled:
             return self._core(*args, n_frames=n_frames)
+        import time as _time
+
         sig = self._aot_sig(args, n_frames)
         fn = self._aot.get(sig)
         if fn is None:
+            t0 = _time.time()
             loaded = fn = self._aot_load(sig)
+            if loaded is not None:
+                # per-segment wall timings (visible in /healthz "aot"):
+                # deserialize vs first-use validation vs compile — the
+                # axon tunnel has shown each of these degrading
+                # independently, and without the split a slow boot is
+                # undiagnosable (round-4: a restore boot spent 11 min in
+                # ONE of them with only the warmup total to go on)
+                self.aot_stats["load_s"] = round(
+                    self.aot_stats.get("load_s", 0.0) + _time.time() - t0, 2)
             if fn is None:
                 fn = self._core.lower(*args, n_frames=n_frames).compile()
                 self.aot_stats["compiled"] += 1
+                self.aot_stats["compile_s"] = round(
+                    self.aot_stats.get("compile_s", 0.0) + _time.time() - t0, 2)
                 self._aot_save(sig, fn)
             if loaded is not None:
                 # VALIDATE a disk-restored executable by running it once to
@@ -365,8 +379,12 @@ class Enhancer:
                 # first use of each loaded signature; a bad blob is
                 # quarantined and recompiled.
                 try:
+                    tv = _time.time()
                     out = fn(*args)
                     jax.block_until_ready(out)
+                    self.aot_stats["validate_s"] = round(
+                        self.aot_stats.get("validate_s", 0.0)
+                        + _time.time() - tv, 2)
                     self._aot[sig] = fn
                     return out
                 except Exception as e:

@@ -571,12 +571,12 @@ def test_aot_cache_compile_save_and_fallback(subset_dir, m1, tmp_path):
 
     enh1 = Enhancer(model, params, cfg)
     out1 = enh1.enhance_batch([x1, x2], key=key)
-    assert enh1.aot_stats == {"loaded": 0, "compiled": 1}
+    assert (enh1.aot_stats["loaded"], enh1.aot_stats["compiled"]) == (0, 1)
     blobs = list((tmp_path / "aot").glob("core_*.aotx"))
     assert len(blobs) == 1 and blobs[0].stat().st_size > 0
     # same shapes again: in-memory hit, no new load/compile
     enh1.enhance_batch([x2, x1], key=key)
-    assert enh1.aot_stats == {"loaded": 0, "compiled": 1}
+    assert (enh1.aot_stats["loaded"], enh1.aot_stats["compiled"]) == (0, 1)
     # a DIFFERENT shape signature (batch of 1) is a separate program
     enh1.enhance_batch([x1], key=key)
     assert enh1.aot_stats["compiled"] == 2
@@ -661,7 +661,7 @@ def test_aot_cache_key_survives_dir_move(subset_dir, m1, tmp_path):
     enh1 = Enhancer(model, params,
                     EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(d1)))
     enh1.enhance_batch([x1, x2], key=key)
-    assert enh1.aot_stats == {"loaded": 0, "compiled": 1}
+    assert (enh1.aot_stats["loaded"], enh1.aot_stats["compiled"]) == (0, 1)
     d2 = tmp_path / "aot_moved"
     d1.rename(d2)
     enh2 = Enhancer(model, params,
