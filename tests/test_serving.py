@@ -1729,10 +1729,10 @@ def test_serve_cli_aot_cache_boot(tmp_path):
             proc.wait(timeout=30)
 
     aot1 = boot_and_stats()
-    assert aot1 == {"loaded": 0, "compiled": 1}, aot1
+    assert (aot1["loaded"], aot1["compiled"]) == (0, 1), aot1
     assert list((tmp_path / "aot").glob("core_*.aotx"))
     aot2 = boot_and_stats()
-    assert aot2 == {"loaded": 1, "compiled": 0}, aot2
+    assert (aot2["loaded"], aot2["compiled"]) == (1, 0), aot2
 
 
 def test_worker_pipelined_dispatch_overlaps_batches():
