@@ -353,20 +353,22 @@ class Enhancer:
         if fn is None:
             t0 = _time.time()
             loaded = fn = self._aot_load(sig)
-            if loaded is not None:
-                # per-segment wall timings (visible in /healthz "aot"):
-                # deserialize vs first-use validation vs compile — the
-                # axon tunnel has shown each of these degrading
-                # independently, and without the split a slow boot is
-                # undiagnosable (round-4: a restore boot spent 11 min in
-                # ONE of them with only the warmup total to go on)
-                self.aot_stats["load_s"] = round(
-                    self.aot_stats.get("load_s", 0.0) + _time.time() - t0, 2)
+            # per-segment wall timings (visible in /healthz "aot"):
+            # deserialize vs first-use validation vs compile — the
+            # axon tunnel has shown each of these degrading
+            # independently, and without the split a slow boot is
+            # undiagnosable (round-4: a restore boot spent 11 min in
+            # ONE of them with only the warmup total to go on).
+            # load_s accrues on a MISS too (a failed deserialize is still
+            # load time); compile_s times only the compile itself.
+            self.aot_stats["load_s"] = round(
+                self.aot_stats.get("load_s", 0.0) + _time.time() - t0, 2)
             if fn is None:
+                t_c = _time.time()
                 fn = self._core.lower(*args, n_frames=n_frames).compile()
                 self.aot_stats["compiled"] += 1
                 self.aot_stats["compile_s"] = round(
-                    self.aot_stats.get("compile_s", 0.0) + _time.time() - t0, 2)
+                    self.aot_stats.get("compile_s", 0.0) + _time.time() - t_c, 2)
                 self._aot_save(sig, fn)
             if loaded is not None:
                 # VALIDATE a disk-restored executable by running it once to
@@ -399,7 +401,9 @@ class Enhancer:
                             self._aot_path(sig).with_suffix(".bad"))
                     except OSError:
                         pass
-                    fn = self._recompile_validated(sig, args, n_frames)
+                    fn, out = self._recompile_validated(sig, args, n_frames)
+                    self._aot[sig] = fn
+                    return out
             self._aot[sig] = fn
         return fn(*args)
 
@@ -411,11 +415,16 @@ class Enhancer:
         unvalidated would re-publish a bad blob on every boot (self-healing
         but the AOT win silently lost). On a failed validation, retry once
         with the persistent compilation cache bypassed; if that also fails
-        the program is genuinely broken and the error propagates."""
+        the program is genuinely broken and the error propagates.
+
+        Returns ``(fn, out)`` — the validated executable AND the output of
+        the validation run, so the caller answers the in-flight batch from
+        it instead of paying a second device dispatch."""
         fn = self._core.lower(*args, n_frames=n_frames).compile()
         self.aot_stats["compiled"] += 1
         try:
-            jax.block_until_ready(fn(*args))
+            out = fn(*args)
+            jax.block_until_ready(out)
         except Exception:
             import warnings
 
@@ -430,9 +439,10 @@ class Enhancer:
                 self.aot_stats["compiled"] += 1
             finally:
                 jax.config.update("jax_enable_compilation_cache", prev)
-            jax.block_until_ready(fn(*args))
+            out = fn(*args)
+            jax.block_until_ready(out)
         self._aot_save(sig, fn)
-        return fn
+        return fn, out
 
     def _aot_static_sig(self) -> str:
         """The Enhancer-lifetime-invariant half of the program identity,

@@ -237,27 +237,34 @@ def add_mcem_budgets(ap: argparse.ArgumentParser):
 
 
 def warn_peem_family(args, model_class: str, y_dim: int = 1) -> None:
-    """Operational guard from the round-3 engine-quality matrix
-    (PARITY.md §2b): the point-estimate engines measured -2.7…-5.0 dB vs
-    MCEM on IBM-conditioned M2 (y_dim=513) and v3-class checkpoints —
-    exactly the families whose posteriors are informative. Warn when
-    --engine peem/peem-wf targets one, so an operator runs a paired check
+    """Operational guard from the round-3/4 engine-quality matrices
+    (PARITY.md §2b/§2c): the non-default engines measured well below MCEM
+    on IBM-conditioned M2 (y_dim=513) and v3-class checkpoints — exactly
+    the families whose posteriors are informative: peem/peem-wf
+    -2.7…-5.0 dB (point-estimate MAP collapse), pmcem -3.9 dB at matched
+    budget (-11 sigma; shallow sequential MH depth per EM iteration,
+    evidence/pmcem_quality_matrix.json). Warn when --engine
+    peem/peem-wf/pmcem targets one, so an operator runs a paired check
     before trusting the speedup. ``model_class``: m1/m2/m2v2/v3/v4/v5."""
     import warnings
 
-    if getattr(args, "engine", "mcem") not in ("peem", "peem-wf"):
+    engine = getattr(args, "engine", "mcem")
+    if engine not in ("peem", "peem-wf", "pmcem"):
         return
     risky = model_class == "v3" or (model_class in ("m2", "m2v2")
                                     and y_dim == 513)
     if risky:
+        deficit = ("measured -3.9 dB SI-SDR (-11 sigma at matched sample "
+                   "budget) BELOW MCEM on this family class (PARITY.md 2c, "
+                   "evidence/pmcem_quality_matrix.json)" if engine == "pmcem"
+                   else "measured 2.7-5.0 dB BELOW MCEM on this family "
+                   "class (PARITY.md 2b, evidence/peem_quality_matrix.json)")
         warnings.warn(
-            f"--engine {args.engine} on an "
+            f"--engine {engine} on an "
             f"{'IBM-conditioned' if y_dim == 513 else model_class}-class "
-            "model: the engine-quality matrix measured the point-estimate "
-            "engines 2.7-5.0 dB BELOW MCEM on this family class "
-            "(PARITY.md 2b, evidence/peem_quality_matrix.json). Run a "
-            "paired MCEM-vs-PEEM check on your checkpoint before relying "
-            "on these outputs; MCEM is the quality-safe default.",
+            f"model: the engine-quality matrix {deficit}. Run a paired "
+            "MCEM check on your checkpoint before relying on these "
+            "outputs; MCEM is the quality-safe default.",
             stacklevel=2)
 
 
@@ -384,27 +391,20 @@ def add_model_family(ap: argparse.ArgumentParser):
     ap.add_argument("--h-dim", type=int, nargs="+", default=[128, 128])
 
 
-def load_family_model(args, abstract: bool = False):
-    """(model, params, checkpoint_path) from the add_model_family flags.
+def family_model_template(args, abstract: bool = False):
+    """(model, params_template) for the add_model_family flags.
 
-    Call after maybe_force_platform (first jax use binds the platform).
-
-    ``abstract=True`` builds the checkpoint-load template with
-    ``jax.eval_shape`` instead of a real flax init: identical tree
-    structure/shapes/dtypes (pinned by test_scripts.py) but ZERO device
-    compute — no init program is compiled or executed, the params come
-    back as the checkpoint's host numpy arrays. This is the serving-boot
-    fast path (serve.py): a real init was measured at 6 s of the boot's
-    model_load phase on this host's CPU, pure compile+dispatch overhead
-    for values the checkpoint immediately overwrites. The default stays
-    concrete for trainers that may use the init values (fresh runs)."""
+    ``abstract=True`` builds the template with ``jax.eval_shape`` instead
+    of a real flax init: identical tree structure/shapes/dtypes (pinned
+    directly by tests/test_scripts.py::
+    test_family_template_abstract_matches_concrete) but ZERO device
+    compute — no init program is compiled or executed."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from dvae_tpu.models import (CVAE, CVAE_v2, CVAE_v3, CVAE_v4,
                                  DisentangledVAE, VAE, init_params)
-    from dvae_tpu.train import checkpoint as ckpt
 
     cls = {"m1": VAE, "m2": CVAE, "m2v2": CVAE_v2, "v3": CVAE_v3,
            "v4": CVAE_v4, "v5": DisentangledVAE}[args.model_class]
@@ -427,5 +427,22 @@ def load_family_model(args, abstract: bool = False):
             model,
             {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
             *[jnp.ones(s) for s in shapes])
+    return model, params_t
+
+
+def load_family_model(args, abstract: bool = False):
+    """(model, params, checkpoint_path) from the add_model_family flags.
+
+    Call after maybe_force_platform (first jax use binds the platform).
+
+    ``abstract=True`` builds the checkpoint-load template with
+    ``jax.eval_shape`` (see family_model_template) — the serving-boot
+    fast path (serve.py): a real init was measured at 6 s of the boot's
+    model_load phase on this host's CPU, pure compile+dispatch overhead
+    for values the checkpoint immediately overwrites. The default stays
+    concrete for trainers that may use the init values (fresh runs)."""
+    from dvae_tpu.train import checkpoint as ckpt
+
+    model, params_t = family_model_template(args, abstract=abstract)
     path = args.checkpoint or ckpt.best_checkpoint(args.model_dir)
     return model, ckpt.load_checkpoint(path, params_t), path

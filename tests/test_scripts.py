@@ -744,6 +744,12 @@ def test_peem_family_warning():
     assert warns("peem", "v3")                       # v3-class
     assert warns("peem-wf", "m2", y_dim=513)         # IBM-conditioned
     assert warns("peem", "m2v2", y_dim=513)
+    # pmcem carries the same validity bound (-3.9 dB / -11 sigma on
+    # m2_ibm, PARITY.md 2c) and must cite ITS evidence file
+    assert any("pmcem_quality_matrix" in m
+               for m in warns("pmcem", "m2", y_dim=513))
+    assert warns("pmcem", "v3")
+    assert not warns("pmcem", "m1")
     assert not warns("mcem", "v3")                   # default engine: quiet
     assert not warns("peem", "m1")                   # measured-safe families
     assert not warns("peem", "m2", y_dim=1)
@@ -752,3 +758,33 @@ def test_peem_family_warning():
     for script in ("evaluate_ntcd_M2.py", "evaluate_ntcd_M2_info_vad.py",
                    "enhance_wav.py", "serve.py"):
         assert "warn_peem_family" in (SCRIPTS / script).read_text(), script
+
+
+def test_family_template_abstract_matches_concrete():
+    """The serving-boot fast path (load_family_model(abstract=True))
+    builds the checkpoint-load template with jax.eval_shape; the
+    checkpoint loader deserializes INTO that template, so any
+    structure/shape/dtype divergence from the concrete flax init would
+    corrupt or reject every checkpoint saved by the (concrete) trainers.
+    Pin the equivalence directly for every model family and both label
+    widths (VAD=1 / IBM=513)."""
+    import argparse
+
+    import jax
+
+    sys.path.insert(0, str(SCRIPTS))
+    from _lib import family_model_template
+
+    cases = [("m1", 1), ("m2", 1), ("m2", 513), ("m2v2", 1),
+             ("m2v2", 513), ("v3", 1), ("v4", 1), ("v5", 1)]
+    for model_class, y_dim in cases:
+        ns = argparse.Namespace(model_class=model_class, y_dim=y_dim,
+                                z_dim=4, h_dim=[16, 16])
+        _, abs_t = family_model_template(ns, abstract=True)
+        _, conc_t = family_model_template(ns, abstract=False)
+        abs_leaves, abs_tree = jax.tree_util.tree_flatten(abs_t)
+        conc_leaves, conc_tree = jax.tree_util.tree_flatten(conc_t)
+        assert abs_tree == conc_tree, (model_class, y_dim)
+        for a, c in zip(abs_leaves, conc_leaves):
+            assert a.shape == c.shape and a.dtype == c.dtype, \
+                (model_class, y_dim, a, c.shape, c.dtype)
