@@ -154,6 +154,15 @@ def main():
         "seeds": args.seeds, "niters": args.niters,
         "metrics": "si_sdr (LeRoux) / estoi / native pesq_wb vs clean, "
                    "0.05s edge trim",
+        # wall_s is a QUALITY-study byproduct, not an engine-speed
+        # measurement: host wall for all seeds of the cell-engine,
+        # including its cold XLA compile on first dispatch (minutes over
+        # the axon tunnel) and per-dispatch fetch RTT. Engine speed
+        # comparisons belong to bench.py's device_ms_per_batch.
+        "wall_s_semantics": "host wall across all seeds incl. cold "
+                            "compile + fetch RTT; NOT device time — see "
+                            "bench.py device_ms_per_batch for engine "
+                            "speed",
         "platform": None, "date": time.strftime("%Y-%m-%d"),
     }, "input_baseline": {  # the unenhanced mixtures, same scorer
         "si_sdr": round(float(base[0]), 3), "estoi": round(float(base[1]), 4),
