@@ -135,6 +135,337 @@ def bench_training(batch: int, steps_per_dispatch: int) -> None:
     )
 
 
+def bench_roofline(args) -> None:
+    """--roofline OUT.json: the auditable perf-frontier dossier.
+
+    The engine-frontier closure (8 rejected optimization attempts,
+    CLAUDE.md + PARITY.md) rests on the claim that run_mcem sits at the
+    HBM bandwidth floor. This mode turns that claim into a recorded
+    artifact: it times the PRODUCTION engine (the same run_mcem call
+    pipeline.py:317 jits, same decoder/fast_stats/budgets) at a small
+    grid of MH/EM budgets, solves the grid by least squares for the
+    device cost of each phase UNIT (one burn-in MH step, one
+    sample-collect MH step, one EM iteration's fixed NMF+refresh work,
+    one WF-tail step), pairs each with an itemized analytic
+    bytes-per-unit ledger (every tensor the unit must move through HBM,
+    at its actual dtype, with the fusion assumptions stated), and
+    records implied achieved GB/s vs the chip's HBM peak plus the MXU
+    side (decoder FLOPs -> MFU). Output: OUT.json (commit as
+    evidence/roofline.json) + one summary JSON line.
+
+    Reference anchor: the loop this dossier justifies replaces
+    /root/reference/packages/models/mcem.py:156-179 (sequential
+    per-utterance torch MH-EM).
+    """
+    import functools
+    import sys
+
+    from dvae_tpu.enhance.mcem import run_mcem
+    from dvae_tpu.enhance.pallas_mcem import extract_decoder_mlp
+    from dvae_tpu.ops.stft import stft_realimag
+
+    model = VAE()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.ones((4, 513)),
+    )
+    small = bool(args.roofline_small)
+    batch_n = 4 if small else BATCH
+    wavs = _load_batch()[:batch_n]
+    if small:
+        wavs = [w[:16000] for w in wavs]
+
+    enh = Enhancer(model, params, EnhancerConfig())
+    xw, x_scale, _, _, mask, y, n_pad, _ = enh._prepare(wavs, None, None)
+    dev = jax.devices()[0]
+    scfg = enh.cfg.stft
+
+    @functools.partial(jax.jit, static_argnames=("n_frames",))
+    def prep(params, x_batch, mask, n_frames: int):
+        # identical front half of pipeline._build_core: STFT -> |X|^2 ->
+        # encoder mean. The roofline times the ENGINE, so this runs once.
+        re, im = stft_realimag(x_batch, scfg)
+        re, im = re[:, :n_frames], im[:, :n_frames]
+        x2 = re * re + im * im
+        _, z0, _ = model.apply(params, x2, method="encode", sample=False)
+        return x2, z0
+
+    xw_d = jax.device_put(xw, dev)
+    mask_d = jax.device_put(mask, dev)
+    x2, z0 = prep(params, xw_d, mask_d, n_frames=n_pad)
+    jax.block_until_ready(z0)
+
+    def timed(cfg: McemConfig, reps: int) -> float:
+        @jax.jit
+        def prog(params, x2, z0, mask, key):
+            dec = lambda zin: model.apply(params, zin, method="decode")
+            res = run_mcem(
+                dec, x2, z0, mask, key, cfg,
+                decoder_mats=extract_decoder_mlp(params, model.z_dim),
+                use_pallas=False,
+            )
+            # the Wiener-tail outputs MUST be consumed or XLA dead-code-
+            # eliminates the whole WF chain (first roofline run measured
+            # c_wfb == c_wfs == 0 exactly for this reason); a scalar sum
+            # keeps the fetch small while pinning the computation
+            return res.cost, jnp.sum(res.wfs) + jnp.sum(res.wfn)
+
+        t0 = time.perf_counter()
+        # fetch a small output each run: the tunnel collapses back-to-back
+        # enqueues of one executable, and a host read cannot be faked (see
+        # measure_device_time)
+        np.asarray(prog(params, x2, z0, mask_d, jax.random.PRNGKey(0))[1])
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(
+                prog(params, x2, z0, mask_d, jax.random.PRNGKey(1 + r))[1])
+            best = min(best, time.perf_counter() - t0)
+        return best, compile_s
+
+    # Budget grid: vary one knob at a time around the production default
+    # so the least-squares solve attributes device time to phase units.
+    # T(niter, b, s, wb, ws) =
+    #   niter*(c_fix + b*c_burn + s*c_coll) + wb*c_wfb + ws*c_wfs + c0
+    if small:
+        base = dict(niter=4, burnin_e_step=3, nsamples_e_step=2,
+                    burnin_wf=3, nsamples_wf=2)
+        grid = [base,
+                {**base, "niter": 2}, {**base, "niter": 1},
+                {**base, "burnin_e_step": 6},
+                {**base, "nsamples_e_step": 6},
+                {**base, "burnin_wf": 8}, {**base, "nsamples_wf": 8}]
+    else:
+        # WF knobs use LARGE deltas: at ~75 us/step a +75-step delta is
+        # ~6 ms on a ~370 ms program — inside the per-measurement fetch-RTT
+        # noise; +300/+200 steps put the deltas well above it.
+        base = dict(niter=args.niter, burnin_e_step=30, nsamples_e_step=10,
+                    burnin_wf=75, nsamples_wf=25)
+        grid = [base,
+                {**base, "niter": args.niter // 2},
+                {**base, "niter": args.niter // 4},
+                {**base, "burnin_e_step": 60},
+                {**base, "nsamples_e_step": 30},
+                {**base, "burnin_wf": 375},
+                {**base, "nsamples_wf": 225}]
+
+    rows, times, measurements = [], [], []
+    for i, g in enumerate(grid):
+        t, compile_s = timed(McemConfig(**g), reps=args.roofline_reps)
+        rows.append([g["niter"],
+                     g["niter"] * g["burnin_e_step"],
+                     g["niter"] * g["nsamples_e_step"],
+                     g["burnin_wf"], g["nsamples_wf"], 1.0])
+        times.append(t)
+        measurements.append({**g, "device_s_best": round(t, 4),
+                             "compile_s": round(compile_s, 1)})
+        print(f"roofline [{i + 1}/{len(grid)}] {g} -> {t * 1e3:.1f} ms "
+              f"(compile {compile_s:.0f} s)", file=sys.stderr, flush=True)
+    # base config re-timed LAST: the tunnel's fetch RTT sits inside every
+    # measurement; if its mood shifted mid-grid the solve is poisoned —
+    # record the drift so a bad window is visible in the artifact.
+    t_drift, _ = timed(McemConfig(**grid[0]), reps=args.roofline_reps)
+    base_drift = abs(t_drift - times[0]) / max(times[0], 1e-9)
+    print(f"roofline base re-measure: {t_drift * 1e3:.1f} ms "
+          f"(drift {100 * base_drift:.1f}%)", file=sys.stderr, flush=True)
+
+    A = np.asarray(rows)
+    T = np.asarray(times)
+    coef, resid, rank, _ = np.linalg.lstsq(A, T, rcond=None)
+    c_fix, c_burn, c_coll, c_wfb, c_wfs, c0 = (float(c) for c in coef)
+    fit = A @ coef
+    fit_err = float(np.max(np.abs(fit - T) / np.maximum(T, 1e-9)))
+
+    b, n, f = x2.shape
+    l = int(z0.shape[-1])
+    bnf = b * n * f
+    R = base["nsamples_e_step"]
+
+    # -- analytic bytes-per-unit ledger ----------------------------------
+    # Bytes each phase unit must move through HBM, per (B,N,F) element, at
+    # the engine's actual residency dtypes (fast_stats: |X|^2 and Vb bf16,
+    # Vs samples bf16; compute f32). Each phase carries TWO byte models
+    # bracketing XLA's fusion freedom on the decoder output Vs' (B,N,F):
+    #  unfused: Vs' is materialized f32 (4 B write) and read back by the
+    #      energy reduction (4 B read) — 8 B/elem per decoder pass;
+    #  fused:   Vs' is written once and its consumer fuses the read away
+    #      (output fusion into the matmul's consumer) — 4 B/elem.
+    #  The first chip run DISCRIMINATED them: the measured burn-in unit
+    #  implies > HBM peak under `unfused` (impossible) and ~peak under
+    #  `fused` — XLA does fuse the energy pass into the decoder output.
+    #  A2: the M-step's vx -> 1/vx -> reduce chains loop-fuse (verified in
+    #  HLO for the paired reductions, nmf._sum2), so each stat pass reads
+    #  the (R,B,N,F) bf16 samples once and writes small (B,N,F) outputs.
+    #  (B,N)- and (B,N,L)-sized traffic is ~F/1 resp. F/L times smaller
+    #  than a plane and is left out of the ledger.
+    ledger = {
+        "mh_burn_step": {
+            "reads": {"x2_bf16": 2, "vb_bf16": 2,
+                      "vs_prime_f32 (0 if fused)": 4},
+            "writes": {"vs_prime_f32": 4},
+            "bytes_per_elem": {"unfused": 12, "fused": 8},
+        },
+        "mh_collect_step": {
+            "reads": {"x2_bf16": 2, "vb_bf16": 2,
+                      "vs_prime_f32 (0 if fused)": 4, "vs_carry_f32": 4},
+            "writes": {"vs_prime_f32": 4, "vs_carry_f32": 4,
+                       "vs_sample_bf16": 2},
+            "bytes_per_elem": {"unfused": 22, "fused": 18},
+        },
+        "wf_step": {
+            "reads": {"x2_bf16": 2, "vb_bf16": 2,
+                      "vs_prime_f32 (0 if fused)": 4, "vs_carry_f32": 4,
+                      "vb_f32_mask_path": 4, "wfs_acc_f32": 4,
+                      "wfn_acc_f32": 4},
+            "writes": {"vs_prime_f32": 4, "vs_carry_f32": 4,
+                       "wfs_acc_f32": 4, "wfn_acc_f32": 4},
+            "bytes_per_elem": {"unfused": 40, "fused": 36},
+        },
+        "em_iter_fixed": {
+            "reads": {
+                "energy_refresh (one decoder+energy pass)": 12,
+                f"nmf W-pass: vs_bf16 x R={R} (A2)": 2 * R,
+                f"nmf H-pass: vs_bf16 x R={R} (A2)": 2 * R,
+                f"nmf g-pass: vs_bf16 x R={R} (A2)": 2 * R,
+                f"cost vx pass: vs_bf16 x R={R}": 2 * R,
+                "x2_f32 in nmf/cost passes (x4)": 16,
+            },
+            "writes": {"a1/a2 stat planes bf16 (x2 passes)": 8,
+                       "vb_f32 (x3 recompute)": 12},
+            "bytes_per_elem": {"unfused": 12 + 8 * R + 16 + 8 + 12,
+                               "fused": 8 + 8 * R + 16 + 8 + 12},
+        },
+    }
+
+    units = {
+        "mh_burn_step": (c_burn, ledger["mh_burn_step"]),
+        "mh_collect_step": (c_coll, ledger["mh_collect_step"]),
+        "wf_step": (c_wfs, ledger["wf_step"]),
+        "wf_burn_step": (c_wfb, ledger["mh_burn_step"]),
+        "em_iter_fixed": (c_fix, ledger["em_iter_fixed"]),
+    }
+    phase_table = {}
+    for name, (c_unit, ph) in units.items():
+        row = {"device_us_per_unit": round(c_unit * 1e6, 1)}
+        for fusion, bpe in ph["bytes_per_elem"].items():
+            gbs = (bpe * bnf / c_unit / 1e9) if c_unit > 1e-9 else None
+            row[f"bytes_per_unit_MB_{fusion}"] = round(bpe * bnf / 1e6, 1)
+            row[f"implied_achieved_GBps_{fusion}"] = (
+                round(gbs, 1) if gbs else None)
+        phase_table[name] = row
+
+    # decomposition of the default-budget program
+    d = base
+    contrib = {
+        "e_step_burnin": d["niter"] * d["burnin_e_step"] * c_burn,
+        "e_step_collect": d["niter"] * d["nsamples_e_step"] * c_coll,
+        "em_fixed_nmf": d["niter"] * c_fix,
+        "wf_burnin": d["burnin_wf"] * c_wfb,
+        "wf_samples": d["nsamples_wf"] * c_wfs,
+        "constant": c0,
+    }
+    total_fit = sum(contrib.values())
+
+    # MXU side: decoder FLOPs per pass (bf16 matmuls) — 2*prod(shape)
+    # per dense weight matrix in the (w1z, w1y, b1, w2, b2, w3, b3) tuple
+    dec_mats = extract_decoder_mlp(params, model.z_dim)
+    flops_per_pass = 2 * b * n * sum(
+        int(np.prod(w.shape)) for w in dec_mats
+        if w is not None and getattr(w, "ndim", 0) == 2)
+    n_dec_passes = (d["niter"] * (d["burnin_e_step"] + d["nsamples_e_step"]
+                                  + 1)
+                    + d["burnin_wf"] + d["nsamples_wf"] + 2)
+    achieved_flops = flops_per_pass * n_dec_passes / max(times[0], 1e-9)
+
+    kind = getattr(dev, "device_kind", "?")
+    peaks = {  # (HBM GB/s, bf16 TFLOP/s) by device kind substring
+        "v5 lite": (819, 197), "v5e": (819, 197), "v5p": (2765, 459),
+        "v4": (1228, 275), "v6": (1640, 918), "trillium": (1640, 918),
+        "v3": (900, 123), "v2": (700, 46),
+    }
+    peak_bw = peak_fl = None
+    for k, (bw, flp) in peaks.items():
+        if k in kind.lower():
+            peak_bw, peak_fl = bw, flp
+            break
+
+    out = {
+        "what": "Roofline/MFU dossier for the production MCEM engine "
+                "(run_mcem as jitted by enhance/pipeline.py): measured "
+                "per-phase device unit costs (least squares over a budget "
+                "grid on the REAL program), itemized analytic HBM bytes "
+                "per unit, implied achieved bandwidth vs peak, decoder "
+                "FLOPs vs MXU peak. This is the artifact behind the "
+                "closed engine-perf frontier (8 rejected attempts, "
+                "PARITY.md; reference loop: packages/models/mcem.py:"
+                "156-179).",
+        "date": time.strftime("%Y-%m-%d"),
+        "platform": dev.platform,
+        "device_kind": kind,
+        "shapes": {"batch": b, "n_frames": n, "n_freq": f, "z_dim": l,
+                   "nsamples_e_step_R": R,
+                   "plane_MB_f32": round(4 * bnf / 1e6, 1),
+                   "plane_MB_bf16": round(2 * bnf / 1e6, 1)},
+        "grid_measurements": measurements,
+        "measurement_semantics": (
+            "device_s_best = min over reps of host-timed dispatch + fetch "
+            "of two scalars-sized outputs (cost vector + WF checksum; the "
+            "checksum CONSUMES the Wiener tail so XLA cannot dead-code-"
+            "eliminate it). c0 therefore contains the per-dispatch fetch "
+            "RTT (~25 ms over the axon tunnel) plus dispatch overhead — "
+            "it is NOT engine work. Engine-only inputs are device-"
+            "resident; no STFT/encoder/ISTFT in these numbers."),
+        "fit": {
+            "model": "T = niter*(c_fix + burnin*c_burn + nsamples*c_coll) "
+                     "+ burnin_wf*c_wfb + nsamples_wf*c_wfs + c0",
+            "coefficients_us": {
+                "c_fix_per_em_iter": round(c_fix * 1e6, 1),
+                "c_burn_per_mh_step": round(c_burn * 1e6, 1),
+                "c_coll_per_mh_step": round(c_coll * 1e6, 1),
+                "c_wfb_per_step": round(c_wfb * 1e6, 1),
+                "c_wfs_per_step": round(c_wfs * 1e6, 1),
+                "c0_const": round(c0 * 1e6, 1),
+            },
+            "rank": int(rank),
+            "max_rel_fit_error": round(fit_err, 4),
+            "base_remeasure_drift_pct": round(100 * base_drift, 2),
+        },
+        "default_budget_decomposition_ms": {
+            k: round(v * 1e3, 1) for k, v in contrib.items()},
+        "default_budget_total_ms": {
+            "fit": round(total_fit * 1e3, 1),
+            "measured": round(times[0] * 1e3, 1)},
+        "analytic_bytes_ledger": ledger,
+        "phase_roofline": phase_table,
+        "hbm_peak_GBps": peak_bw,
+        "mxu": {
+            "decoder_flops_per_pass": int(flops_per_pass),
+            "decoder_passes_default_budget": int(n_dec_passes),
+            "achieved_TFLOPs": round(achieved_flops / 1e12, 2),
+            "peak_bf16_TFLOPs": peak_fl,
+            "mfu_pct": (round(100 * achieved_flops / (peak_fl * 1e12), 2)
+                        if peak_fl else None),
+            "reading": "the decoder is tiny (z->128->128->513); even at "
+                       "thousands of passes the MXU is a spectator — the "
+                       "engine's ceiling is HBM bandwidth, not FLOPs",
+        },
+    }
+    import pathlib
+
+    pathlib.Path(args.roofline).write_text(json.dumps(out, indent=1))
+    mh_gbs = phase_table["mh_burn_step"]["implied_achieved_GBps_fused"]
+    print(json.dumps({
+        "metric": "roofline",
+        "value": mh_gbs if mh_gbs is not None else 0.0,
+        "unit": "implied GB/s on the MH burn-in step, fused byte model "
+                "(HBM peak %s; full dossier -> %s)"
+                % (peak_bw, args.roofline),
+        "vs_baseline": (round(mh_gbs / peak_bw, 3)
+                        if (mh_gbs and peak_bw) else None),
+    }))
+
+
 def _load_batch():
     """The benchmark batch: the 3 subset noisy utterances tiled to BATCH
     (synthetic 5 s fallback when fixtures are absent)."""
@@ -249,6 +580,19 @@ def main():
                          "returns)")
     ap.add_argument("--_profile-worker", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--_force-cpu", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--roofline", default=None, metavar="OUT.json",
+                    help="record the perf-frontier dossier: per-phase "
+                         "device unit costs of the production MCEM engine "
+                         "(least squares over a budget grid), analytic "
+                         "HBM bytes per unit, implied achieved GB/s vs "
+                         "peak, decoder MFU — see bench_roofline. Commit "
+                         "the output as evidence/roofline.json")
+    ap.add_argument("--roofline-reps", type=int, default=6,
+                    help="[--roofline] timed repetitions per grid point "
+                         "(min is reported)")
+    ap.add_argument("--roofline-small", action="store_true",
+                    help="[--roofline] tiny shapes/budgets for CPU smoke "
+                         "tests of the harness (not a measurement)")
     ap.add_argument("--training", action="store_true",
                     help="benchmark the M1 training step instead of "
                          "enhancement (reproduces the README training "
@@ -301,6 +645,10 @@ def main():
 
     if args.training:
         bench_training(args.batch_size, args.steps_per_dispatch)
+        return
+
+    if args.roofline:
+        bench_roofline(args)
         return
 
     model = VAE()

@@ -193,6 +193,7 @@ class Enhancer:
         self.params = self._device_params(params)
         self._core = self._build_core()
         self._aot: dict = {}
+        self._aot_staged: dict = {}  # aot_probe restores; first use validates
         self.aot_stats = {"loaded": 0, "compiled": 0}
         self._aot_enabled = bool(cfg.aot_dir) and mesh is None
         self._aot_static = self._aot_static_sig() if self._aot_enabled else ""
@@ -352,7 +353,12 @@ class Enhancer:
         fn = self._aot.get(sig)
         if fn is None:
             t0 = _time.time()
-            loaded = fn = self._aot_load(sig)
+            # an executable aot_probe already deserialized skips the disk
+            # load but NOT the first-use validation below — a staged blob
+            # is exactly as untrusted as a freshly loaded one
+            loaded = fn = self._aot_staged.pop(sig, None)
+            if fn is None:
+                loaded = fn = self._aot_load(sig)
             # per-segment wall timings (visible in /healthz "aot"):
             # deserialize vs first-use validation vs compile — the
             # axon tunnel has shown each of these degrading
@@ -488,6 +494,36 @@ class Enhancer:
                 "cached executables are unpickled on load, so anyone who "
                 "can write there can execute code in this process. "
                 "chmod 755 (or tighter) the directory.")
+
+    def aot_probe(self, wavs, ys=None, max_frames=None) -> bool:
+        """Restore-without-execute probe: compute the EXACT program
+        signature a :meth:`dispatch` of this batch would use and attempt
+        to deserialize its executable from ``aot_dir``. True = the blob
+        restored and is STAGED for the first real dispatch of that
+        signature (which still pays the one-shot run-to-completion
+        validation — a staged blob is as untrusted as a loaded one).
+
+        Deserialization is host+runtime work; no device program executes,
+        so the probe cannot be held hostage by a degraded tunnel's
+        execute path the way a warmup execution can (round-4 measured a
+        restore boot blocked 678 s in warmup EXECUTION alone). This is
+        the mechanism behind serve.py --ready-on-aot-validate. The only
+        device traffic is _prepare's small label upload (conditional
+        models)."""
+        if not self._aot_enabled:
+            return False
+        xw, x_scale, sw, s_scale, mask, y, n_pad, _ = self._prepare(
+            wavs, ys, max_frames)
+        args = (self.params, xw, x_scale, sw, s_scale, mask, y,
+                jax.random.PRNGKey(0))
+        sig = self._aot_sig(args, n_pad)
+        if sig in self._aot or sig in self._aot_staged:
+            return True
+        fn = self._aot_load(sig)
+        if fn is None:
+            return False
+        self._aot_staged[sig] = fn
+        return True
 
     def _aot_sig(self, args, n_frames: int) -> str:
         """Hash of the full program identity: anything that changes the

@@ -79,12 +79,19 @@ class RequestHandler(BaseHTTPRequestHandler):
                            "warmup failed" if svc.warmup_error is not None
                            else "warming"),
                 "ready": ready,   # the readiness-probe bit (warmup_async)
+                # warmed=False with ready=True: readiness came from the
+                # AOT restore probe (--ready-on-aot-validate) and the
+                # background warmup's first executions haven't finished —
+                # early requests pay the device touch
+                "warmed": getattr(svc, "warmed", True),
                 "model_class": svc.model_class,
                 "platform": jax.devices()[0].platform,
                 "warm_buckets": svc.warm_buckets,
                 "checkpoint": svc.checkpoint,
                 "uptime_seconds": round(time.time() - svc.started, 1),
             }
+            if getattr(svc, "ready_via_aot", False):
+                body["ready_via_aot"] = True
             if svc.warmup_error is not None:
                 body["warmup_error"] = str(svc.warmup_error)
             if getattr(svc.enhancer, "_aot_enabled", False):

@@ -68,6 +68,10 @@ class EnhanceService(_ChunkedStreamingMixin):
         self.ready.set()
         self.warmup_error: Exception | None = None
         self.warm_buckets: list[int] = []
+        self.warmed = True               # False between warmup_async start
+        #                                  and its completed executions
+        self.ready_via_aot = False       # ready flipped by the AOT restore
+        #                                  probe before warmup finished
         self._batch_counter = 0
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -447,6 +451,34 @@ class EnhanceService(_ChunkedStreamingMixin):
                 raise
             self.warm_buckets.append(int(b))
 
+    def aot_restored(self, buckets=None) -> bool:
+        """True iff the AOT cache restores an executable for EVERY warmup
+        bucket's exact device program — by constructing each bucket's
+        warmup batch (same silence padding / label shapes the worker
+        builds) and running :meth:`Enhancer.aot_probe` on it. Pure
+        host+runtime deserialization: no device program executes, so this
+        cannot be blocked by a degraded tunnel's execute path. The
+        restored executables are staged; their first real dispatch still
+        pays the one-shot run-to-completion validation."""
+        if not getattr(self.enhancer, "_aot_enabled", False):
+            return False
+        buckets = tuple(buckets if buckets is not None
+                        else self.cfg.warmup_buckets)
+        if not buckets:
+            return False
+        silence = np.zeros(self.enh_cfg.stft.nfft, np.float32)
+        for b in buckets:
+            t = samples_for_frames(int(b), self.enh_cfg.stft)
+            wavs = [np.zeros(t, np.float32)] \
+                + [silence] * (self.cfg.batch_size - 1)
+            ys = None
+            if self.conditional:
+                ys = [np.zeros((1, self.cfg.y_dim), np.float32)
+                      for _ in wavs]
+            if not self.enhancer.aot_probe(wavs, ys):
+                return False
+        return True
+
     def warmup_async(self, buckets=None, timeout: float = 1800.0,
                      on_done=None) -> None:
         """Run :meth:`warmup` on a background thread so the HTTP listener
@@ -460,8 +492,21 @@ class EnhanceService(_ChunkedStreamingMixin):
 
         A warmup failure means the model cannot run at all: it lands in
         ``warmup_error`` (healthz status "warmup failed"), ``ready`` stays
-        unset, and ``on_done(error)`` lets the caller decide to exit."""
+        unset, and ``on_done(error)`` lets the caller decide to exit.
+
+        With ``cfg.ready_on_aot`` and an AOT cache that restores an
+        executable for EVERY bucket (:meth:`aot_restored`), ``ready``
+        flips IMMEDIATELY — host-side deserialization only — and
+        ``warmed`` stays False until the background warmup's executions
+        (which also validate the restored blobs) complete. A warmup
+        failure in that mode WITHDRAWS readiness: the restored programs
+        demonstrably cannot run."""
         self.ready.clear()
+        self.warmed = False
+        self.ready_via_aot = False
+        if self.cfg.ready_on_aot and self.aot_restored(buckets):
+            self.ready_via_aot = True
+            self.ready.set()
 
         def run():
             err = None
@@ -470,7 +515,10 @@ class EnhanceService(_ChunkedStreamingMixin):
             except Exception as e:  # surface via healthz + on_done
                 err = e
                 self.warmup_error = e
+                self.ready.clear()  # withdraw an aot-granted ready: the
+                #                     restored programs cannot actually run
             else:
+                self.warmed = True
                 self.ready.set()
             if on_done is not None:
                 on_done(err)

@@ -47,6 +47,16 @@ class ServeConfig:
     #                                per-dispatch link RTT under sustained
     #                                load; zero extra latency when idle).
     #                                False = strictly sequential worker.
+    ready_on_aot: bool = False     # with an aot_dir: report ready as soon as
+    #                                EVERY warmup bucket's executable has
+    #                                RESTORED from the AOT cache (host-side
+    #                                deserialization — no device execution),
+    #                                instead of gating readiness on the full
+    #                                warmup execution a degraded tunnel can
+    #                                hold hostage for minutes. /healthz then
+    #                                carries warmed:false until the
+    #                                background warmup's first executions
+    #                                (which also validate the blobs) finish.
 
 
 class _Item:

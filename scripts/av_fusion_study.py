@@ -82,6 +82,23 @@ def main():
     ap.add_argument("--emb-dim", type=int, default=32)
     ap.add_argument("--num-layers", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--train-split", default=None,
+                    help="catalog split the VAD trainers train on (passed "
+                         "through to train_audio_net/train_video_net). "
+                         "'test' = the LABEL-PRODUCER regime: the nets "
+                         "train on the sweep speaker's own utterances, "
+                         "emulating the reference's in-distribution "
+                         "deployment (its sibling-repo classifier was "
+                         "trained on the full 600-speaker corpus, so test "
+                         "speakers were in distribution) — the STRONG "
+                         "operating point of the round-3 loop's F1-0.969 "
+                         "video VAD")
+    ap.add_argument("--valid-split", default=None)
+    ap.add_argument("--run-tag", default="",
+                    help="suffix for the model-dir/prediction/output names "
+                         "so a second protocol (e.g. the strong-operating-"
+                         "point leg) never clobbers the matched-budget "
+                         "study's artifacts")
     ap.add_argument("--enhance-model-dir", default=None,
                     help="an M2(VAD) model dir: run the conditioned-"
                          "enhancement legs (oracle + 3 modalities)")
@@ -113,26 +130,43 @@ def main():
     common = ["--dataset-size", "subset", "--data-root", str(data_root),
               "--models-root", str(models_root)]
 
+    tag = f"_{args.run_tag}" if args.run_tag else ""
     results = {"protocol": {
         "budgets": {"epochs": args.epochs, "hidden": args.hidden,
                     "emb_dim": args.emb_dim, "num_layers": args.num_layers,
                     "seed": args.seed},
+        "splits": {"train": args.train_split or "train",
+                   "valid": args.valid_split or "validation"},
         "conditions": [f"{t}/{s}" for t, s in conditions],
         "date": time.strftime("%Y-%m-%d"),
     }, "training": {}, "f1_per_condition": {}, "enhancement": {}}
+
+    names = {
+        "audio": f"ntcd_audio_vad_lstm_{args.hidden}x{args.num_layers}"
+                 f"_norm{tag}",
+        "video": f"ntcd_video_vad_{args.hidden}x{args.num_layers}"
+                 f"_norm{tag}",
+        "av": f"ntcd_av_vad_{args.hidden}x{args.num_layers}_norm{tag}",
+    }
 
     # ---- 1. matched-budget training -------------------------------------
     shape = ["--hidden", args.hidden, "--num-layers", args.num_layers,
              "--end-epoch", args.epochs, "--seed", args.seed, "--std-norm",
              "--platform", args.train_platform]
+    for flag, v in (("--train-split", args.train_split),
+                    ("--valid-split", args.valid_split)):
+        if v:
+            shape += [flag, v]
     if args.train:
         t0 = time.time()
-        run([SCRIPTS / "train_audio_net.py", *common, *shape])
+        run([SCRIPTS / "train_audio_net.py", *common, *shape,
+             "--run-name", names["audio"]])
         results["training"]["audio_s"] = round(time.time() - t0, 1)
         for modality in ("video", "av"):
             t0 = time.time()
             run([SCRIPTS / "train_video_net.py", *common, *shape,
-                 "--modality", modality, "--emb-dim", args.emb_dim])
+                 "--modality", modality, "--emb-dim", args.emb_dim,
+                 "--run-name", names[modality]])
             results["training"][f"{modality}_s"] = round(time.time() - t0, 1)
 
     def latest(pattern):
@@ -142,13 +176,47 @@ def main():
                                     "(run with --train first)")
         return hits[-1]
 
-    dirs = {"audio": latest("ntcd_audio_vad_lstm_*"),
-            "video": latest("ntcd_video_vad_*"),
-            "av": latest("ntcd_av_vad_*")}
+    if args.run_tag:
+        dirs = {m: str(models_root / names[m]) for m in names}
+        for d in dirs.values():
+            if not os.path.isdir(d):
+                raise FileNotFoundError(f"{d} missing (run with --train)")
+    else:
+        # trailing 'norm' keeps run-tagged dirs (…_norm_<tag>) out of the
+        # untagged protocol's resolution
+        dirs = {"audio": latest("ntcd_audio_vad_lstm_*norm"),
+                "video": latest("ntcd_video_vad_*norm"),
+                "av": latest("ntcd_av_vad_*norm")}
     results["checkpoints"] = {k: os.path.basename(v) for k, v in dirs.items()}
 
+    # Record what the model dirs ACTUALLY trained, from the checkpoints
+    # themselves — never from --epochs (round-4 lesson: a run without
+    # --train recorded the CLI default, 60, while the dirs held 150-epoch
+    # runs; the doc/evidence contradiction took a verdict to catch).
+    for modality, mdir in dirs.items():
+        rows = [json.load(open(j)) for j in
+                sorted(glob.glob(os.path.join(mdir, "*_epoch_*.json")))]
+        if not rows:
+            continue
+        best = min(rows, key=lambda m: m["valid_bce"])
+        results["training"][modality] = {
+            "epochs_trained": len(rows),
+            "best_vloss_epoch": best["epoch"],
+            "best_valid_bce": round(best["valid_bce"], 4),
+            "best_checkpoint_valid_f1": round(best["valid_f1"], 4),
+            "final_epoch_valid_f1": round(rows[-1]["valid_f1"], 4),
+            "max_valid_f1_any_epoch": round(
+                max(m["valid_f1"] for m in rows), 4),
+        }
+    trained = {v["epochs_trained"] + 1
+               for v in results["training"].values()
+               if "epochs_trained" in v}
+    if len(trained) == 1:
+        results["protocol"]["budgets"]["epochs"] = trained.pop()
+    results["protocol"]["budgets"]["epochs_arg"] = args.epochs
+
     # ---- 2. predictions per modality ------------------------------------
-    preds_root = models_root / "av_study_preds"
+    preds_root = models_root / f"av_study_preds{tag}"
     for modality, mdir in dirs.items():
         out = preds_root / modality
         argv = [SCRIPTS / "predict_vad_labels.py", *common,
@@ -246,7 +314,7 @@ def main():
 
         legs = {"oracle": None, **{m: preds_root / m for m in dirs}}
         for leg, cdir in legs.items():
-            out_dir = models_root / "av_study_enhanced" / leg
+            out_dir = models_root / f"av_study_enhanced{tag}" / leg
             argv = [SCRIPTS / "evaluate_ntcd_M2.py", *common,
                     "--labels", "vad_labels",
                     "--model-dir", args.enhance_model_dir,

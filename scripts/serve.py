@@ -96,6 +96,18 @@ def main():
                          "unpickled: use an operator-controlled directory "
                          "(same trust as --checkpoint). Ignored with "
                          "--data-parallel")
+    ap.add_argument("--ready-on-aot-validate", action="store_true",
+                    help="with --aot-cache: report ready on /healthz as "
+                         "soon as every warmup bucket's executable has "
+                         "RESTORED from the AOT cache (host-side "
+                         "deserialization, seconds) instead of waiting "
+                         "for the warmup EXECUTIONS a degraded tunnel "
+                         "can hold hostage for minutes. /healthz carries "
+                         "warmed:false until the background warmup "
+                         "finishes (it also validates the restored "
+                         "blobs); the first requests pay the device "
+                         "touch they would have paid cold anyway. A "
+                         "warmup failure withdraws readiness.")
     ap.add_argument("--admin-token", default=None,
                     help="require ?token=<value> on POST /reload — set this "
                          "whenever --host is not loopback (/reload loads "
@@ -173,7 +185,8 @@ def main():
                             max_audio_seconds=args.max_audio_seconds,
                             max_queue=args.max_queue,
                             chunk_seconds=args.chunk_seconds,
-                            warmup_buckets=tuple(args.warmup_buckets)),
+                            warmup_buckets=tuple(args.warmup_buckets),
+                            ready_on_aot=args.ready_on_aot_validate),
             mesh=make_mesh_if(args))
     svc.boot = boot                          # /healthz carries the ledger
     from dvae_tpu.ops.stft import StftConfig, n_stft_frames_clamped
@@ -230,9 +243,12 @@ def main():
         def _warm_done(err):
             boot.end("warmup")
             if err is None:
-                boot.mark("ready")
+                boot.mark("warmed")
+                if "ready" not in boot.snapshot()["marks"]:
+                    boot.mark("ready")
                 print(f"warm: {svc.warm_buckets} "
-                      f"(ready {boot.snapshot()['marks']['ready']:.1f}s "
+                      f"(ready {boot.snapshot()['marks']['ready']:.1f}s, "
+                      f"warmed {boot.snapshot()['marks']['warmed']:.1f}s "
                       "after process start)", flush=True)
             else:
                 # the model cannot run at all — stop serving, exit nonzero
@@ -243,6 +259,14 @@ def main():
         # pass the list explicitly: the auto-added chunk bucket lands in
         # args AFTER the ServeConfig snapshot above
         svc.warmup_async(args.warmup_buckets, on_done=_warm_done)
+        if svc.ready_via_aot and "ready" not in boot.snapshot()["marks"]:
+            # --ready-on-aot-validate and every bucket restored: readiness
+            # is host-side; the background warmup will flip `warmed`
+            boot.mark("ready")
+            print(f"ready via AOT restore "
+                  f"({boot.snapshot()['marks']['ready']:.1f}s after "
+                  "process start; warmup executions continue in the "
+                  "background)", flush=True)
     else:
         boot.mark("ready")
 

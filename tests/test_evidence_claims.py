@@ -140,6 +140,57 @@ CLAIMS = [
      [AV["protocol"]["budgets"]["epochs"]], [0]),
 ]
 
+# ---- roofline dossier (PARITY.md §2e + README) --------------------------
+ROOF = _load("roofline.json")
+_rc = ROOF["fit"]["coefficients_us"]
+_rp = ROOF["phase_roofline"]
+_rd = ROOF["default_budget_decomposition_ms"]
+CLAIMS += [
+    ("PARITY.md",
+     r"\| MH burn-in step \| (-?\d+(?:\.\d+)?) \| (-?\d+(?:\.\d+)?) MB \| "
+     r"\*\*(-?\d+(?:\.\d+)?) \((-?\d+(?:\.\d+)?)% of the (\d+) peak\)\*\* "
+     r"\| (-?\d+(?:\.\d+)?) ms \|",
+     [_rc["c_burn_per_mh_step"],
+      _rp["mh_burn_step"]["bytes_per_unit_MB_fused"],
+      _rp["mh_burn_step"]["implied_achieved_GBps_fused"],
+      100 * _rp["mh_burn_step"]["implied_achieved_GBps_fused"]
+      / ROOF["hbm_peak_GBps"],
+      ROOF["hbm_peak_GBps"], _rd["e_step_burnin"]],
+     [0.05, 0.05, 0.5, 0.06, 0, 0.05]),
+    ("PARITY.md",
+     r"\| MH collect step \| (-?\d+(?:\.\d+)?) \| (-?\d+(?:\.\d+)?) MB \| "
+     r"(-?\d+(?:\.\d+)?) \| (-?\d+(?:\.\d+)?) ms \|",
+     [_rc["c_coll_per_mh_step"],
+      _rp["mh_collect_step"]["bytes_per_unit_MB_fused"],
+      _rp["mh_collect_step"]["implied_achieved_GBps_fused"],
+      _rd["e_step_collect"]],
+     [0.05, 0.05, 0.5, 0.05]),
+    ("PARITY.md",
+     r"\| WF tail \(75\+25 steps\) \| (-?\d+(?:\.\d+)?)/(-?\d+(?:\.\d+)?) "
+     r"\| (-?\d+(?:\.\d+)?)/(-?\d+(?:\.\d+)?) MB \| "
+     r"~(-?\d+(?:\.\d+)?)/(-?\d+(?:\.\d+)?) \|",
+     [_rc["c_wfb_per_step"], _rc["c_wfs_per_step"],
+      _rp["wf_burn_step"]["bytes_per_unit_MB_fused"],
+      _rp["wf_step"]["bytes_per_unit_MB_fused"],
+      _rp["wf_burn_step"]["implied_achieved_GBps_fused"],
+      _rp["wf_step"]["implied_achieved_GBps_fused"]],
+     [0.05, 0.05, 0.05, 0.05, 0.5, 0.5]),
+    ("README.md",
+     r"\*\*(-?\d+(?:\.\d+)?) GB/s vs the (\d+) GB/s v5e\s+HBM peak "
+     r"\((-?\d+(?:\.\d+)?)%\)\*\*",
+     [_rp["mh_burn_step"]["implied_achieved_GBps_fused"],
+      ROOF["hbm_peak_GBps"],
+      100 * _rp["mh_burn_step"]["implied_achieved_GBps_fused"]
+      / ROOF["hbm_peak_GBps"]],
+     [0.5, 0, 0.06]),
+    ("README.md", r"(-?\d+(?:\.\d+)?)% fit error",
+     [100 * ROOF["fit"]["max_rel_fit_error"]], [0.006]),
+    ("README.md", r"(-?\d+(?:\.\d+)?)% MFU",
+     [ROOF["mxu"]["mfu_pct"]], [0.06]),
+    ("PARITY.md", r"(-?\d+(?:\.\d+)?)% MFU",
+     [ROOF["mxu"]["mfu_pct"]], [0.06]),
+]
+
 
 def test_doc_numbers_match_evidence():
     docs = {name: _doc(name) for name in {c[0] for c in CLAIMS}}
@@ -169,6 +220,7 @@ def test_claims_cover_the_cited_evidence_files():
         "pmcem_experiment.json": ("PARITY.md",),
         "realchip_peem_engine.json": ("MIGRATING.md",),
         "peem_batch_sweep.json": ("README.md",),
+        "roofline.json": ("PARITY.md", "README.md"),
     }
     for ev, docs in cited_in.items():
         assert (REPO / "evidence" / ev).exists(), ev

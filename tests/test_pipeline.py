@@ -598,6 +598,51 @@ def test_aot_cache_compile_save_and_fallback(subset_dir, m1, tmp_path):
         np.testing.assert_array_equal(s1, s3)
 
 
+def test_aot_probe_restores_and_stages(subset_dir, m1, tmp_path):
+    """aot_probe (the --ready-on-aot-validate mechanism): False on an
+    empty cache; True once a dispatch of the same signature has been
+    serialized — by pure host-side DESERIALIZATION, no device program
+    execution, so a degraded tunnel's execute path cannot block it. The
+    restored executable is STAGED and consumed by the first real dispatch
+    of that signature, which still pays the one-shot validation (under
+    this suite's forced 8-device topology the deserialized XLA:CPU
+    executable misexecutes, so the quarantine path fires — proving a
+    staged blob gets the same trust treatment as a loaded one); results
+    stay correct either way."""
+    import warnings as _warnings
+
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    cfg = EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(tmp_path / "aot"))
+    key = jax.random.PRNGKey(3)
+
+    enh1 = Enhancer(model, params, cfg)
+    assert enh1.aot_probe([x1, x2]) is False        # nothing cached yet
+    out1 = enh1.enhance_batch([x1, x2], key=key)    # compile + serialize
+    assert enh1.aot_probe([x1, x2]) is True         # in-memory signature hit
+    assert not enh1._aot_staged                     # no staging needed
+
+    enh2 = Enhancer(model, params, cfg)
+    assert enh2.aot_probe([x1, x2]) is True         # restored from disk
+    assert len(enh2._aot_staged) == 1
+    assert enh2.aot_stats["loaded"] == 1 and enh2.aot_stats["compiled"] == 0
+    # probing again is idempotent: no double deserialize
+    assert enh2.aot_probe([x1, x2]) is True
+    assert enh2.aot_stats["loaded"] == 1
+    # a different signature (batch of 1) has no cached blob
+    assert enh2.aot_probe([x1]) is False
+    # first dispatch consumes the staged blob; validation may quarantine
+    # it under the 8-device topology (recompile serves the batch) — either
+    # way the output matches the first boot bitwise
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        out2 = enh2.enhance_batch([x1, x2], key=key)
+    assert not enh2._aot_staged                     # staged blob consumed
+    for (s1, n1), (s2, n2) in zip(out1, out2):
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(n1, n2)
+
+
 def test_aot_cache_disabled_under_mesh(subset_dir, m1, tmp_path):
     """aot_dir + mesh warns and falls back to normal jit dispatch
     (serialized executables bake in single-device shardings)."""

@@ -1686,8 +1686,8 @@ def test_serve_cli_aot_cache_boot(tmp_path):
             # aot counters below prove the executable restore on its own
             "--no-jit-cache"]
 
-    def boot_and_stats():
-        proc = subprocess.Popen(argv, cwd=repo, env=env,
+    def boot_and_stats(extra=()):
+        proc = subprocess.Popen(argv + list(extra), cwd=repo, env=env,
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.STDOUT, text=True)
         try:
@@ -1723,16 +1723,97 @@ def test_serve_cli_aot_cache_boot(tmp_path):
             status, ctype, body = _post(f"{url}/enhance",
                                         _wav_body(_noisy_wav()), timeout=120)
             assert status == 200 and ctype == "audio/wav"
-            return h["aot"]
+            # re-read healthz AFTER serving: final boot marks + aot stats
+            with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+                return json.loads(r.read())
         finally:
             proc.terminate()
             proc.wait(timeout=30)
 
-    aot1 = boot_and_stats()
+    h1 = boot_and_stats()
+    aot1 = h1["aot"]
     assert (aot1["loaded"], aot1["compiled"]) == (0, 1), aot1
     assert list((tmp_path / "aot").glob("core_*.aotx"))
-    aot2 = boot_and_stats()
+    h2 = boot_and_stats()
+    aot2 = h2["aot"]
     assert (aot2["loaded"], aot2["compiled"]) == (1, 0), aot2
+    assert "ready_via_aot" not in h2    # flag off: readiness gated on warmup
+
+    # THIRD boot, --ready-on-aot-validate: readiness comes from the
+    # host-side AOT restore probe, BEFORE the warmup executions — the
+    # boot-ledger `ready` mark must precede (or equal) `warmed`, the
+    # healthz body must carry ready_via_aot, and the blobs still restore
+    # with zero recompiles (the staged executable is reused, not
+    # re-deserialized).
+    h3 = boot_and_stats(["--ready-on-aot-validate"])
+    aot3 = h3["aot"]
+    assert (aot3["loaded"], aot3["compiled"]) == (1, 0), aot3
+    assert h3.get("ready_via_aot") is True, h3
+    assert h3.get("warmed") is True      # post-warmup steady state
+    marks = h3["boot"]["marks"]
+    assert "warmed" in marks and marks["ready"] <= marks["warmed"], marks
+
+
+def test_ready_on_aot_flips_ready_before_warmup(tmp_path):
+    """ServeConfig.ready_on_aot: a boot whose AOT cache restores an
+    executable for EVERY warmup bucket reports ready IMMEDIATELY from the
+    host-side restore probe (aot_restored), with warmed=False until the
+    background warmup's executions finish; without a populated cache (or
+    with the flag off) readiness still gates on the warmup. Run
+    in-process on the suite topology — validation may quarantine the
+    restored blob, which must NOT affect readiness semantics (the
+    recompile still warms the bucket)."""
+    import warnings as _warnings
+
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model,
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    aot = str(tmp_path / "aot")
+    enh_cfg = EnhancerConfig(mcem=QUICK_MCEM, aot_dir=aot)
+    scfg = dict(batch_size=2, batch_window_ms=20.0, warmup_buckets=(64,))
+
+    # boot 1: empty cache — ready_on_aot has nothing to restore, readiness
+    # gates on the warmup as before (and populates the cache)
+    svc1 = EnhanceService(model, params, "m1", enh_cfg=enh_cfg,
+                          cfg=ServeConfig(**scfg, ready_on_aot=True))
+    try:
+        svc1.warmup_async()
+        assert not svc1.ready_via_aot
+        assert svc1.ready.wait(timeout=300) and svc1.warmed
+    finally:
+        svc1.close()
+
+    # boot 2: populated cache — ready flips at warmup_async return, before
+    # any device execution; warmed follows when the background warmup ends
+    svc2 = EnhanceService(model, params, "m1", enh_cfg=enh_cfg,
+                          cfg=ServeConfig(**scfg, ready_on_aot=True))
+    try:
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")  # topology quarantine is fine
+            svc2.warmup_async()
+            assert svc2.ready_via_aot and svc2.ready.is_set()
+            deadline = time.time() + 300
+            while not svc2.warmed and time.time() < deadline:
+                time.sleep(0.05)
+        assert svc2.warmed and svc2.warmup_error is None
+        assert svc2.warm_buckets == [64]
+    finally:
+        svc2.close()
+
+    # boot 3: flag OFF with the same populated cache — ready must NOT
+    # flip early
+    svc3 = EnhanceService(model, params, "m1", enh_cfg=enh_cfg,
+                          cfg=ServeConfig(**scfg))
+    try:
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            svc3.warmup_async()
+            assert not svc3.ready_via_aot
+            assert svc3.ready.wait(timeout=300) and svc3.warmed
+    finally:
+        svc3.close()
 
 
 def test_worker_pipelined_dispatch_overlaps_batches():
