@@ -210,7 +210,7 @@ def main():
         }
     trained = {v["epochs_trained"] + 1
                for v in results["training"].values()
-               if "epochs_trained" in v}
+               if isinstance(v, dict) and "epochs_trained" in v}
     if len(trained) == 1:
         results["protocol"]["budgets"]["epochs"] = trained.pop()
     results["protocol"]["budgets"]["epochs_arg"] = args.epochs
