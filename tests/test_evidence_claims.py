@@ -191,6 +191,24 @@ CLAIMS += [
      [ROOF["mxu"]["mfu_pct"]], [0.06]),
 ]
 
+# ---- round-5 serve boot study (README) ----------------------------------
+BOOT5 = _load("realchip_serve_boot_phases_r5.json")
+_b5 = BOOT5["headline"]
+CLAIMS += [
+    ("README.md",
+     r"empty AOT cache ready in (-?\d+(?:\.\d+)?) s, AOT-restore boot "
+     r"ready in (-?\d+(?:\.\d+)?) s, and\s+with `--ready-on-aot-validate` "
+     r"ready in (-?\d+(?:\.\d+)?) s",
+     [_b5["full_warmup_cold_aot_ready_s"],
+      _b5["aot_restore_normal_ready_s"],
+      _b5["aot_restore_ready_on_validate_ready_s"]], [0.05] * 3),
+    ("README.md",
+     r"warmup finishing (-?\d+(?:\.\d+)?) s in and the first request "
+     r"answered\s+in (-?\d+(?:\.\d+)?) s",
+     [_b5["ready_on_validate_warmed_s"],
+      _b5["first_request_after_ready_s"]], [0.05, 0.005]),
+]
+
 
 def test_doc_numbers_match_evidence():
     docs = {name: _doc(name) for name in {c[0] for c in CLAIMS}}
@@ -221,6 +239,7 @@ def test_claims_cover_the_cited_evidence_files():
         "realchip_peem_engine.json": ("MIGRATING.md",),
         "peem_batch_sweep.json": ("README.md",),
         "roofline.json": ("PARITY.md", "README.md"),
+        "realchip_serve_boot_phases_r5.json": ("README.md",),
     }
     for ev, docs in cited_in.items():
         assert (REPO / "evidence" / ev).exists(), ev
