@@ -191,6 +191,28 @@ CLAIMS += [
      [ROOF["mxu"]["mfu_pct"]], [0.06]),
 ]
 
+# ---- round-5 AV strong-operating-point leg (PARITY.md §2d addendum) -----
+AVS = _load("av_fusion_matrix_strong.json")
+_sf1 = AVS["f1_per_condition"]
+_senh = AVS["enhancement"]
+CLAIMS += [
+    # the strong table's mean row (4-decimal F1s distinguish it from the
+    # matched-budget table's mean row earlier in the same section)
+    ("PARITY.md", r"\| mean \| (0\.99\d+) \| (0\.98\d+) \| \*\*(0\.99\d+)\*\* \|",
+     [_sf1["audio"]["overall_mean_f1"], _sf1["video"]["overall_mean_f1"],
+      _sf1["av"]["overall_mean_f1"]], [6e-4] * 3),
+    ("PARITY.md",
+     r"audio \+(\d+\.\d+), video \+(\d+\.\d+), AV -(\d+\.\d+) dB",
+     [_senh["audio"]["delta_vs_oracle"]["si_sdr"],
+      _senh["video"]["delta_vs_oracle"]["si_sdr"],
+      -_senh["av"]["delta_vs_oracle"]["si_sdr"]], [6e-3] * 3),
+    ("PARITY.md", r"150 epochs, seed 0, std-norm\) but",
+     [], []),
+    ("PARITY.md", r"margin is large \((0\.\d+) vs (0\.\d+)/(0\.\d+)\)",
+     [_f1["av"]["overall_mean_f1"], _f1["audio"]["overall_mean_f1"],
+      _f1["video"]["overall_mean_f1"]], [6e-4] * 3),
+]
+
 # ---- round-5 serve boot study (README) ----------------------------------
 BOOT5 = _load("realchip_serve_boot_phases_r5.json")
 _b5 = BOOT5["headline"]
@@ -240,6 +262,7 @@ def test_claims_cover_the_cited_evidence_files():
         "peem_batch_sweep.json": ("README.md",),
         "roofline.json": ("PARITY.md", "README.md"),
         "realchip_serve_boot_phases_r5.json": ("README.md",),
+        "av_fusion_matrix_strong.json": ("PARITY.md",),
     }
     for ev, docs in cited_in.items():
         assert (REPO / "evidence" / ev).exists(), ev
