@@ -54,7 +54,8 @@ def boot_once(tag, args, extra, log_dir):
          "--batch-size", str(args.batch_size),
          "--aot-cache", args.aot_dir, "--no-jit-cache",
          "--port", str(args.port)]
-        + (["--platform", args.platform] if args.platform else []) + extra,
+        + (["--platform", args.platform] if args.platform else [])
+        + list(args.serve_args) + extra,
         cwd=SCRIPTS.parent, stdout=log, stderr=subprocess.STDOUT)
     rec = {"tag": tag, "argv_extra": extra, "bind_s": None, "ready_s": None,
            "warmed_s": None}
@@ -83,15 +84,21 @@ def boot_once(tag, args, extra, log_dir):
             time.sleep(0.3)
         body = open(args.wav, "rb").read()
         t1 = time.time()
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{args.port}/enhance", data=body)
-        with urllib.request.urlopen(req, timeout=args.boot_timeout) as r:
-            rec["first_request_bytes"] = len(r.read())
-        rec["first_request_s"] = round(time.time() - t1, 3)
-        final = _get(args.port, "/healthz")
-        rec["final_ledger"] = final.get("boot")
-        rec["final_aot"] = final.get("aot")
-        rec["ready_via_aot"] = final.get("ready_via_aot", False)
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{args.port}/enhance", data=body)
+            with urllib.request.urlopen(req, timeout=args.boot_timeout) as r:
+                rec["first_request_bytes"] = len(r.read())
+            rec["first_request_s"] = round(time.time() - t1, 3)
+        except Exception as e:  # keep the boot record even if the
+            rec["first_request_error"] = repr(e)  # request leg fails
+        try:
+            final = _get(args.port, "/healthz")
+            rec["final_ledger"] = final.get("boot")
+            rec["final_aot"] = final.get("aot")
+            rec["ready_via_aot"] = final.get("ready_via_aot", False)
+        except Exception as e:
+            rec["final_healthz_error"] = repr(e)
     finally:
         p.send_signal(signal.SIGTERM)
         try:
@@ -121,6 +128,10 @@ def main():
                     help="forwarded to serve.py (e.g. cpu for a control run)")
     ap.add_argument("--skip-cold", action="store_true",
                     help="keep the existing AOT cache; skip boot1")
+    ap.add_argument("serve_args", nargs="*",
+                    help="extra serve.py args, forwarded verbatim — put "
+                         "them after a literal '--' (e.g. -- --z-dim 4 "
+                         "--h-dim 16 16 --nsamples-e-step 2)")
     args = ap.parse_args()
 
     os.makedirs(args.aot_dir, exist_ok=True)
