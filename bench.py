@@ -135,6 +135,103 @@ def bench_training(batch: int, steps_per_dispatch: int) -> None:
     )
 
 
+def roofline_tables(c_burn, c_coll, c_wfb, c_wfs, c_fix, bnf):
+    """(analytic bytes ledger, phase roofline table) for the fitted unit
+    coefficients (seconds) of the MCEM budget model.
+
+    Bytes each phase unit must move through HBM, per (B,N,F) element, at
+    the engine's actual residency dtypes (fast_stats: |X|^2 and Vb bf16,
+    Vs samples bf16; compute f32). Each phase carries TWO byte models
+    bracketing XLA's fusion freedom on the decoder output Vs' (B,N,F):
+     unfused: Vs' is materialized f32 (4 B write) and read back by the
+         energy reduction (4 B read) — 8 B/elem per decoder pass;
+     fused:   Vs' is written once and its consumer fuses the read away
+         (output fusion into the matmul's consumer) — 4 B/elem.
+     The first chip run DISCRIMINATED them: the measured burn-in unit
+     implies > HBM peak under `unfused` (impossible) and ~peak under
+     `fused` — XLA does fuse the energy pass into the decoder output.
+     A2: the M-step's vx -> 1/vx -> reduce chains loop-fuse (verified in
+     HLO for the paired reductions, nmf._sum2), so each stat pass reads
+     the (R,B,N,F) bf16 samples once and writes small (B,N,F) outputs.
+     (B,N)- and (B,N,L)-sized traffic is ~F/1 resp. F/L times smaller
+     than a plane and is left out of the ledger.
+
+    ATTRIBUTION LAW (round-5 correction): the least squares can only
+    attribute time to its design columns, so every ledger must charge its
+    bytes to the column whose TIME carries them. The M-step's per-sample
+    stat passes read the (R,B,N,F) samples — traffic (and time) that
+    scales with niter*nsamples, i.e. the COLLECT column — so their bytes
+    live in `mh_collect_step`'s ledger, NOT in `em_iter_fixed`'s. (The
+    original pairing charged them to the fixed unit, whose coefficient
+    cannot contain their time; the committed artifact then implied an
+    impossible 5.95 TB/s on the fixed row and phantom headroom — 539 GB/s
+    — on the collect row.)"""
+    ledger = {
+        "mh_burn_step": {
+            "reads": {"x2_bf16": 2, "vb_bf16": 2,
+                      "vs_prime_f32 (0 if fused)": 4},
+            "writes": {"vs_prime_f32": 4},
+            "bytes_per_elem": {"unfused": 12, "fused": 8},
+        },
+        "mh_collect_step": {
+            "reads": {"x2_bf16": 2, "vb_bf16": 2,
+                      "vs_prime_f32 (0 if fused)": 4, "vs_carry_f32": 4,
+                      "per-sample share of the M-step/cost stat passes: "
+                      "vs_sample_bf16 x 4 passes (W/H/g/cost, A2)": 8},
+            "writes": {"vs_prime_f32": 4, "vs_carry_f32": 4,
+                       "vs_sample_bf16": 2},
+            "bytes_per_elem": {"unfused": 30, "fused": 26},
+            "note": "includes the per-(niter*nsamples) share of the NMF "
+                    "M-step: that traffic's time rides this design "
+                    "column (attribution law above)",
+        },
+        "wf_step": {
+            "reads": {"x2_bf16": 2, "vb_bf16": 2,
+                      "vs_prime_f32 (0 if fused)": 4, "vs_carry_f32": 4,
+                      "vb_f32_mask_path": 4, "wfs_acc_f32": 4,
+                      "wfn_acc_f32": 4},
+            "writes": {"vs_prime_f32": 4, "vs_carry_f32": 4,
+                       "wfs_acc_f32": 4, "wfn_acc_f32": 4},
+            "bytes_per_elem": {"unfused": 40, "fused": 36},
+        },
+        "em_iter_fixed": {
+            "reads": {
+                "energy_refresh (one decoder+energy pass)": 12,
+                "x2_f32 in nmf/cost passes (x4)": 16,
+            },
+            "writes": {"a1/a2 stat planes bf16 (x2 passes)": 8,
+                       "vb_f32 (x3 recompute)": 12},
+            "bytes_per_elem": {"unfused": 48, "fused": 44},
+            "note": "R-independent traffic only; the (R,B,N,F) sample "
+                    "reads are charged to mh_collect_step (attribution "
+                    "law). This itemization is PRE-MERGE: an implied "
+                    "GB/s above peak evidences XLA merging these passes "
+                    "further (nmf._sum2's variadic reduces), bounding "
+                    "the bytes, not measuring bandwidth.",
+        },
+    }
+
+    units = {
+        "mh_burn_step": (c_burn, ledger["mh_burn_step"]),
+        "mh_collect_step": (c_coll, ledger["mh_collect_step"]),
+        "wf_step": (c_wfs, ledger["wf_step"]),
+        "wf_burn_step": (c_wfb, ledger["mh_burn_step"]),
+        "em_iter_fixed": (c_fix, ledger["em_iter_fixed"]),
+    }
+    phase_table = {}
+    for name, (c_unit, ph) in units.items():
+        row = {"device_us_per_unit": round(c_unit * 1e6, 1)}
+        for fusion, bpe in ph["bytes_per_elem"].items():
+            gbs = (bpe * bnf / c_unit / 1e9) if c_unit > 1e-9 else None
+            row[f"bytes_per_unit_MB_{fusion}"] = round(bpe * bnf / 1e6, 1)
+            row[f"implied_achieved_GBps_{fusion}"] = (
+                round(gbs, 1) if gbs else None)
+        if "note" in ph:
+            row["note"] = ph["note"]
+        phase_table[name] = row
+    return ledger, phase_table
+
+
 def bench_roofline(args) -> None:
     """--roofline OUT.json: the auditable perf-frontier dossier.
 
@@ -282,78 +379,8 @@ def bench_roofline(args) -> None:
     bnf = b * n * f
     R = base["nsamples_e_step"]
 
-    # -- analytic bytes-per-unit ledger ----------------------------------
-    # Bytes each phase unit must move through HBM, per (B,N,F) element, at
-    # the engine's actual residency dtypes (fast_stats: |X|^2 and Vb bf16,
-    # Vs samples bf16; compute f32). Each phase carries TWO byte models
-    # bracketing XLA's fusion freedom on the decoder output Vs' (B,N,F):
-    #  unfused: Vs' is materialized f32 (4 B write) and read back by the
-    #      energy reduction (4 B read) — 8 B/elem per decoder pass;
-    #  fused:   Vs' is written once and its consumer fuses the read away
-    #      (output fusion into the matmul's consumer) — 4 B/elem.
-    #  The first chip run DISCRIMINATED them: the measured burn-in unit
-    #  implies > HBM peak under `unfused` (impossible) and ~peak under
-    #  `fused` — XLA does fuse the energy pass into the decoder output.
-    #  A2: the M-step's vx -> 1/vx -> reduce chains loop-fuse (verified in
-    #  HLO for the paired reductions, nmf._sum2), so each stat pass reads
-    #  the (R,B,N,F) bf16 samples once and writes small (B,N,F) outputs.
-    #  (B,N)- and (B,N,L)-sized traffic is ~F/1 resp. F/L times smaller
-    #  than a plane and is left out of the ledger.
-    ledger = {
-        "mh_burn_step": {
-            "reads": {"x2_bf16": 2, "vb_bf16": 2,
-                      "vs_prime_f32 (0 if fused)": 4},
-            "writes": {"vs_prime_f32": 4},
-            "bytes_per_elem": {"unfused": 12, "fused": 8},
-        },
-        "mh_collect_step": {
-            "reads": {"x2_bf16": 2, "vb_bf16": 2,
-                      "vs_prime_f32 (0 if fused)": 4, "vs_carry_f32": 4},
-            "writes": {"vs_prime_f32": 4, "vs_carry_f32": 4,
-                       "vs_sample_bf16": 2},
-            "bytes_per_elem": {"unfused": 22, "fused": 18},
-        },
-        "wf_step": {
-            "reads": {"x2_bf16": 2, "vb_bf16": 2,
-                      "vs_prime_f32 (0 if fused)": 4, "vs_carry_f32": 4,
-                      "vb_f32_mask_path": 4, "wfs_acc_f32": 4,
-                      "wfn_acc_f32": 4},
-            "writes": {"vs_prime_f32": 4, "vs_carry_f32": 4,
-                       "wfs_acc_f32": 4, "wfn_acc_f32": 4},
-            "bytes_per_elem": {"unfused": 40, "fused": 36},
-        },
-        "em_iter_fixed": {
-            "reads": {
-                "energy_refresh (one decoder+energy pass)": 12,
-                f"nmf W-pass: vs_bf16 x R={R} (A2)": 2 * R,
-                f"nmf H-pass: vs_bf16 x R={R} (A2)": 2 * R,
-                f"nmf g-pass: vs_bf16 x R={R} (A2)": 2 * R,
-                f"cost vx pass: vs_bf16 x R={R}": 2 * R,
-                "x2_f32 in nmf/cost passes (x4)": 16,
-            },
-            "writes": {"a1/a2 stat planes bf16 (x2 passes)": 8,
-                       "vb_f32 (x3 recompute)": 12},
-            "bytes_per_elem": {"unfused": 12 + 8 * R + 16 + 8 + 12,
-                               "fused": 8 + 8 * R + 16 + 8 + 12},
-        },
-    }
-
-    units = {
-        "mh_burn_step": (c_burn, ledger["mh_burn_step"]),
-        "mh_collect_step": (c_coll, ledger["mh_collect_step"]),
-        "wf_step": (c_wfs, ledger["wf_step"]),
-        "wf_burn_step": (c_wfb, ledger["mh_burn_step"]),
-        "em_iter_fixed": (c_fix, ledger["em_iter_fixed"]),
-    }
-    phase_table = {}
-    for name, (c_unit, ph) in units.items():
-        row = {"device_us_per_unit": round(c_unit * 1e6, 1)}
-        for fusion, bpe in ph["bytes_per_elem"].items():
-            gbs = (bpe * bnf / c_unit / 1e9) if c_unit > 1e-9 else None
-            row[f"bytes_per_unit_MB_{fusion}"] = round(bpe * bnf / 1e6, 1)
-            row[f"implied_achieved_GBps_{fusion}"] = (
-                round(gbs, 1) if gbs else None)
-        phase_table[name] = row
+    ledger, phase_table = roofline_tables(
+        c_burn, c_coll, c_wfb, c_wfs, c_fix, bnf)
 
     # decomposition of the default-budget program
     d = base

@@ -352,7 +352,6 @@ class Enhancer:
         sig = self._aot_sig(args, n_frames)
         fn = self._aot.get(sig)
         if fn is None:
-            t0 = _time.time()
             # an executable aot_probe already deserialized skips the disk
             # load but NOT the first-use validation below — a staged blob
             # is exactly as untrusted as a freshly loaded one
@@ -365,10 +364,8 @@ class Enhancer:
             # independently, and without the split a slow boot is
             # undiagnosable (round-4: a restore boot spent 11 min in
             # ONE of them with only the warmup total to go on).
-            # load_s accrues on a MISS too (a failed deserialize is still
-            # load time); compile_s times only the compile itself.
-            self.aot_stats["load_s"] = round(
-                self.aot_stats.get("load_s", 0.0) + _time.time() - t0, 2)
+            # load_s accrues inside _aot_load (misses too, and probe-time
+            # deserializes); compile_s times only the compile itself.
             if fn is None:
                 t_c = _time.time()
                 fn = self._core.lower(*args, n_frames=n_frames).compile()
@@ -553,31 +550,42 @@ class Enhancer:
     def _aot_load(self, sig: str):
         """Deserialize a saved executable; None on any miss/failure (a
         corrupt or stale blob must degrade to a normal compile, never
-        crash serving startup)."""
+        crash serving startup). Accrues its own wall time to
+        ``aot_stats["load_s"]`` — including failed deserializes — so the
+        per-segment boot split stays honest no matter who calls it
+        (``_call_core`` inline or :meth:`aot_probe` during a
+        ready-on-aot-validate boot)."""
         import pickle
+        import time as _time
 
         from jax.experimental.serialize_executable import deserialize_and_load
 
-        path = self._aot_path(sig)
-        if not path.exists():
-            return None
+        t0 = _time.time()
         try:
-            with open(path, "rb") as f:
-                blob = pickle.load(f)
-            # pin execution to the default device: the program was jitted
-            # single-device, and the default load would span every
-            # addressable device (breaks under a multi-device topology)
-            fn = deserialize_and_load(blob["payload"], blob["in_tree"],
-                                      blob["out_tree"],
-                                      execution_devices=(jax.devices()[0],))
-        except Exception as e:
-            import warnings
+            path = self._aot_path(sig)
+            if not path.exists():
+                return None
+            try:
+                with open(path, "rb") as f:
+                    blob = pickle.load(f)
+                # pin execution to the default device: the program was
+                # jitted single-device, and the default load would span
+                # every addressable device (breaks under a multi-device
+                # topology)
+                fn = deserialize_and_load(
+                    blob["payload"], blob["in_tree"], blob["out_tree"],
+                    execution_devices=(jax.devices()[0],))
+            except Exception as e:
+                import warnings
 
-            warnings.warn(f"AOT cache entry {path.name} failed to load "
-                          f"({e}); recompiling")
-            return None
-        self.aot_stats["loaded"] += 1
-        return fn
+                warnings.warn(f"AOT cache entry {path.name} failed to load "
+                              f"({e}); recompiling")
+                return None
+            self.aot_stats["loaded"] += 1
+            return fn
+        finally:
+            self.aot_stats["load_s"] = round(
+                self.aot_stats.get("load_s", 0.0) + _time.time() - t0, 2)
 
     def _aot_save(self, sig: str, compiled) -> None:
         import os

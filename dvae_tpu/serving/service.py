@@ -367,10 +367,10 @@ class EnhanceService(_ChunkedStreamingMixin):
             # number of coinciding requests
             n_pad = self.cfg.batch_size - len(batch)
             if n_pad > 0:
-                silence = np.zeros(self.enh_cfg.stft.nfft, np.float32)
-                wavs = wavs + [silence] * n_pad
+                pad_wavs, pad_ys = self._pad_fillers(n_pad)
+                wavs = wavs + pad_wavs
                 if ys is not None:
-                    ys = ys + [np.zeros((1, self.cfg.y_dim), np.float32)] * n_pad
+                    ys = ys + pad_ys
             with self._lock:
                 key_idx = self._batch_counter
                 self._batch_counter += 1
@@ -466,18 +466,28 @@ class EnhanceService(_ChunkedStreamingMixin):
                         else self.cfg.warmup_buckets)
         if not buckets:
             return False
-        silence = np.zeros(self.enh_cfg.stft.nfft, np.float32)
         for b in buckets:
             t = samples_for_frames(int(b), self.enh_cfg.stft)
-            wavs = [np.zeros(t, np.float32)] \
-                + [silence] * (self.cfg.batch_size - 1)
+            pad_wavs, pad_ys = self._pad_fillers(self.cfg.batch_size - 1)
+            wavs = [np.zeros(t, np.float32)] + pad_wavs
             ys = None
             if self.conditional:
-                ys = [np.zeros((1, self.cfg.y_dim), np.float32)
-                      for _ in wavs]
+                ys = [np.zeros((1, self.cfg.y_dim), np.float32)] + pad_ys
             if not self.enhancer.aot_probe(wavs, ys):
                 return False
         return True
+
+    def _pad_fillers(self, n: int):
+        """The (wav, label) fillers a short batch is padded with — ONE
+        definition shared by the worker (:meth:`_dispatch_batch`) and the
+        AOT restore probe (:meth:`aot_restored`), because the probe's
+        whole correctness is byte-for-byte signature equivalence with
+        what the worker later dispatches: a filler change that touched
+        only one of the two would silently desynchronize them."""
+        wavs = [np.zeros(self.enh_cfg.stft.nfft, np.float32)] * n
+        ys = ([np.zeros((1, self.cfg.y_dim), np.float32)] * n
+              if self.conditional else None)
+        return wavs, ys
 
     def warmup_async(self, buckets=None, timeout: float = 1800.0,
                      on_done=None) -> None:
@@ -517,6 +527,8 @@ class EnhanceService(_ChunkedStreamingMixin):
                 self.warmup_error = e
                 self.ready.clear()  # withdraw an aot-granted ready: the
                 #                     restored programs cannot actually run
+                self.ready_via_aot = False  # and stop advertising the
+                #                     restore as the readiness source
             else:
                 self.warmed = True
                 self.ready.set()

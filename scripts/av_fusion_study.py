@@ -213,6 +213,21 @@ def main():
                if isinstance(v, dict) and "epochs_trained" in v}
     if len(trained) == 1:
         results["protocol"]["budgets"]["epochs"] = trained.pop()
+    elif trained:
+        # the modalities' checkpoint-derived counts DISAGREE (a resumed or
+        # longer run in one dir): a single headline budget would be a lie,
+        # and silently keeping args.epochs is exactly the round-4
+        # doc/evidence drift this block exists to prevent — record the
+        # disagreement instead of a number
+        results["protocol"]["budgets"]["epochs"] = None
+        results["protocol"]["budgets"]["epochs_mismatch"] = {
+            m: v["epochs_trained"] + 1
+            for m, v in results["training"].items()
+            if isinstance(v, dict) and "epochs_trained" in v}
+        print("WARNING: modalities trained different epoch counts "
+              f"({results['protocol']['budgets']['epochs_mismatch']}); "
+              "budgets.epochs recorded as null — this is NOT a "
+              "matched-budget run", flush=True)
     results["protocol"]["budgets"]["epochs_arg"] = args.epochs
 
     # ---- 2. predictions per modality ------------------------------------

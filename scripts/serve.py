@@ -226,6 +226,14 @@ def main():
     # every new connection reaches the service (requests arriving
     # mid-warmup queue behind the warmup items and are answered once
     # their bucket compiles, or 503 at their own deadline).
+    if args.warmup_buckets:
+        # the service constructs ready+warmed (no-warmup embedders use it
+        # directly); clear BEFORE the handler goes live or a readiness
+        # probe landing in the attach→warmup_async gap would see
+        # ready:true on a stone-cold boot and route traffic into the
+        # cold compile
+        svc.ready.clear()
+        svc.warmed = False
     attach_service(server, svc, verbose=args.verbose,
                    admin_token=args.admin_token)
     boot.mark("service_attached")

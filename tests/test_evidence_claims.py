@@ -191,6 +191,29 @@ CLAIMS += [
      [ROOF["mxu"]["mfu_pct"]], [0.06]),
 ]
 
+# ---- roofline speed-of-light block (round-5 attribution correction) -----
+_sol = ROOF["speed_of_light"]
+CLAIMS += [
+    ("PARITY.md",
+     r"(-?\d+(?:\.\d+)?) GB\s+moved per 32-utt batch → a "
+     r"(-?\d+(?:\.\d+)?) ms speed-of-light floor at peak\s+bandwidth vs "
+     r"(-?\d+(?:\.\d+)?) ms measured engine time",
+     [_sol["fused_ledger_bytes_GB_default_budget"],
+      _sol["floor_ms_at_peak_bw"], _sol["engine_ms_ex_rtt"]], [0.05] * 3),
+    ("PARITY.md", r"\*\*(-?\d+(?:\.\d+)?)% of its recorded\s+speed of light\*\*",
+     [_sol["pct_of_speed_of_light"]], [0.05]),
+    ("README.md",
+     r"ledgers sum to (-?\d+(?:\.\d+)?) GB per batch \(a "
+     r"(-?\d+(?:\.\d+)?) ms hard floor at peak vs\s+"
+     r"(-?\d+(?:\.\d+)?) ms engine time — \*\*(-?\d+(?:\.\d+)?)% of "
+     r"recorded speed of light\*\*\)",
+     [_sol["fused_ledger_bytes_GB_default_budget"],
+      _sol["floor_ms_at_peak_bw"], _sol["engine_ms_ex_rtt"],
+      _sol["pct_of_speed_of_light"]], [0.05] * 4),
+    ("PARITY.md", r"implies 778 GB/s =\s+\*\*95\.0% of peak\*\*",
+     [], []),
+]
+
 # ---- round-5 AV strong-operating-point leg (PARITY.md §2d addendum) -----
 AVS = _load("av_fusion_matrix_strong.json")
 _sf1 = AVS["f1_per_condition"]

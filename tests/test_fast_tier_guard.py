@@ -13,18 +13,24 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def _run_mini_suite(tmp_path, marked: bool) -> subprocess.CompletedProcess:
-    # A throwaway suite whose conftest borrows ONLY the guard hooks from
-    # the real conftest, so this exercises the shipped implementation.
+    # A throwaway suite whose conftest loads the SHIPPED guard module
+    # (tests/_fast_tier.py — the same hooks the real conftest re-exports),
+    # stdlib-only so the subprocess pays no JAX/platform startup.
     (tmp_path / "conftest.py").write_text(textwrap.dedent(f"""
         import importlib.util
 
         _spec = importlib.util.spec_from_file_location(
-            "_base_conftest", {str(REPO / 'tests' / 'conftest.py')!r})
+            "_fast_tier", {str(REPO / 'tests' / '_fast_tier.py')!r})
         _base = importlib.util.module_from_spec(_spec)
         _spec.loader.exec_module(_base)
         pytest_runtest_logreport = _base.pytest_runtest_logreport
         pytest_terminal_summary = _base.pytest_terminal_summary
         pytest_sessionfinish = _base.pytest_sessionfinish
+
+        import pytest
+
+        def pytest_configure(config):
+            config.addinivalue_line("markers", "slow: heavyweight test")
         """))
     body = "import time\nimport pytest\n\n"
     if marked:
