@@ -1816,6 +1816,37 @@ def test_ready_on_aot_flips_ready_before_warmup(tmp_path):
         svc3.close()
 
 
+def test_ready_via_aot_withdrawn_on_warmup_failure():
+    """A ready-on-aot boot whose background warmup then FAILS must not
+    keep advertising ready_via_aot: /healthz would otherwise report the
+    contradictory ready:false / status:'warmup failed' /
+    ready_via_aot:true, and the boot-study evidence would record an AOT
+    readiness that never actually served."""
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    svc = EnhanceService(
+        model, params, "m1", enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=2, batch_window_ms=10.0,
+                        warmup_buckets=(), ready_on_aot=True))
+    try:
+        # pretend the cache restored every bucket, then fail the warmup
+        # (an impossible bucket errors before any submit)
+        svc.aot_restored = lambda buckets=None: True
+        done = []
+        svc.warmup_async([-64], on_done=done.append)
+        deadline = time.time() + 60
+        while not done and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(done) == 1 and done[0] is not None
+        assert not svc.ready.is_set()
+        assert svc.ready_via_aot is False  # withdrawn WITH readiness
+        assert svc.warmup_error is done[0]
+    finally:
+        svc.close()
+
+
 def test_worker_pipelined_dispatch_overlaps_batches():
     """Under sustained load, the worker DISPATCHES batch k+1 before
     COLLECTING batch k (2-deep pipeline: the per-dispatch link RTT hides
