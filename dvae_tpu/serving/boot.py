@@ -121,8 +121,11 @@ class _BootHandler(BaseHTTPRequestHandler):
         if retry:
             self.send_header("Retry-After", "2")
         # request bodies are never read here: the connection must close or
-        # keep-alive would parse the unread body as the next request
+        # keep-alive would parse the unread body as the next request —
+        # and the client must be TOLD (the base class never emits the
+        # header from the flag), or it reuses a closing socket
         self.close_connection = True
+        self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -164,10 +167,6 @@ def attach_service(server: ThreadingHTTPServer, service, verbose: bool = False,
     that import cost is part of the caller's instrumented phases, never
     of the bind. In-flight boot-handler connections finish on the old
     class; every connection accepted after this line gets the service."""
-    from dvae_tpu.serving.http import RequestHandler
+    from dvae_tpu.serving.http import bound_handler
 
-    handler = type("BoundHandler", (RequestHandler,),
-                   {"service": service, "admin_token": admin_token})
-    if verbose:
-        handler.log_message = BaseHTTPRequestHandler.log_message
-    server.RequestHandlerClass = handler
+    server.RequestHandlerClass = bound_handler(service, verbose, admin_token)

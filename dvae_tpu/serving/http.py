@@ -42,6 +42,13 @@ class RequestHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         for k, v in headers:
             self.send_header(k, v)
+        if self.close_connection:
+            # paths that set the flag themselves (reject-unread, malformed
+            # framing) must SAY so: the base class only derives the flag
+            # FROM a request header, so without this an HTTP/1.1 client
+            # assumes the socket is reusable and writes its next request
+            # into a closing connection
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -50,8 +57,17 @@ class RequestHandler(BaseHTTPRequestHandler):
                    headers)
 
     def _body_length(self):
-        """Parsed Content-Length, or None after answering 400 (a malformed
-        header must not crash the handler thread)."""
+        """Parsed Content-Length, or None after answering an error (a
+        malformed header must not crash the handler thread). Chunked
+        uploads are refused with 411: this server never reads chunked
+        framing, so answering anything else on a keep-alive connection
+        would leave the chunk frames in the socket to be parsed as the
+        next request."""
+        if self.headers.get("Transfer-Encoding"):
+            self._reject_unread(
+                411, {"error": "Transfer-Encoding not supported; send a "
+                               "Content-Length body"})
+            return None
         raw = self.headers.get("Content-Length", 0)
         try:
             return int(raw)
@@ -63,9 +79,25 @@ class RequestHandler(BaseHTTPRequestHandler):
     def _reject_unread(self, code: int, obj, headers=()):
         """Error response WITHOUT having consumed the request body: the
         connection must close, or the unread body bytes would be parsed as
-        the next request on this HTTP/1.1 keep-alive connection."""
+        the next request on this HTTP/1.1 keep-alive connection. After the
+        response, a short bounded drain of the unread body keeps the
+        kernel from answering the client's in-flight upload with RST —
+        which on most stacks would discard the queued error response, so
+        the client would see 'connection reset' instead of the 413/400."""
         self.close_connection = True
         self._json(code, obj, headers)
+        try:
+            self.wfile.flush()
+            self.connection.settimeout(1.0)
+            remaining = min(int(self.headers.get("Content-Length") or 0),
+                            1 << 20)  # best-effort: cap the drain at 1 MB
+            while remaining > 0:
+                got = self.rfile.read(min(65536, remaining))
+                if not got:
+                    break
+                remaining -= len(got)
+        except Exception:
+            pass  # drain is best-effort; the response was already sent
 
     def do_GET(self):
         svc = self.service
@@ -328,6 +360,19 @@ class RequestHandler(BaseHTTPRequestHandler):
             gen.close()          # abandons any not-yet-served chunks
 
 
+def bound_handler(service: EnhanceService, verbose: bool = False,
+                  admin_token: str | None = None) -> type:
+    """The RequestHandler subclass bound to ``service`` — the ONE
+    definition shared by :func:`make_server` and the early-bind boot path
+    (serving/boot.py::attach_service), so a handler knob added here can
+    never silently diverge between the two server constructions."""
+    handler = type("BoundHandler", (RequestHandler,),
+                   {"service": service, "admin_token": admin_token})
+    if verbose:
+        handler.log_message = BaseHTTPRequestHandler.log_message
+    return handler
+
+
 def make_server(service: EnhanceService, host: str = "127.0.0.1",
                 port: int = 0, verbose: bool = False,
                 admin_token: str | None = None) -> ThreadingHTTPServer:
@@ -337,11 +382,8 @@ def make_server(service: EnhanceService, host: str = "127.0.0.1",
     ``admin_token`` gates POST /reload (pass ?token=...) — set it whenever
     the bind address is not loopback, since /reload loads
     operator-supplied filesystem paths."""
-    handler = type("BoundHandler", (RequestHandler,),
-                   {"service": service, "admin_token": admin_token})
-    if verbose:
-        handler.log_message = BaseHTTPRequestHandler.log_message
-    server = ThreadingHTTPServer((host, port), handler)
+    server = ThreadingHTTPServer(
+        (host, port), bound_handler(service, verbose, admin_token))
     # NON-daemon handler threads: server_close() joins them, so process
     # exit after a drain cannot truncate a response still being written to
     # a slow client (the handler `timeout` bounds the join)

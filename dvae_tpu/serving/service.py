@@ -62,6 +62,9 @@ class EnhanceService(_ChunkedStreamingMixin):
         self._pending_reload = None      # (params, path, done, error-slot)
         self._draining = False           # drain(): stop admitting work
         self._unfinished = 0             # admitted items not yet answered
+        self._warmup_inflight = 0        # the count=False subset: warmup
+        #                                  traffic is stats-exempt, so the
+        #                                  /stats pending gauge excludes it
         self._chunked_inflight = 0       # chunked requests mid-admission
         self.started = time.time()
         self.ready = threading.Event()   # cleared only by warmup_async
@@ -121,11 +124,15 @@ class EnhanceService(_ChunkedStreamingMixin):
                     "server is draining for shutdown; retry against "
                     "another replica")
             self._unfinished += 1
+            if not count:
+                self._warmup_inflight += 1
         try:
             self._q.put_nowait(item)
         except queue.Full:
             with self._lock:
                 self._unfinished -= 1
+                if not count:
+                    self._warmup_inflight -= 1
                 if count_reject:
                     self.stats["rejected"] += 1
             raise ServiceOverloaded(
@@ -344,10 +351,12 @@ class EnhanceService(_ChunkedStreamingMixin):
             except queue.Empty:
                 break
         live = [it for it in batch if not it.abandoned]
-        dropped = len(batch) - len(live)
+        dropped = [it for it in batch if it.abandoned]
         if dropped:
             with self._lock:
-                self._unfinished -= dropped
+                self._unfinished -= len(dropped)
+                self._warmup_inflight -= sum(
+                    1 for it in dropped if not it.count)
         return live
 
     def _dispatch_batch(self, batch: list["_Item"]):
@@ -383,6 +392,8 @@ class EnhanceService(_ChunkedStreamingMixin):
             self._fail_batch(batch, e)
             with self._lock:
                 self._unfinished -= len(batch)
+                self._warmup_inflight -= sum(
+                    1 for it in batch if not it.count)
             return None
 
     def _finish_batch(self, batch: list["_Item"], handle, t0: float) -> None:
@@ -398,20 +409,28 @@ class EnhanceService(_ChunkedStreamingMixin):
                 it.done.set()
             # warmup batches (count=False) are tracked separately so the
             # cold jit compiles never pollute the serving rtf/throughput
-            # counters an operator or autoscaler reads from /stats
+            # counters an operator or autoscaler reads from /stats. A
+            # MIXED batch (a client request coalesced into a warmup
+            # item's window) charges its span to warmup_seconds too: the
+            # span is dominated by the cold compile, and minutes of it in
+            # busy_seconds would wreck the rtf the gauge exists for.
             counted = [it for it in batch if it.count]
+            span = time.monotonic() - t0
             with self._lock:
                 if counted:
                     self.stats["batches"] += 1
                     self.stats["utterances"] += len(counted)
-                    self.stats["busy_seconds"] += time.monotonic() - t0
+                if len(counted) == len(batch):
+                    self.stats["busy_seconds"] += span
                 else:
-                    self.stats["warmup_seconds"] += time.monotonic() - t0
+                    self.stats["warmup_seconds"] += span
         except Exception as e:
             self._fail_batch(batch, e)
         finally:
             with self._lock:
                 self._unfinished -= len(batch)
+                self._warmup_inflight -= sum(
+                    1 for it in batch if not it.count)
 
     def _fail_batch(self, batch: list["_Item"], e: Exception) -> None:
         """Answer every waiter of a failed batch with an EnhancementError
@@ -433,22 +452,35 @@ class EnhanceService(_ChunkedStreamingMixin):
         compile path can degrade to ~800 s independently of execution
         (CLAUDE.md 2026-08-19) — startup must outwait that, not die."""
         buckets = tuple(buckets if buckets is not None else self.cfg.warmup_buckets)
+        deadline = time.monotonic() + timeout
         for b in buckets:
-            if self._draining:  # shutdown won the race: stand down quietly
-                return
             t = samples_for_frames(int(b), self.enh_cfg.stft)
             wav = np.zeros(t, np.float32)
-            try:
-                self.submit(wav, "zeros" if (self.conditional and
-                                             self.classify_method is None)
-                            else None, timeout=timeout, _count_stats=False)
-            except ServiceOverloaded:
-                if self._draining:
-                    # drain() flipped between the check and the submit — an
-                    # operator stop mid-warmup is a clean exit, not a
-                    # warmup failure
+            while True:
+                if self._draining:  # shutdown won the race: stand down
                     return
-                raise
+                try:
+                    self.submit(wav, "zeros" if (self.conditional and
+                                                 self.classify_method is None)
+                                else None,
+                                timeout=max(1.0, deadline - time.monotonic()),
+                                _count_stats=False)
+                    break
+                except ServiceOverloaded:
+                    if self._draining:
+                        # drain() flipped between the check and the submit
+                        # — an operator stop mid-warmup is a clean exit,
+                        # not a warmup failure
+                        return
+                    # the admission queue is full of CLIENT traffic (they
+                    # admit during warmup by design) — that is load, not a
+                    # broken model, and a fatal warmup_error here would
+                    # let client traffic shut the server down
+                    # (serve.py exits nonzero on warmup failure). Retry
+                    # until the warmup deadline.
+                    if time.monotonic() >= deadline:
+                        raise
+                    time.sleep(0.2)
             self.warm_buckets.append(int(b))
 
     def aot_restored(self, buckets=None) -> bool:
@@ -567,7 +599,10 @@ class EnhanceService(_ChunkedStreamingMixin):
         with self._lock:
             stats = dict(self.stats)
             lat = list(self._latencies)
-            stats["pending"] = self._unfinished
+            # warmup items are stats-exempt everywhere else; excluding
+            # them here keeps a cold boot from showing phantom queue
+            # pressure to an autoscaler for the whole compile
+            stats["pending"] = self._unfinished - self._warmup_inflight
         stats["rtf"] = (round(stats["busy_seconds"] / stats["audio_seconds"], 5)
                         if stats["audio_seconds"] else None)
         if lat:
@@ -582,4 +617,27 @@ class EnhanceService(_ChunkedStreamingMixin):
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        # Answer everything still queued: each item's waiter is a
+        # NON-daemon HTTP handler thread blocked in _await — without this
+        # it sits out its full submit timeout (900 s default) after the
+        # worker is gone, and server_close() joins those threads, hanging
+        # process exit for minutes after a drain-timeout shutdown.
+        leftovers = []
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        if leftovers:
+            err = EnhancementError(
+                "server closed before this request was served")
+            for it in leftovers:
+                it.error = err
+                it.done.set()
+            with self._lock:
+                self._unfinished -= len(leftovers)
+                self._warmup_inflight -= sum(
+                    1 for it in leftovers if not it.count)
+                self.stats["failed"] += sum(
+                    1 for it in leftovers if it.count)
 

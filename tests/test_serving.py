@@ -2076,3 +2076,133 @@ def test_serve_boot_study_cli(tmp_path):
     # warm CPU cache, so assert on the server's own ledger ordering)
     marks = b3["final_ledger"]["marks"]
     assert marks["ready"] <= marks["warmed"], marks
+
+
+def _tiny_service(**cfg_kw):
+    model = VAE(h_dim=(16, 16), z_dim=4)
+    params = init_params(
+        model, {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        np.ones((4, 513), np.float32))
+    return EnhanceService(
+        model, params, "m1", enh_cfg=EnhancerConfig(mcem=QUICK_MCEM),
+        cfg=ServeConfig(batch_size=2, batch_window_ms=10.0,
+                        warmup_buckets=(), **cfg_kw))
+
+
+def test_warmup_retries_on_client_queue_full():
+    """Client traffic filling the admission queue during warmup is LOAD,
+    not a broken model: warmup must retry the overloaded submit instead
+    of recording a fatal warmup_error (which would withdraw readiness and
+    make serve.py shut the server down under boot-time traffic)."""
+    from dvae_tpu.serving.service import ServiceOverloaded
+
+    svc = _tiny_service()
+    try:
+        calls = {"n": 0}
+        real_submit = svc.submit
+
+        def flaky_submit(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] <= 3:
+                raise ServiceOverloaded("admission queue full (test)")
+            return real_submit(*a, **kw)
+
+        svc.submit = flaky_submit
+        svc.warmup([64], timeout=120)  # must NOT raise
+        assert calls["n"] == 4 and svc.warm_buckets == [64]
+
+        # ...but a deadline that expires while still overloaded raises
+        svc.warm_buckets.clear()
+        svc.submit = lambda *a, **kw: (_ for _ in ()).throw(
+            ServiceOverloaded("always full"))
+        with pytest.raises(ServiceOverloaded):
+            svc.warmup([64], timeout=0.5)
+    finally:
+        svc.submit = real_submit
+        svc.close()
+
+
+def test_close_fails_queued_items_promptly():
+    """close() answers still-queued items with an error immediately: the
+    waiters are non-daemon HTTP handler threads, and leaving them to sit
+    out their full 900 s submit timeout after the worker is gone hangs
+    process exit at shutdown."""
+    from dvae_tpu.serving.service import EnhancementError
+
+    svc = _tiny_service()
+    # stop the worker FIRST so the admitted item stays in the queue
+    svc._stop.set()
+    svc._worker.join(timeout=10)
+    item = svc._admit(np.zeros(1024, np.float32), "self-soft", True)
+    # a warmup item too: its inflight accounting must also unwind
+    witem = svc._admit(np.zeros(1024, np.float32), "self-soft", False)
+    t0 = time.monotonic()
+    svc.close()
+    assert time.monotonic() - t0 < 5
+    for it in (item, witem):
+        assert it.done.is_set()
+        assert isinstance(it.error, EnhancementError)
+    assert svc._unfinished == 0 and svc._warmup_inflight == 0
+    assert svc.stats["failed"] == 1  # the counted item only
+
+
+def test_pending_gauge_excludes_warmup_items():
+    """/stats 'pending' is the autoscaler-facing queue-pressure gauge:
+    warmup traffic is stats-exempt everywhere else and must not show as
+    phantom pressure during a cold boot."""
+    svc = _tiny_service()
+    svc._stop.set()
+    svc._worker.join(timeout=10)
+    try:
+        svc._admit(np.zeros(1024, np.float32), "self-soft", False)  # warmup
+        assert svc.stats_snapshot()["pending"] == 0
+        svc._admit(np.zeros(1024, np.float32), "self-soft", True)   # client
+        assert svc.stats_snapshot()["pending"] == 1
+    finally:
+        svc.close()
+
+
+@pytest.mark.parametrize("target", ["service", "boot"])
+def test_http_reject_paths_say_connection_close(target):
+    """Error paths that close the connection must SEND 'Connection:
+    close' (the base handler only derives the flag FROM request headers):
+    an HTTP/1.1 client otherwise reuses a socket the server is closing.
+    Covers the chunked-upload 411 (unread body -> must close) on the real
+    handler and the boot handler's everything-503 path."""
+    import socket
+
+    if target == "service":
+        svc = _tiny_service()
+        srv = make_server(svc, "127.0.0.1", 0)
+        req = (b"POST /enhance HTTP/1.1\r\nHost: x\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n")
+        expect = b"411"
+    else:
+        from dvae_tpu.serving.boot import BootTimer, bind_boot_server
+
+        svc = None
+        srv = bind_boot_server("127.0.0.1", 0, BootTimer())  # serves already
+        req = (b"POST /enhance HTTP/1.1\r\nHost: x\r\n"
+               b"Content-Length: 5\r\n\r\nhello")
+        expect = b"503"
+    if svc is not None:
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+    try:
+        with socket.create_connection(srv.server_address, timeout=30) as s:
+            s.sendall(req)
+            s.settimeout(30)
+            data = b""
+            while b"\r\n\r\n" not in data:
+                got = s.recv(4096)
+                if not got:
+                    break
+                data += got
+        head = data.split(b"\r\n\r\n", 1)[0].lower()
+        assert expect in data.split(b"\r\n", 1)[0], data[:200]
+        assert b"connection: close" in head, data[:400]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        if svc is not None:
+            svc.close()
