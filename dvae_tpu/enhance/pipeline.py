@@ -53,6 +53,26 @@ def _slice(seq, a, b):
     return None if seq is None else seq[a:b]
 
 
+def _aval_tree_str(tree) -> str:
+    """Stable shape:dtype string of a pytree (None leaves kept) — the
+    per-argument half of the AOT program-identity hash."""
+    def aval(x):
+        if x is None:
+            return "None"
+        return f"{jnp.shape(x)}:{jnp.result_type(x)}"
+
+    return str(jax.tree.map(aval, tree, is_leaf=lambda x: x is None))
+
+
+# jax_enable_compilation_cache is PROCESS-GLOBAL: the bypass window in
+# _compile_validated must be serialized across Enhancers/threads, or an
+# interleaved save/restore could leave the persistent cache disabled for
+# every later compile in the process
+import threading as _threading_mod
+
+_CACHE_BYPASS_LOCK = _threading_mod.Lock()
+
+
 def _quantize_pcm16(x, xp=jnp):
     """Per-utterance symmetric PCM16 quantization: (B, T) f32 -> (int16, scale).
 
@@ -98,11 +118,13 @@ class EnhancerConfig:
     # 45.3 utt/s — the cliff starts past B≈48) — oversized requests
     # are split into sub-dispatches that pipeline like separate batches.
     max_device_batch: int = 32
-    # Dispatches kept in flight by enhance_stream before collecting the
-    # oldest. 1 = dispatch k+1, then collect k (hides host prep only).
-    # Deeper pipelines also hide the host<->device transfer + dispatch
-    # round-trips of a remote-attached link behind device compute, at the
-    # cost of buffering that many batches on device.
+    # Pipeline depth for enhance_stream: the oldest dispatch is collected
+    # once MORE than this many are in flight, i.e. up to depth+1 batches
+    # are buffered on device at the peak (budget device memory for
+    # depth+1, not depth). 1 = dispatch k+1, then collect k (hides host
+    # prep only); deeper pipelines also hide the host<->device transfer +
+    # dispatch round-trips of a remote-attached link behind device
+    # compute.
     pipeline_depth: int = 2
     # Oracle-latent ablations (the reference's commented experiment modes,
     # whose golden outputs it ships under data/subset/models/):
@@ -197,6 +219,15 @@ class Enhancer:
         self.aot_stats = {"loaded": 0, "compiled": 0}
         self._aot_enabled = bool(cfg.aot_dir) and mesh is None
         self._aot_static = self._aot_static_sig() if self._aot_enabled else ""
+        # load/stage/publish + aot_stats are touched from two threads in
+        # serve.py (the worker dispatching vs the boot thread's
+        # aot_restored probe) — serialize them; compiles/validation runs
+        # happen OUTSIDE the lock
+        self._aot_lock = _threading_mod.Lock()
+        # params avals are Enhancer-lifetime-invariant (reload() enforces
+        # shape/dtype equality), so their share of the program-identity
+        # hash is computed once here and on reload, not per dispatch
+        self._aot_params_aval = _aval_tree_str(self.params)
         if self._aot_enabled:
             self._aot_check_dir_trust()
         if cfg.aot_dir and mesh is not None:
@@ -239,6 +270,9 @@ class Enhancer:
                     f"param leaf mismatch: {np.shape(n)}/{n_dtype} != "
                     f"{np.shape(o)}/{o.dtype}")
         self.params = self._device_params(params)
+        # invariant by the checks above, but keep the cached AOT identity
+        # derived from the live tree rather than trusting the proof
+        self._aot_params_aval = _aval_tree_str(self.params)
 
     def _shard(self, arr):
         """Device-put a batch-leading array sharded over the mesh (or as-is)."""
@@ -355,9 +389,10 @@ class Enhancer:
             # an executable aot_probe already deserialized skips the disk
             # load but NOT the first-use validation below — a staged blob
             # is exactly as untrusted as a freshly loaded one
-            loaded = fn = self._aot_staged.pop(sig, None)
-            if fn is None:
-                loaded = fn = self._aot_load(sig)
+            with self._aot_lock:
+                fn = self._aot_staged.pop(sig, None)
+                if fn is None:
+                    fn = self._aot_load(sig)
             # per-segment wall timings (visible in /healthz "aot"):
             # deserialize vs first-use validation vs compile — the
             # axon tunnel has shown each of these degrading
@@ -365,85 +400,112 @@ class Enhancer:
             # undiagnosable (round-4: a restore boot spent 11 min in
             # ONE of them with only the warmup total to go on).
             # load_s accrues inside _aot_load (misses too, and probe-time
-            # deserializes); compile_s times only the compile itself.
+            # deserializes); compile_s/validate_s inside _compile_validated
+            # and the validation block below (failed runs included).
             if fn is None:
-                t_c = _time.time()
-                fn = self._core.lower(*args, n_frames=n_frames).compile()
-                self.aot_stats["compiled"] += 1
-                self.aot_stats["compile_s"] = round(
-                    self.aot_stats.get("compile_s", 0.0) + _time.time() - t_c, 2)
-                self._aot_save(sig, fn)
-            if loaded is not None:
-                # VALIDATE a disk-restored executable by running it once to
-                # completion before trusting it: XLA's persistent HLO cache
-                # is not reliably topology-keyed, and an executable that
-                # compile() once satisfied from a foreign-topology entry
-                # serializes fine but MISEXECUTES at run time ('Buffer
-                # Definition Event ... not found') — a failure the
-                # deserialize try/except cannot see. One forced sync on the
-                # first use of each loaded signature; a bad blob is
-                # quarantined and recompiled.
-                try:
-                    tv = _time.time()
-                    out = fn(*args)
-                    jax.block_until_ready(out)
-                    self.aot_stats["validate_s"] = round(
-                        self.aot_stats.get("validate_s", 0.0)
-                        + _time.time() - tv, 2)
+                # fresh miss: compile AND validate before the blob is
+                # saved — compile() may be satisfied by a poisoned
+                # persistent-HLO-cache entry (see the validation note
+                # below), and saving unvalidated would publish a bad blob
+                # to disk before its first execution ever runs
+                fn, out = self._compile_validated(sig, args, n_frames)
+                with self._aot_lock:
                     self._aot[sig] = fn
-                    return out
-                except Exception as e:
-                    import warnings
+                return out
+            # VALIDATE a disk-restored executable by running it once to
+            # completion before trusting it: XLA's persistent HLO cache
+            # is not reliably topology-keyed, and an executable that
+            # compile() once satisfied from a foreign-topology entry
+            # serializes fine but MISEXECUTES at run time ('Buffer
+            # Definition Event ... not found') — a failure the
+            # deserialize try/except cannot see. One forced sync on the
+            # first use of each loaded signature; a bad blob is
+            # quarantined and recompiled.
+            tv = _time.time()
+            try:
+                out = fn(*args)
+                jax.block_until_ready(out)
+                self._accrue("validate_s", tv)
+                with self._aot_lock:
+                    self._aot[sig] = fn
+                return out
+            except Exception as e:
+                import warnings
 
-                    warnings.warn(
-                        f"AOT cache entry for {sig} failed VALIDATION ({e});"
-                        " quarantining and recompiling")
-                    self.aot_stats["loaded"] -= 1
-                    try:
-                        self._aot_path(sig).rename(
-                            self._aot_path(sig).with_suffix(".bad"))
-                    except OSError:
-                        pass
-                    fn, out = self._recompile_validated(sig, args, n_frames)
+                # the failed run's minutes must land in the ledger too,
+                # or the /healthz segments sum to far less than warmup
+                self._accrue("validate_s", tv)
+                warnings.warn(
+                    f"AOT cache entry for {sig} failed VALIDATION ({e});"
+                    " quarantining and recompiling")
+                self.aot_stats["loaded"] -= 1
+                try:
+                    self._aot_path(sig).rename(
+                        self._aot_path(sig).with_suffix(".bad"))
+                except OSError:
+                    pass
+                fn, out = self._compile_validated(sig, args, n_frames)
+                with self._aot_lock:
                     self._aot[sig] = fn
-                    return out
-            self._aot[sig] = fn
+                return out
         return fn(*args)
 
-    def _recompile_validated(self, sig: str, args, n_frames: int):
-        """Replace a quarantined blob, VALIDATING the replacement before it
-        is published: if ``compile()`` is again satisfied by the same
-        foreign-topology persistent-HLO-cache entry that produced the bad
-        blob, the replacement misexecutes identically — saving it
-        unvalidated would re-publish a bad blob on every boot (self-healing
-        but the AOT win silently lost). On a failed validation, retry once
-        with the persistent compilation cache bypassed; if that also fails
-        the program is genuinely broken and the error propagates.
+    def _accrue(self, key: str, t0: float) -> None:
+        import time as _time
+
+        self.aot_stats[key] = round(
+            self.aot_stats.get(key, 0.0) + _time.time() - t0, 2)
+
+    def _compile_validated(self, sig: str, args, n_frames: int):
+        """Compile for ``sig`` and VALIDATE (run to completion) before the
+        blob is saved or published — for BOTH the fresh-miss path and a
+        quarantined blob's replacement: if ``compile()`` is satisfied by a
+        foreign-topology persistent-HLO-cache entry (the poisoned-cache
+        case), the executable misexecutes identically whether it is the
+        first compile or the recompile — saving it unvalidated would
+        publish a bad blob. On a failed validation, retry once with the
+        persistent compilation cache bypassed; if that also fails the
+        program is genuinely broken and the error propagates.
 
         Returns ``(fn, out)`` — the validated executable AND the output of
         the validation run, so the caller answers the in-flight batch from
         it instead of paying a second device dispatch."""
+        import time as _time
+
+        t_c = _time.time()
         fn = self._core.lower(*args, n_frames=n_frames).compile()
         self.aot_stats["compiled"] += 1
+        self._accrue("compile_s", t_c)
+        tv = _time.time()
         try:
             out = fn(*args)
             jax.block_until_ready(out)
+            self._accrue("validate_s", tv)
         except Exception:
             import warnings
 
+            self._accrue("validate_s", tv)
             warnings.warn(
-                f"recompiled executable for {sig} ALSO failed validation — "
-                "likely the same stale persistent-compilation-cache entry; "
+                f"compiled executable for {sig} failed validation — "
+                "likely a stale persistent-compilation-cache entry; "
                 "recompiling with the persistent cache bypassed")
-            prev = jax.config.jax_enable_compilation_cache
-            jax.config.update("jax_enable_compilation_cache", False)
-            try:
-                fn = self._core.lower(*args, n_frames=n_frames).compile()
-                self.aot_stats["compiled"] += 1
-            finally:
-                jax.config.update("jax_enable_compilation_cache", prev)
+            # the flag is process-global: serialize the bypass window so
+            # concurrent compiles elsewhere cannot interleave with the
+            # save/restore and lose the persistent cache for the process
+            with _CACHE_BYPASS_LOCK:
+                prev = jax.config.jax_enable_compilation_cache
+                jax.config.update("jax_enable_compilation_cache", False)
+                try:
+                    t_c = _time.time()
+                    fn = self._core.lower(*args, n_frames=n_frames).compile()
+                    self.aot_stats["compiled"] += 1
+                    self._accrue("compile_s", t_c)
+                finally:
+                    jax.config.update("jax_enable_compilation_cache", prev)
+            tv = _time.time()
             out = fn(*args)
             jax.block_until_ready(out)
+            self._accrue("validate_s", tv)
         self._aot_save(sig, fn)
         return fn, out
 
@@ -492,7 +554,8 @@ class Enhancer:
                 "can write there can execute code in this process. "
                 "chmod 755 (or tighter) the directory.")
 
-    def aot_probe(self, wavs, ys=None, max_frames=None) -> bool:
+    def aot_probe(self, wavs, ys=None, max_frames=None,
+                  clean_wavs=None) -> bool:
         """Restore-without-execute probe: compute the EXACT program
         signature a :meth:`dispatch` of this batch would use and attempt
         to deserialize its executable from ``aot_dir``. True = the blob
@@ -506,39 +569,44 @@ class Enhancer:
         restore boot blocked 678 s in warmup EXECUTION alone). This is
         the mechanism behind serve.py --ready-on-aot-validate. The only
         device traffic is _prepare's small label upload (conditional
-        models)."""
+        models).
+
+        Clean-z ablation configs condition every real dispatch on
+        ``clean_wavs`` (a different program signature): pass the clean
+        batch to probe the real signature, else the probe returns False
+        rather than staging a blob no legal dispatch would ever use."""
         if not self._aot_enabled:
             return False
+        if self.cfg.ablation != "none" and clean_wavs is None:
+            return False
         xw, x_scale, sw, s_scale, mask, y, n_pad, _ = self._prepare(
-            wavs, ys, max_frames)
+            wavs, ys, max_frames, clean_wavs)
         args = (self.params, xw, x_scale, sw, s_scale, mask, y,
                 jax.random.PRNGKey(0))
         sig = self._aot_sig(args, n_pad)
-        if sig in self._aot or sig in self._aot_staged:
-            return True
-        fn = self._aot_load(sig)
-        if fn is None:
-            return False
-        self._aot_staged[sig] = fn
+        with self._aot_lock:
+            if sig in self._aot or sig in self._aot_staged:
+                return True
+            fn = self._aot_load(sig)
+            if fn is None:
+                return False
+            self._aot_staged[sig] = fn
         return True
 
     def _aot_sig(self, args, n_frames: int) -> str:
         """Hash of the full program identity: anything that changes the
         compiled executable must change the key (else a stale blob would be
         silently loaded for the wrong program). Static material is cached
-        (:meth:`_aot_static_sig`); only the arg avals hash per call."""
+        (:meth:`_aot_static_sig`) and so are the params avals
+        (``_aot_params_aval`` — invariant across reload(), and hashing
+        hundreds of leaves per dispatch would put repr/sha256 work on the
+        serving worker's hot path); only the small data-arg avals hash per
+        call."""
         import hashlib
 
-        import jax.numpy as _jnp
-
-        def aval(x):
-            if x is None:
-                return "None"
-            return f"{_jnp.shape(x)}:{_jnp.result_type(x)}"
-
         parts = [
-            self._aot_static, str(n_frames),
-            str(jax.tree.map(aval, args, is_leaf=lambda x: x is None)),
+            self._aot_static, str(n_frames), self._aot_params_aval,
+            _aval_tree_str(args[1:]),
         ]
         return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
 
@@ -816,10 +884,11 @@ class Enhancer:
 
         ``batches`` yields ``(wavs, ys_or_None, max_frames_or_None)`` tuples,
         optionally extended with a fourth ``clean_wavs`` element (clean-z
-        ablations). Up to ``cfg.pipeline_depth`` batches' uploads + device programs are
-        enqueued before the oldest batch's outputs are pulled back,
-        overlapping host<->device transfers and dispatch round-trips with
-        device compute (jax dispatch is async). Yields one result list per
+        ablations). The oldest batch's outputs are pulled back once MORE
+        than ``cfg.pipeline_depth`` dispatches are in flight — up to
+        depth+1 batches are buffered on device at the peak — overlapping
+        host<->device transfers and dispatch round-trips with device
+        compute (jax dispatch is async). Yields one result list per
         input batch, in order.
         """
         import collections

@@ -734,3 +734,43 @@ def test_aot_cache_warns_on_world_writable_dir(subset_dir, m1, tmp_path):
     with pytest.warns(UserWarning, match="world-writable"):
         Enhancer(model, params,
                  EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(d)))
+
+
+def test_aot_probe_ablation_needs_clean_wavs(subset_dir, m1, tmp_path):
+    """A clean-z ablation Enhancer's real dispatch signature includes the
+    clean batch: aot_probe without clean_wavs must refuse (False) instead
+    of staging a blob no legal dispatch would use, and WITH clean_wavs it
+    probes the signature the ablation dispatch actually produces."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    cfg = EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(tmp_path / "aot"),
+                         ablation="clean_z")
+    key = jax.random.PRNGKey(3)
+
+    enh1 = Enhancer(model, params, cfg)
+    enh1.enhance_batch([x1, x2], key=key, clean_wavs=[x1, x2])
+    assert enh1.aot_probe([x1, x2]) is False          # no clean batch
+    assert enh1.aot_probe([x1, x2], clean_wavs=[x1, x2]) is True
+
+    enh2 = Enhancer(model, params, cfg)
+    assert enh2.aot_probe([x1, x2]) is False
+    assert enh2.aot_probe([x1, x2], clean_wavs=[x1, x2]) is True
+    assert len(enh2._aot_staged) == 1                 # restored from disk
+
+
+def test_aot_fresh_miss_validates_before_save(subset_dir, m1, tmp_path):
+    """The fresh-miss compile path runs the executable to completion
+    BEFORE the blob is saved or published (the poisoned-persistent-cache
+    case misexecutes identically on first compile and recompile), and the
+    per-segment ledger accounts for it: compile_s and validate_s both
+    accrue on a miss."""
+    model, params = m1
+    x1, x2 = _wavs(subset_dir)
+    cfg = EnhancerConfig(mcem=QUICK_MCEM, aot_dir=str(tmp_path / "aot"))
+
+    enh = Enhancer(model, params, cfg)
+    enh.enhance_batch([x1, x2], key=jax.random.PRNGKey(3))
+    assert enh.aot_stats["compiled"] == 1
+    assert enh.aot_stats.get("compile_s", 0) > 0
+    assert "validate_s" in enh.aot_stats      # the miss path validated
+    assert list((tmp_path / "aot").glob("core_*.aotx"))  # saved after
