@@ -67,6 +67,19 @@ class BootTimer:
         with self._lock:
             self._marks[name] = (at if at is not None else time.time())
 
+    def mark_once(self, name: str) -> bool:
+        """Atomic mark-if-absent: the check and the write happen under one
+        lock, so two racing markers (serve.py's ready-via-AOT block on the
+        main thread vs _warm_done on the warmup thread) cannot overwrite
+        an earlier mark with a later time — the ledger keeps the FIRST
+        ready, which is the number the boot evidence records. Returns
+        True iff this call placed the mark."""
+        with self._lock:
+            if name in self._marks:
+                return False
+            self._marks[name] = time.time()
+            return True
+
     def start(self, name: str) -> None:
         with self._lock:
             self._phases[name] = [time.time(), None]

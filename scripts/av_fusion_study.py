@@ -60,13 +60,15 @@ def run(argv, **kw):
 
 
 def f1_prec_rec(pred, ref):
-    tp = float(((pred == 1) & (ref == 1)).sum())
-    fp = float(((pred == 1) & (ref == 0)).sum())
-    fn = float(((pred == 0) & (ref == 1)).sum())
-    prec = tp / (tp + fp) if tp + fp else 0.0
-    rec = tp / (tp + fn) if tp + fn else 0.0
-    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
-    return f1, prec, rec
+    """(F1, precision, recall) via the ONE tested implementation every
+    scoring surface uses (models/losses.py::f1_loss — the swap-proof
+    helper guarding against the reference's precision/recall swap); a
+    private copy here could drift and make the dossier's F1 subtly
+    non-comparable with predict_vad_labels/run_metrics output."""
+    from dvae_tpu.models.losses import f1_loss
+
+    _, prec, rec, f1 = f1_loss(pred, ref)
+    return float(f1), float(prec), float(rec)
 
 
 def main():
@@ -124,9 +126,14 @@ def main():
     from dvae_tpu.data.catalog.ntcd_timit import _grids
 
     noise_types, snrs = _grids("subset")
+    if str(args.snr) not in snrs:
+        raise SystemExit(
+            f"--snr {args.snr} is not in the catalog's subset grid {snrs}: "
+            "the predict/enhance legs would write conditions the F1 sweep "
+            "never reads (fail now, before the expensive training legs)")
     conditions = sorted(
         (t, s) for t in noise_types for s in snrs
-        if (noisy_root / t / s).is_dir())
+        if s == str(args.snr) and (noisy_root / t / s).is_dir())
     common = ["--dataset-size", "subset", "--data-root", str(data_root),
               "--models-root", str(models_root)]
 
@@ -182,11 +189,16 @@ def main():
             if not os.path.isdir(d):
                 raise FileNotFoundError(f"{d} missing (run with --train)")
     else:
-        # trailing 'norm' keeps run-tagged dirs (…_norm_<tag>) out of the
-        # untagged protocol's resolution
-        dirs = {"audio": latest("ntcd_audio_vad_lstm_*norm"),
-                "video": latest("ntcd_video_vad_*norm"),
-                "av": latest("ntcd_av_vad_*norm")}
+        # resolve by the EXACT shape the flags describe (hidden x layers),
+        # not a bare wildcard: with 64x1 and 128x1 dirs side by side a
+        # lexical latest() would pick the wrong shape and the predict leg
+        # would crash on a checkpoint mismatch after the training legs.
+        # Trailing 'norm' keeps run-tagged dirs (…_norm_<tag>) out of the
+        # untagged protocol's resolution.
+        hl = f"{args.hidden}x{args.num_layers}"
+        dirs = {"audio": latest(f"ntcd_audio_vad_lstm_{hl}*norm"),
+                "video": latest(f"ntcd_video_vad_{hl}*norm"),
+                "av": latest(f"ntcd_av_vad_{hl}*norm")}
     results["checkpoints"] = {k: os.path.basename(v) for k, v in dirs.items()}
 
     # Record what the model dirs ACTUALLY trained, from the checkpoints
@@ -251,7 +263,12 @@ def main():
     # ---- 3. F1 per condition --------------------------------------------
     import h5py
 
+    import functools
+
+    @functools.lru_cache(maxsize=None)
     def oracle_vad(spk_dir, utt):
+        # cached: the modality x condition x utterance triple loop would
+        # otherwise re-open every oracle h5 3 x C times
         with h5py.File(proc / "Clean" / "test" / spk_dir /
                        f"{utt}_vad_labels_upsampled.h5", "r") as f:
             y = np.asarray(f["Y"][()] if "Y" in f else f[list(f)[0]][()])
@@ -344,9 +361,14 @@ def main():
                 argv += ["--platform", args.platform]
             t0 = time.time()
             run(argv)
+            # wall_s = the evaluate_ntcd_M2 subprocess only (incl. its
+            # compile + corpus walk), stamped BEFORE the host-side metric
+            # pass — scoring minutes must not masquerade as enhancement
+            # (this repo's wall_s-semantics convention, PARITY §2b)
+            wall = round(time.time() - t0, 1)
             suffix = "" if leg == "oracle" else "_y_hat_hard"
             results["enhancement"][leg] = score_tree(out_dir, suffix)
-            results["enhancement"][leg]["wall_s"] = round(time.time() - t0, 1)
+            results["enhancement"][leg]["wall_s"] = wall
         base = results["enhancement"]["oracle"]
         for leg in dirs:
             r = results["enhancement"][leg]

@@ -119,6 +119,9 @@ def main():
         ap.error("need --checkpoint or --model-dir")
     if args.std_norm and not args.norm_h5:
         ap.error("--std-norm requires --norm-h5")
+    if args.ready_on_aot_validate and not args.aot_cache:
+        ap.error("--ready-on-aot-validate needs --aot-cache DIR (there is "
+                 "nothing to restore readiness from without one)")
     if args.model_class in ("m2", "m2v2") and args.y_source == "self-soft":
         ap.error(f"{args.model_class} has no classifier; use --y-source "
                  "ones/zeros")
@@ -136,7 +139,7 @@ def main():
         from dvae_tpu.enhance.pipeline import EnhancerConfig
         from dvae_tpu.serving import EnhanceService, ServeConfig
 
-        from _lib import warn_peem_family
+        from _lib import norm_stats_if, warn_peem_family
 
     warn_peem_family(args, args.model_class, args.y_dim)
 
@@ -163,12 +166,9 @@ def main():
         model, params, path = load_family_model(args, abstract=True)
         print(f"loaded {path}")
 
-        norm = None
-        if args.std_norm:
-            import h5py
-
-            with h5py.File(args.norm_h5, "r") as f:
-                norm = (f["X_train_mean"][:], f["X_train_std"][:])
+        # the shared norm-stats path (reads --norm-h5; --std-norm gate
+        # inside) — serve.py must not keep its own copy of the h5 contract
+        norm = norm_stats_if(args)
     backend_thread.join()
 
     y_mode = {"m1": "none", "m2": "enc_dec"}.get(args.model_class, "dec_only")
@@ -252,8 +252,8 @@ def main():
             boot.end("warmup")
             if err is None:
                 boot.mark("warmed")
-                if "ready" not in boot.snapshot()["marks"]:
-                    boot.mark("ready")
+                boot.mark_once("ready")  # atomic: never overwrites the
+                #                          AOT block's earlier mark
                 print(f"warm: {svc.warm_buckets} "
                       f"(ready {boot.snapshot()['marks']['ready']:.1f}s, "
                       f"warmed {boot.snapshot()['marks']['warmed']:.1f}s "
@@ -267,10 +267,9 @@ def main():
         # pass the list explicitly: the auto-added chunk bucket lands in
         # args AFTER the ServeConfig snapshot above
         svc.warmup_async(args.warmup_buckets, on_done=_warm_done)
-        if svc.ready_via_aot and "ready" not in boot.snapshot()["marks"]:
+        if svc.ready_via_aot and boot.mark_once("ready"):
             # --ready-on-aot-validate and every bucket restored: readiness
             # is host-side; the background warmup will flip `warmed`
-            boot.mark("ready")
             print(f"ready via AOT restore "
                   f"({boot.snapshot()['marks']['ready']:.1f}s after "
                   "process start; warmup executions continue in the "

@@ -82,12 +82,19 @@ def boot_once(tag, args, extra, log_dir):
                 rec["warmed_s"] = round(now, 2)
                 break
             time.sleep(0.3)
+        else:
+            # distinguish 'never observed warmed before the deadline' from
+            # 'warmed just after the last poll' in the evidence record
+            rec["timed_out_waiting"] = True
         body = open(args.wav, "rb").read()
         t1 = time.time()
         try:
+            # the request shares the boot budget: a boot that already
+            # timed out must not get a SECOND full boot_timeout here
+            req_budget = max(30.0, deadline - time.time())
             req = urllib.request.Request(
                 f"http://127.0.0.1:{args.port}/enhance", data=body)
-            with urllib.request.urlopen(req, timeout=args.boot_timeout) as r:
+            with urllib.request.urlopen(req, timeout=req_budget) as r:
                 rec["first_request_bytes"] = len(r.read())
             rec["first_request_s"] = round(time.time() - t1, 3)
         except Exception as e:  # keep the boot record even if the
@@ -139,8 +146,13 @@ def main():
         else args.aot_dir
     boots = []
     if not args.skip_cold:
+        # clear ONLY the AOT cache's own artifacts: a mistyped --aot-dir
+        # (a model dir, a shared parent) must not have its files destroyed
+        # by the cold leg, and a stray subdirectory must not abort the run
         for f in os.listdir(args.aot_dir):
-            os.unlink(os.path.join(args.aot_dir, f))
+            if f.startswith("core_") and (f.endswith(".aotx")
+                                          or f.endswith(".bad")):
+                os.unlink(os.path.join(args.aot_dir, f))
         boots.append(boot_once("boot1_empty_aot_full_warmup", args, [],
                                log_dir))
         time.sleep(5)
