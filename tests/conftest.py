@@ -52,6 +52,7 @@ SLOW_TESTS = (
     "test_scripts.py::test_m2_info_chain",
     "test_scripts.py::test_train_enhance_metrics_chain",
     "test_scripts.py::test_video_vad_predict_chain",
+    "test_scripts.py::test_av_fusion_study_smoke",
     "test_scripts.py::test_audio_vad_predict_chain",
     "test_scripts.py::test_bench_profile_once_worker",
     "test_scripts.py::test_parity_harness_smoke",

@@ -1,6 +1,7 @@
 """Script-level smoke tests: every CLI parses --help, and the core
 train -> enhance -> metrics chain runs end-to-end on the subset."""
 
+import json
 import os
 import pathlib
 import subprocess
@@ -788,3 +789,62 @@ def test_family_template_abstract_matches_concrete():
         for a, c in zip(abs_leaves, conc_leaves):
             assert a.shape == c.shape and a.dtype == c.dtype, \
                 (model_class, y_dim, a, c.shape, c.dtype)
+
+
+def test_av_fusion_study_smoke(data_root, tmp_path):
+    """scripts/av_fusion_study.py (the harness behind both committed AV
+    dossiers) end-to-end at toy budgets: trains the three matched VADs,
+    predicts per modality, assembles per-condition F1 + checkpoint-derived
+    training metrics, and writes a matrix JSON whose budgets come from the
+    checkpoints (never the CLI default) — the round-4 60-vs-150 failure
+    mode. Enhancement legs are exercised by the round-5 evidence runs and
+    the evaluate CLI chains; this smoke skips them for time."""
+    import shutil
+
+    # the audio/AV trainers' --std-norm stats h5s are BUILDER outputs
+    # (create_audio_train_set / create_video_train_files), not shipped —
+    # build a writable data root exactly as the evidence runs did
+    root = tmp_path / "data"
+    root.mkdir(parents=True, exist_ok=True)
+    shutil.copytree(data_root / "data" / "subset", root / "subset",
+                    symlinks=False)
+    for builder, labels in (("create_train_set.py", "vad_labels"),
+                            ("create_audio_train_set.py", "ibm_labels"),
+                            ("create_video_train_files.py", None)):
+        argv = [str(SCRIPTS / builder), "--dataset-size", "subset",
+                "--data-root", str(root), "--platform", "cpu"]
+        if labels:
+            argv += ["--labels", labels]
+        _run(argv, cwd=tmp_path)
+
+    out = tmp_path / "matrix.json"
+    _run([str(SCRIPTS / "av_fusion_study.py"),
+          "--data-root", str(root),
+          "--models-root", str(tmp_path / "models"),
+          "--train", "--epochs", "2", "--hidden", "8", "--emb-dim", "4",
+          "--num-layers", "1", "--run-tag", "smoke",
+          "--train-split", "test", "--valid-split", "test",
+          "--platform", "cpu", "--train-platform", "cpu",
+          "--out", str(out)], cwd=tmp_path, timeout=900)
+    d = json.loads(out.read_text())
+    assert set(d["f1_per_condition"]) == {"audio", "video", "av"}
+    for modality, per_cond in d["f1_per_condition"].items():
+        assert 0.0 <= per_cond["overall_mean_f1"] <= 1.0
+        conds = [k for k in per_cond if k != "overall_mean_f1"]
+        assert conds, per_cond
+    # budgets.epochs derived from the checkpoints themselves
+    assert d["protocol"]["budgets"]["epochs"] == 2
+    assert d["protocol"]["budgets"]["epochs_arg"] == 2
+    for modality in ("audio", "video", "av"):
+        tr = d["training"][modality]
+        assert tr["epochs_trained"] == 1  # epochs 1..end-1, exclusive end
+        assert "best_valid_bce" in tr and "best_checkpoint_valid_f1" in tr
+    # a non-grid SNR fails fast, before any training
+    r = subprocess.run([sys.executable, str(SCRIPTS / "av_fusion_study.py"),
+                 "--data-root", str(data_root / "data"),
+                 "--models-root", str(tmp_path / "models"),
+                 "--snr", "0", "--out", str(tmp_path / "x.json")],
+                capture_output=True, text=True, env=ENV, cwd=tmp_path,
+                timeout=120)
+    assert r.returncode != 0 and "catalog's subset grid" in (
+        r.stdout + r.stderr)
